@@ -1,0 +1,17 @@
+"""Test harness: force an 8-device virtual CPU mesh so sharding paths are
+exercised without TPU hardware (the driver separately dry-runs multichip)."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"   # tests never use the tunneled TPU
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,80 @@
+"""Batched scalar quantization / dequantization (RDOQ & DepQuant live in
+encoder/; the scalar core here is shared by both encoder and decoder).
+
+TPU-native analog of the reference Quant (reference:
+source/Lib/CommonLib/Quant.cpp:928 quant, :356 dequant).  Everything operates
+on (B, H, W) int32 coefficient batches; per-sample ops vectorize on the VPU.
+
+Scale scheme (see transforms.py): the forward transform emits
+  coeff = Y * 2^tShift * sqrt(2)^odd          (Y = orthonormal-domain value)
+with tShift = 15 - bitDepth - ceil((log2W+log2H)/2).  Quantization divides by
+qStep(QP) = 2^((QP-4)/6) in the *pixel* domain:
+  level   = round(|coeff| * qScale[QP%6] * (181/256)^odd  >> (14 + QP//6 + tShift))
+  coeff'  = clip16(level * iScale[QP%6] << QP//6  * (2*181/256)^odd >> dqShift)
+  dqShift = bitDepth + ceil((log2W+log2H)/2) - 9   (= 6 - tShift)
+The 181/256 pair carries the sqrt(2) of odd-sized blocks exactly as VVC does.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import rom
+from .transforms import transform_shift, _clip16, _rshift_round
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "log2w", "log2h",
+                                             "bit_depth", "intra"))
+def quantize(coeff: jnp.ndarray, qp: int, log2w: int, log2h: int,
+             bit_depth: int = 8, intra: bool = True) -> jnp.ndarray:
+    """Scalar quantization with VVC dead-zone offsets.
+
+    Args:
+      coeff: (B, H, W) int32 transform coefficients.
+      intra: selects the dead-zone rounding offset (171/512 intra, 85/512
+        inter — reference: Quant.cpp offset derivation).
+    Returns:
+      (B, H, W) int32 levels.
+    """
+    t_shift, odd = transform_shift(log2w, log2h, bit_depth)
+    q_bits = rom.QUANT_SHIFT + qp // 6 + t_shift
+    q_scale = int(rom.QUANT_SCALES[qp % 6])
+    sign = jnp.sign(coeff)
+    mag = jnp.abs(coeff)
+    if odd:
+        mag = (mag * 181 + 128) >> 8
+    offset = (171 if intra else 85) << (q_bits - 9)
+    level = (mag * q_scale + offset) >> q_bits
+    level = jnp.clip(level, 0, (1 << 15) - 1)
+    return (sign * level).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "log2w", "log2h",
+                                             "bit_depth"))
+def dequantize(level: jnp.ndarray, qp: int, log2w: int, log2h: int,
+               bit_depth: int = 8) -> jnp.ndarray:
+    """Inverse quantization (normative; reference: Quant.cpp:356 dequant)."""
+    t_shift, odd = transform_shift(log2w, log2h, bit_depth)
+    dq_shift = 6 - t_shift
+    i_scale = int(rom.INV_QUANT_SCALES[qp % 6]) << (qp // 6)
+    c = level * i_scale
+    if odd:
+        # *2*181/256 == sqrt(2) to undo the forward-side 181/256
+        c = _clip16(_rshift_round(c * 181, 8 + dq_shift - 1))
+    else:
+        c = _clip16(_rshift_round(c, dq_shift))
+    return c.astype(jnp.int32)
+
+
+def qstep(qp: int) -> float:
+    """Pixel-domain quantizer step size 2^((qp-4)/6)."""
+    return 2.0 ** ((qp - 4) / 6.0)
+
+
+def lambda_from_qp(qp: int, intra: bool = True) -> float:
+    """RD lambda (reference: EncSlice.cpp:107 setUpLambda — 0.57*2^((qp-12)/3)
+    with slice-type dependent weighting)."""
+    alpha = 0.57 if intra else 0.68
+    return alpha * (2.0 ** ((qp - 12) / 3.0))
