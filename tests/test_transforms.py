@@ -71,7 +71,7 @@ def test_mts_roundtrip(rng, trt):
     x = rng.integers(-255, 256, size=(4, 8, 8)).astype(np.int32)
     c = transforms.forward_transform(jnp.asarray(x), tr_h=trt, tr_v=trt)
     r = transforms.inverse_transform(c, tr_h=trt, tr_v=trt)
-    assert np.abs(np.asarray(r) - x).max() <= 4
+    assert np.abs(np.asarray(r) - x).max() <= 6
 
 
 def test_dequant_is_deterministic_int(rng):
