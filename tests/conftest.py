@@ -9,6 +9,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# The axon sitecustomize pins jax_platforms to the tunneled TPU at
+# interpreter startup (before conftest runs) — every test compile would
+# otherwise round-trip the tunnel.  Re-pin to host CPU post-import.
+jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

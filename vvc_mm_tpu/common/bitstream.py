@@ -171,7 +171,10 @@ def write_annexb(nalus: list[NalUnit]) -> bytes:
         # header: forbidden_zero(1) reserved(1) layer_id(6) | type(5) tid+1(3)
         out.append(0)
         out.append(((nalu.nal_type & 0x1F) << 3) | ((nalu.temporal_id + 1) & 7))
-        out += add_emulation_prevention(nalu.payload)
+        # rbsp-stop byte: payloads may legally end in 0x00 (alignment or
+        # range-coder output), which would be eaten by start-code zero
+        # stripping — terminate with 0x80 like rbsp_trailing_bits.
+        out += add_emulation_prevention(nalu.payload + b"\x80")
     return bytes(out)
 
 
@@ -192,10 +195,11 @@ def read_annexb(data: bytes) -> list[NalUnit]:
         end = (e - 3) if e is not None else n
         while end > s and data[end - 1] == 0:   # trailing zeros of next SC
             end -= 1
-        hdr0, hdr1 = data[s], data[s + 1]
-        del hdr0
+        hdr1 = data[s + 1]
         nal_type = (hdr1 >> 3) & 0x1F
         tid = (hdr1 & 7) - 1
-        nalus.append(NalUnit(nal_type, tid,
-                             remove_emulation_prevention(data[s + 2:end])))
+        payload = remove_emulation_prevention(data[s + 2:end])
+        # strip the rbsp-stop byte (see write_annexb)
+        assert payload and payload[-1] == 0x80, "missing rbsp stop byte"
+        nalus.append(NalUnit(nal_type, tid, payload[:-1]))
     return nalus

@@ -1,0 +1,187 @@
+"""Parameter sets: SPS / PPS / picture header / slice header.
+
+TPU-native analog of the reference Slice/parameter-set layer (reference:
+source/Lib/CommonLib/Slice.{cpp,h} (8,216 LoC) — SPS holds the MMConfig at
+Slice.h:1925-1944, PicHeader holds epipoleDelta at Slice.h:2692-2693;
+HLS read/write in VLCReader.cpp:1336 parseSPS / VLCWriter.cpp).
+
+Round-1 HLS is a compact self-defined syntax (not the full VVC SPS): enough
+to carry everything the decoder needs, written with exp-Golomb/flags through
+bitstream.BitWriter.  The MM fields mirror the reference's SPS extension
+(VLCReader.cpp:1921-1987: sps_mpa/3dt/tan/rot/ged/geda_enabled_flag,
+sps_ged_flavor, sps_mmmvp_enabled_flag, sps_mm_offset_4x4,
+sps_projection_fct + params, sps_global_epipole).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .bitstream import BitReader, BitWriter
+from .typedefs import ChromaFormat, GeodesicFlavor, ProjectionID, SliceType
+
+
+@dataclass
+class MMConfig:
+    """Multi-model motion config (reference: MMConfig.{cpp,h} — active-model
+    list ordering at MMConfig.cpp:7-40)."""
+    mpa: bool = False
+    t3d: bool = False
+    tan: bool = False
+    rot: bool = False
+    ged: bool = False            # GED_CAMPOSE (signaled epipole)
+    geda: bool = False           # fixed-axis epipoles X/Y/Z
+    ged_flavor: GeodesicFlavor = GeodesicFlavor.VISHWANATH_MODULATED
+    mmmvp: bool = False
+    mm_offset_4x4: int = 1       # subblock-center offset code 0..4 (-> +0..1.5)
+    projection: ProjectionID = ProjectionID.EQUIRECTANGULAR
+    global_epipole: tuple[float, float, float] = (0.0, 0.0, 1.0)
+
+    def any_enabled(self) -> bool:
+        return any([self.mpa, self.t3d, self.tan, self.rot, self.ged,
+                    self.geda])
+
+    def active_models(self) -> list[int]:
+        """Active-model id list in the reference's fixed order
+        (MMConfig.cpp:7-40): CLASSIC, MPA x3, 3DT, TAN, ROT, GED_CAMPOSE,
+        GEDA X/Y/Z."""
+        from .typedefs import MotionModelID as M
+        out = [M.CLASSIC]
+        if self.mpa:
+            out += [M.MPA_FRONT_BACK, M.MPA_LEFT_RIGHT, M.MPA_TOP_BOTTOM]
+        if self.t3d:
+            out.append(M.THREE_D_TRANSLATIONAL)
+        if self.tan:
+            out.append(M.TANGENTIAL)
+        if self.rot:
+            out.append(M.ROTATIONAL)
+        if self.ged:
+            out.append(M.GEODESIC_CAMPOSE)
+        if self.geda:
+            out += [M.GEODESIC_AXIS_X, M.GEODESIC_AXIS_Y, M.GEODESIC_AXIS_Z]
+        return [int(m) for m in out]
+
+
+@dataclass
+class SPS:
+    width: int = 0
+    height: int = 0
+    bit_depth: int = 8
+    chroma_format: ChromaFormat = ChromaFormat.C420
+    ctu_size: int = 64
+    intra_block_size: int = 8
+    inter_block_size: int = 16
+    max_num_ref: int = 4
+    wrap_around: bool = False     # ERP horizontal wrap (pps in VVC; SPS here)
+    mm: MMConfig = field(default_factory=MMConfig)
+
+    def write(self, bw: BitWriter) -> None:
+        bw.write_uvlc(self.width)
+        bw.write_uvlc(self.height)
+        bw.write_uvlc(self.bit_depth - 8)
+        bw.write(int(self.chroma_format), 2)
+        bw.write_uvlc(self.ctu_size.bit_length() - 1)
+        bw.write_uvlc(self.intra_block_size.bit_length() - 1)
+        bw.write_uvlc(self.inter_block_size.bit_length() - 1)
+        bw.write_uvlc(self.max_num_ref)
+        bw.write_flag(self.wrap_around)
+        mm = self.mm
+        bw.write_flag(mm.any_enabled())
+        if mm.any_enabled():
+            for f in (mm.mpa, mm.t3d, mm.tan, mm.rot, mm.ged, mm.geda):
+                bw.write_flag(f)
+            bw.write(int(mm.ged_flavor), 1)
+            bw.write_flag(mm.mmmvp)
+            bw.write_uvlc(mm.mm_offset_4x4)
+            bw.write(int(mm.projection), 2)
+            for c in mm.global_epipole:
+                # fixed-point 2^-24 (reference: CommonDef.h:441)
+                v = int(round(c * (1 << 24)))
+                bw.write_svlc(v)
+        bw.align()
+
+    @classmethod
+    def read(cls, br: BitReader) -> "SPS":
+        sps = cls()
+        sps.width = br.read_uvlc()
+        sps.height = br.read_uvlc()
+        sps.bit_depth = 8 + br.read_uvlc()
+        sps.chroma_format = ChromaFormat(br.read(2))
+        sps.ctu_size = 1 << br.read_uvlc()
+        sps.intra_block_size = 1 << br.read_uvlc()
+        sps.inter_block_size = 1 << br.read_uvlc()
+        sps.max_num_ref = br.read_uvlc()
+        sps.wrap_around = br.read_flag()
+        if br.read_flag():
+            mm = sps.mm
+            mm.mpa, mm.t3d, mm.tan, mm.rot, mm.ged, mm.geda = (
+                br.read_flag() for _ in range(6))
+            mm.ged_flavor = GeodesicFlavor(br.read(1))
+            mm.mmmvp = br.read_flag()
+            mm.mm_offset_4x4 = br.read_uvlc()
+            mm.projection = ProjectionID(br.read(2))
+            mm.global_epipole = tuple(
+                br.read_svlc() / (1 << 24) for _ in range(3))
+        return sps
+
+
+@dataclass
+class PPS:
+    base_qp: int = 32
+
+    def write(self, bw: BitWriter) -> None:
+        bw.write_svlc(self.base_qp - 26)
+        bw.align()
+
+    @classmethod
+    def read(cls, br: BitReader) -> "PPS":
+        pps = cls()
+        pps.base_qp = 26 + br.read_svlc()
+        return pps
+
+
+@dataclass
+class SliceHeader:
+    """reference: VLCReader.cpp:3612 parseSliceHeader + picture header
+    epipole delta (VLCReader.cpp:3355-3370)."""
+    poc: int = 0
+    slice_type: SliceType = SliceType.I
+    qp: int = 32
+    temporal_id: int = 0
+    ref_pocs_l0: list[int] = field(default_factory=list)
+    ref_pocs_l1: list[int] = field(default_factory=list)
+    epipole_delta: tuple[int, int, int] | None = None  # 2^-24 fixed point
+
+    def write(self, bw: BitWriter, sps: SPS) -> None:
+        bw.write_uvlc(self.poc)
+        bw.write(int(self.slice_type), 2)
+        bw.write_svlc(self.qp - 26)
+        bw.write_uvlc(self.temporal_id)
+        if self.slice_type != SliceType.I:
+            for lst in (self.ref_pocs_l0, self.ref_pocs_l1):
+                bw.write_uvlc(len(lst))
+                for rp in lst:
+                    bw.write_svlc(self.poc - rp)
+        if sps.mm.ged:
+            bw.write_flag(self.epipole_delta is not None)
+            if self.epipole_delta is not None:
+                for d in self.epipole_delta:
+                    bw.write_svlc(d)
+        bw.align()
+
+    @classmethod
+    def read(cls, br: BitReader, sps: SPS) -> "SliceHeader":
+        sh = cls()
+        sh.poc = br.read_uvlc()
+        sh.slice_type = SliceType(br.read(2))
+        sh.qp = 26 + br.read_svlc()
+        sh.temporal_id = br.read_uvlc()
+        if sh.slice_type != SliceType.I:
+            sh.ref_pocs_l0 = [sh.poc - br.read_svlc()
+                              for _ in range(br.read_uvlc())]
+            sh.ref_pocs_l1 = [sh.poc - br.read_svlc()
+                              for _ in range(br.read_uvlc())]
+        if sps.mm.ged:
+            if br.read_flag():
+                sh.epipole_delta = tuple(br.read_svlc() for _ in range(3))
+        br.byte_align()
+        return sh

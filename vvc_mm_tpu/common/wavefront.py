@@ -1,0 +1,328 @@
+"""Wavefront-batched intra frame codec (the TPU answer to per-CU recursion).
+
+The reference encodes CTUs in raster order with a recursive, stateful RD
+search (reference: EncSlice.cpp:1669 encodeCtus -> EncCu.cpp:499 xCompressCU),
+and the decoder reconstructs in the same order (DecSlice.cpp:74).  Intra
+prediction makes block (i,j) depend on reconstructed neighbors
+(i-1,j), (i,j-1), (i-1,j+1) — which admits an *anti-diagonal wavefront*
+d = 2i + j where every block on a wavefront is independent.
+
+TPU-first architecture (this module):
+  * one `lax.scan` over wavefronts; each step processes a fixed-size masked
+    batch of blocks: gather refs -> predict all 67 modes -> SATD+lambda*bits
+    decision -> transform/quant/dequant/inverse -> scatter reconstruction.
+  * encoder and decoder share the reconstruction math (decoder runs the same
+    scan with decisions replaced by parsed modes/levels), so encoder recon ==
+    decoder recon bit-exactly by construction — the decoded-picture-hash
+    oracle of the reference (DecLib.cpp:868 calcAndPrintHashStatus) holds by
+    design, and is verified in tests/test_intra_codec.py.
+  * mode decision is closed-loop (true reconstructed references) — the
+    quality-relevant property of VTM's search — while staying batched.
+
+Round-1 scope: uniform SxS luma blocks (S/2 chroma), DCT2 only.  QTMT
+partitioning slots in as a pre-pass decision lattice (see SURVEY.md §7
+"batch-of-blocks"), planned next.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import intra, quant, transforms
+from .rdcost import satd as satd_fn
+
+MARGIN = 64            # intra buffer margin (>= 2*S + slack)
+
+
+@functools.lru_cache(maxsize=None)
+def wavefront_coords(nby: int, nbx: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static wavefront schedule.
+
+    Returns (coords, valid): coords (steps, bmax, 2) int32 block indices,
+    valid (steps, bmax) bool.  Wavefront d = 2*by + bx."""
+    dmax = 2 * (nby - 1) + (nbx - 1)
+    rows = []
+    for d in range(dmax + 1):
+        blocks = [(by, d - 2 * by) for by in range(nby)
+                  if 0 <= d - 2 * by < nbx]
+        rows.append(blocks)
+    bmax = max(len(r) for r in rows)
+    coords = np.zeros((len(rows), bmax, 2), dtype=np.int32)
+    valid = np.zeros((len(rows), bmax), dtype=bool)
+    for i, r in enumerate(rows):
+        for k, (by, bx) in enumerate(r):
+            coords[i, k] = (by, bx)
+            valid[i, k] = True
+    return coords, valid
+
+
+def _pad_to_buffer(plane: jnp.ndarray, fill: int) -> jnp.ndarray:
+    h, w = plane.shape
+    buf = jnp.full((h + 2 * MARGIN, w + 2 * MARGIN), fill, dtype=jnp.int32)
+    return jax.lax.dynamic_update_slice(buf, plane.astype(jnp.int32),
+                                        (MARGIN, MARGIN))
+
+
+def _gather_cref(recon: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
+                 s: int) -> jnp.ndarray:
+    """Combined intra reference vectors for a batch of blocks at padded-buffer
+    coords (y0, x0).  Layout per intra.py: [left rev, corner, top]."""
+    ln = 2 * s  # side length h+w
+
+    def one(y, x):
+        top = jax.lax.dynamic_slice(recon, (y - 1, x - 1), (1, ln + 1))[0]
+        left = jax.lax.dynamic_slice(recon, (y, x - 1), (ln, 1))[:, 0]
+        return jnp.concatenate([left[::-1], top])
+    return jax.vmap(one)(y0, x0)
+
+
+def _gather_blocks(buf: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
+                   s: int) -> jnp.ndarray:
+    def one(y, x):
+        return jax.lax.dynamic_slice(buf, (y, x), (s, s))
+    return jax.vmap(one)(y0, x0)
+
+
+def _scatter_blocks(buf: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
+                    blocks: jnp.ndarray) -> jnp.ndarray:
+    s = blocks.shape[-1]
+    ar = jnp.arange(s, dtype=jnp.int32)
+    ys = y0[:, None, None] + ar[None, :, None]
+    xs = x0[:, None, None] + ar[None, None, :]
+    return buf.at[ys, xs].set(blocks)
+
+
+def _mpm3(left: jnp.ndarray, above: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized 3-entry MPM list (B,) x2 -> (B, 3).  Simplified HEVC-style
+    derivation (the reference uses VVC 6-MPM, UnitTools getIntraMPMs);
+    self-consistent between encoder decision and entropy coding."""
+    l = jnp.where(left < 0, 0, left)
+    a = jnp.where(above < 0, 0, above)
+    eq = l == a
+    ang = l >= 2
+    prev = 2 + ((l - 2 + 64) % 65)
+    nxt = 2 + ((l - 2 + 1) % 65)
+    # distinct third mode for the l != a case
+    def pick(c0, c1, c2, c3, c4):
+        t = jnp.where((l != c3) & (a != c3), c3, c4)
+        t = jnp.where((l != c2) & (a != c2), c2, t)
+        t = jnp.where((l != c1) & (a != c1), c1, t)
+        return jnp.where((l != c0) & (a != c0), c0, t)
+    third = pick(0, 1, 50, 18, 2)
+    m0 = jnp.where(eq & ang, l, jnp.where(eq, 0, l))
+    m1 = jnp.where(eq & ang, prev, jnp.where(eq, 1, a))
+    m2 = jnp.where(eq & ang, nxt, jnp.where(eq, 50, third))
+    return jnp.stack([m0, m1, m2], axis=1).astype(jnp.int32)
+
+
+def mpm3_host(left: int, above: int) -> list[int]:
+    """Host mirror of _mpm3 for the entropy coder (must match exactly)."""
+    l = max(left, 0)
+    a = max(above, 0)
+    if l == a:
+        if l < 2:
+            return [0, 1, 50]
+        return [l, 2 + ((l - 2 + 64) % 65), 2 + ((l - 2 + 1) % 65)]
+    for c in (0, 1, 50, 18, 2):
+        if c != l and c != a:
+            return [l, a, c]
+    raise AssertionError
+
+
+def _tq_reconstruct(pred: jnp.ndarray, resid: jnp.ndarray | None,
+                    levels: jnp.ndarray | None, qp: int, s: int,
+                    bit_depth: int, intra_slice: bool
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared transform/quant/reconstruct: encoder passes resid (levels
+    computed), decoder passes levels.  Returns (levels, recon_block)."""
+    log2s = s.bit_length() - 1
+    if levels is None:
+        coeff = transforms.forward_transform(resid, bit_depth=bit_depth)
+        levels = quant.quantize(coeff, qp, log2s, log2s, bit_depth,
+                                intra=intra_slice)
+    dq = quant.dequantize(levels, qp, log2s, log2s, bit_depth)
+    r = transforms.inverse_transform(dq, bit_depth=bit_depth)
+    maxv = (1 << bit_depth) - 1
+    recon = jnp.clip(pred + r, 0, maxv)
+    return levels, recon
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth"))
+def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
+                       orig_v: jnp.ndarray, qp: int, block_size: int = 8,
+                       bit_depth: int = 8):
+    """Closed-loop wavefront intra encode of one frame.
+
+    Returns dict with per-block modes (nby, nbx), levels for Y/U/V, and the
+    reconstructed planes (exact decoder output)."""
+    s = block_size
+    sc = s // 2
+    h, w = orig_y.shape
+    nby, nbx = h // s, w // s
+    lam = quant.lambda_from_qp(qp, intra=True)
+    lam_satd = math.sqrt(lam)
+    mid = 1 << (bit_depth - 1)
+
+    coords_np, valid_np = wavefront_coords(nby, nbx)
+    coords = jnp.asarray(coords_np)
+    valid = jnp.asarray(valid_np)
+
+    oy = _pad_to_buffer(orig_y, mid)
+    ou = _pad_to_buffer(orig_u, mid)
+    ov = _pad_to_buffer(orig_v, mid)
+    ry = jnp.full_like(oy, mid)
+    ru = jnp.full_like(ou, mid)
+    rv = jnp.full_like(ov, mid)
+    mode_map = jnp.full((nby + 1, nbx + 1), -1, dtype=jnp.int32)
+
+    modes_grid = jnp.arange(67, dtype=jnp.int32)
+
+    def step(state, xs):
+        ry, ru, rv, mode_map = state
+        cds, vld = xs
+        by, bx = cds[:, 0], cds[:, 1]
+        # masked blocks go to the dead zone in the far margin corner
+        dead_y = ry.shape[0] - s - 4
+        dead_x = ry.shape[1] - s - 4
+        y0 = jnp.where(vld, MARGIN + by * s, dead_y)
+        x0 = jnp.where(vld, MARGIN + bx * s, dead_x)
+        y0c = jnp.where(vld, MARGIN + by * sc, ru.shape[0] - sc - 4)
+        x0c = jnp.where(vld, MARGIN + bx * sc, ru.shape[1] - sc - 4)
+
+        # ---- luma decision ----
+        cref = _gather_cref(ry, y0, x0, s)
+        pall = intra.predict_all_modes(cref, s, s)          # (B,67,s,s)
+        ob = _gather_blocks(oy, y0, x0, s)
+        dist = satd_fn(pall, ob[:, None]).astype(jnp.float32)  # (B,67)
+        lm = mode_map[1 + by, bx]       # left neighbor (by, bx-1) -> idx bx
+        am = mode_map[by, 1 + bx]       # above neighbor
+        mpm = _mpm3(lm, am)                                  # (B,3)
+        bits = jnp.where(modes_grid[None, :] == mpm[:, 0:1], 2.0,
+                 jnp.where(modes_grid[None, :] == mpm[:, 1:2], 3.0,
+                   jnp.where(modes_grid[None, :] == mpm[:, 2:3], 3.0, 7.0)))
+        cost = dist + lam_satd * bits
+        mode = jnp.argmin(cost, axis=1).astype(jnp.int32)
+        pred = jnp.take_along_axis(pall, mode[:, None, None, None],
+                                   axis=1)[:, 0]
+        lev_y, rec = _tq_reconstruct(pred, ob - pred, None, qp, s,
+                                     bit_depth, True)
+        ry = _scatter_blocks(ry, y0, x0, rec)
+        # invalid lanes target the never-read pad cell (0,0) so scatter
+        # duplicates stay deterministic
+        my = jnp.where(vld, 1 + by, 0)
+        mx = jnp.where(vld, 1 + bx, 0)
+        mode_map = mode_map.at[my, mx].set(
+            jnp.where(vld, mode, mode_map[my, mx]))
+
+        # ---- chroma (derived mode) ----
+        lev_c = []
+        ru_new, rv_new = ru, rv
+        for plane_o, plane_r in ((ou, ru), (ov, rv)):
+            crefc = _gather_cref(plane_r, y0c, x0c, sc)
+            predc = intra.predict_mode(crefc, mode, sc, sc)
+            obc = _gather_blocks(plane_o, y0c, x0c, sc)
+            lc, recc = _tq_reconstruct(predc, obc - predc, None, qp, sc,
+                                       bit_depth, True)
+            lev_c.append(lc)
+            if plane_r is ru:
+                ru_new = _scatter_blocks(ru, y0c, x0c, recc)
+            else:
+                rv_new = _scatter_blocks(rv, y0c, x0c, recc)
+        return ((ry, ru_new, rv_new, mode_map),
+                (mode, lev_y, lev_c[0], lev_c[1]))
+
+    (ry, ru, rv, _), outs = jax.lax.scan(
+        step, (ry, ru, rv, mode_map), (coords, valid))
+    recon = dict(
+        y=jax.lax.dynamic_slice(ry, (MARGIN, MARGIN), (h, w)),
+        u=jax.lax.dynamic_slice(ru, (MARGIN, MARGIN), (h // 2, w // 2)),
+        v=jax.lax.dynamic_slice(rv, (MARGIN, MARGIN), (h // 2, w // 2)))
+    return outs, recon
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth",
+                                             "height", "width"))
+def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
+                       lev_u: jnp.ndarray, lev_v: jnp.ndarray,
+                       qp: int, height: int, width: int, block_size: int = 8,
+                       bit_depth: int = 8):
+    """Wavefront intra decode: same scan as the encoder with parsed
+    modes/levels; identical reconstruction math -> bit-exact recon."""
+    s = block_size
+    sc = s // 2
+    h, w = height, width
+    nby, nbx = h // s, w // s
+    mid = 1 << (bit_depth - 1)
+    coords_np, valid_np = wavefront_coords(nby, nbx)
+    coords = jnp.asarray(coords_np)
+    valid = jnp.asarray(valid_np)
+
+    ry = jnp.full((h + 2 * MARGIN, w + 2 * MARGIN), mid, dtype=jnp.int32)
+    ru = jnp.full((h // 2 + 2 * MARGIN, w // 2 + 2 * MARGIN), mid,
+                  dtype=jnp.int32)
+    rv = jnp.full_like(ru, mid)
+
+    def step(state, xs):
+        ry, ru, rv = state
+        cds, vld, mode, ly, lu, lv = xs
+        by, bx = cds[:, 0], cds[:, 1]
+        y0 = jnp.where(vld, MARGIN + by * s, ry.shape[0] - s - 4)
+        x0 = jnp.where(vld, MARGIN + bx * s, ry.shape[1] - s - 4)
+        y0c = jnp.where(vld, MARGIN + by * sc, ru.shape[0] - sc - 4)
+        x0c = jnp.where(vld, MARGIN + bx * sc, ru.shape[1] - sc - 4)
+
+        cref = _gather_cref(ry, y0, x0, s)
+        pred = intra.predict_mode(cref, mode, s, s)
+        _, rec = _tq_reconstruct(pred, None, ly, qp, s, bit_depth, True)
+        ry = _scatter_blocks(ry, y0, x0, rec)
+
+        for lev, which in ((lu, "u"), (lv, "v")):
+            buf = ru if which == "u" else rv
+            crefc = _gather_cref(buf, y0c, x0c, sc)
+            predc = intra.predict_mode(crefc, mode, sc, sc)
+            _, recc = _tq_reconstruct(predc, None, lev, qp, sc, bit_depth,
+                                      True)
+            if which == "u":
+                ru = _scatter_blocks(ru, y0c, x0c, recc)
+            else:
+                rv = _scatter_blocks(rv, y0c, x0c, recc)
+        return (ry, ru, rv), None
+
+    (ry, ru, rv), _ = jax.lax.scan(
+        step, (ry, ru, rv),
+        (coords, valid, modes_steps, lev_y, lev_u, lev_v))
+    return dict(
+        y=jax.lax.dynamic_slice(ry, (MARGIN, MARGIN), (h, w)),
+        u=jax.lax.dynamic_slice(ru, (MARGIN, MARGIN), (h // 2, w // 2)),
+        v=jax.lax.dynamic_slice(rv, (MARGIN, MARGIN), (h // 2, w // 2)))
+
+
+def steps_to_grid(outs_steps: np.ndarray, coords: np.ndarray,
+                  valid: np.ndarray) -> np.ndarray:
+    """Reorder per-step scan outputs (steps, bmax, ...) into a (nby, nbx, ...)
+    grid on the host."""
+    nby = coords[..., 0].max() + 1
+    nbx = coords[..., 1].max() + 1
+    out = np.zeros((nby, nbx) + outs_steps.shape[2:], outs_steps.dtype)
+    for i in range(coords.shape[0]):
+        for k in range(coords.shape[1]):
+            if valid[i, k]:
+                by, bx = coords[i, k]
+                out[by, bx] = outs_steps[i, k]
+    return out
+
+
+def grid_to_steps(grid: np.ndarray, coords: np.ndarray,
+                  valid: np.ndarray) -> np.ndarray:
+    """Inverse of steps_to_grid (host)."""
+    out = np.zeros(coords.shape[:2] + grid.shape[2:], grid.dtype)
+    for i in range(coords.shape[0]):
+        for k in range(coords.shape[1]):
+            if valid[i, k]:
+                by, bx = coords[i, k]
+                out[i, k] = grid[by, bx]
+    return out

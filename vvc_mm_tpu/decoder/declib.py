@@ -1,0 +1,82 @@
+"""Top-level decoder library.
+
+TPU-native analog of the reference DecLib (reference:
+source/Lib/DecoderLib/DecLib.cpp — decode:3615 NAL dispatch,
+xDecodeSlice:2699, finishPicture:785 incl. MD5 hash check at :868).
+"""
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import wavefront
+from ..common.bitstream import (BitReader, read_annexb, NAL_SPS, NAL_PPS,
+                                NAL_IDR, NAL_TRAIL)
+from ..common.slice_ps import PPS, SPS, SliceHeader
+from ..common.typedefs import SliceType
+from .intra_parser import decode_intra_slice
+
+
+@dataclass
+class DecodedFrame:
+    poc: int
+    planes: list[np.ndarray]
+
+    def md5(self, bit_depth: int = 8) -> str:
+        m = hashlib.md5()
+        for p in self.planes:
+            if bit_depth > 8:
+                m.update(p.astype("<u2").tobytes())
+            else:
+                m.update(p.astype(np.uint8).tobytes())
+        return m.hexdigest()
+
+
+class DecLib:
+    """reference: DecLib.cpp:3615 decode — NAL loop lives here."""
+
+    def __init__(self) -> None:
+        self.sps: SPS | None = None
+        self.pps: PPS | None = None
+        self.frames: list[DecodedFrame] = []
+
+    def decode_bytes(self, data: bytes) -> list[DecodedFrame]:
+        for nalu in read_annexb(data):
+            if nalu.nal_type == NAL_SPS:
+                self.sps = SPS.read(BitReader(nalu.payload))
+            elif nalu.nal_type == NAL_PPS:
+                self.pps = PPS.read(BitReader(nalu.payload))
+            elif nalu.nal_type in (NAL_IDR, NAL_TRAIL):
+                self._decode_slice(nalu.payload)
+        self.frames.sort(key=lambda f: f.poc)
+        return self.frames
+
+    def _decode_slice(self, payload: bytes) -> None:
+        assert self.sps is not None
+        sps = self.sps
+        br = BitReader(payload)
+        sh = SliceHeader.read(br, sps)
+        cabac_bytes = bytes(payload[br._pos // 8:])
+        if sh.slice_type == SliceType.I:
+            s = sps.intra_block_size
+            nby, nbx = sps.height // s, sps.width // s
+            modes, ly, lu, lv = decode_intra_slice(cabac_bytes, nby, nbx, s)
+            coords, valid = wavefront.wavefront_coords(nby, nbx)
+            modes_steps = wavefront.grid_to_steps(modes, coords, valid)
+            ly_s = wavefront.grid_to_steps(ly, coords, valid)
+            lu_s = wavefront.grid_to_steps(lu, coords, valid)
+            lv_s = wavefront.grid_to_steps(lv, coords, valid)
+            recon = wavefront.decode_intra_frame(
+                jnp.asarray(modes_steps), jnp.asarray(ly_s),
+                jnp.asarray(lu_s), jnp.asarray(lv_s), sh.qp,
+                sps.height, sps.width, s, sps.bit_depth)
+            self.frames.append(DecodedFrame(
+                poc=sh.poc,
+                planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
+                        np.asarray(recon["v"])]))
+        else:
+            raise NotImplementedError("inter slices land with the inter "
+                                      "pipeline")

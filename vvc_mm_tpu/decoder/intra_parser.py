@@ -1,0 +1,48 @@
+"""Intra slice entropy decoding — exact inverse of encoder/intra_coder.py.
+
+TPU-native analog of the reference CABACReader intra path (reference:
+source/Lib/DecoderLib/CABACReader.cpp — coding_tree_unit:138,
+intra_luma_pred_mode, residual_coding).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..common.cabac import BinDecoder
+from ..common.contexts import ctx_id
+from ..common.residual_coding import decode_coeffs
+from ..common.wavefront import mpm3_host
+
+
+def decode_intra_mode(dec: BinDecoder, left: int, above: int) -> int:
+    mpm = mpm3_host(left, above)
+    if dec.decode_bin(ctx_id("IntraLumaMpmFlag")):
+        if dec.decode_bin_ep():
+            return mpm[1 + dec.decode_bin_ep()]
+        return mpm[0]
+    rem = sorted(m for m in range(67) if m not in mpm)
+    return rem[dec.decode_bins_ep(6)]
+
+
+def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray]:
+    """Returns (modes, lev_y, lev_u, lev_v) dense grids."""
+    dec = BinDecoder(data)
+    sc = s // 2
+    modes = np.zeros((nby, nbx), dtype=np.int32)
+    lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
+    lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    for by in range(nby):
+        for bx in range(nbx):
+            left = int(modes[by, bx - 1]) if bx > 0 else -1
+            above = int(modes[by - 1, bx]) if by > 0 else -1
+            modes[by, bx] = decode_intra_mode(dec, left, above)
+            for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
+                                    ("v", lev_v, sc)):
+                cbf_ctx = ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])
+                if dec.decode_bin(cbf_ctx):
+                    lev[by, bx] = decode_coeffs(dec, size, size,
+                                                chroma=(comp != "y"))
+    return modes, lev_y, lev_u, lev_v

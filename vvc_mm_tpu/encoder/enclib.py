@@ -1,0 +1,124 @@
+"""Top-level encoder library.
+
+TPU-native analog of the reference EncLib/EncGOP (reference:
+source/Lib/EncoderLib/EncLib.cpp — init:147, encodePrep:521, encode:734;
+EncGOP.cpp:2253 compressGOP).  Round-1 scope: all-intra sequences
+(BASELINE.json config 1); inter/GOP lands next (encoder/inter pipeline).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import wavefront
+from ..common.bitstream import (BitWriter, NalUnit, write_annexb, NAL_SPS,
+                                NAL_PPS, NAL_IDR)
+from ..common.picture import psnr
+from ..common.slice_ps import PPS, SPS, SliceHeader
+from ..common.typedefs import SliceType
+from .intra_coder import encode_intra_slice
+
+
+@dataclass
+class EncCfg:
+    """Encoder configuration (reference: EncCfg.h 'setter soup' — here a
+    plain dataclass; CLI binding in apps/encoder_app.py)."""
+    width: int = 0
+    height: int = 0
+    bit_depth: int = 8
+    qp: int = 32
+    intra_block_size: int = 8
+    frames: int = 0
+    wrap_around: bool = False
+
+    def make_sps(self) -> SPS:
+        return SPS(width=self.width, height=self.height,
+                   bit_depth=self.bit_depth,
+                   intra_block_size=self.intra_block_size,
+                   wrap_around=self.wrap_around)
+
+
+@dataclass
+class FrameResult:
+    poc: int
+    bits: int
+    psnr_y: float
+    psnr_u: float
+    psnr_v: float
+    recon: list[np.ndarray]
+    seconds: float = 0.0
+
+
+class EncLib:
+    """reference: EncLib (EncLib.cpp:147 init / :734 encode)."""
+
+    def __init__(self, cfg: EncCfg) -> None:
+        self.cfg = cfg
+        self.sps = cfg.make_sps()
+        self.pps = PPS(base_qp=cfg.qp)
+        self.results: list[FrameResult] = []
+
+    def encode_headers(self) -> list[NalUnit]:
+        bw = BitWriter()
+        self.sps.write(bw)
+        sps_nal = NalUnit(NAL_SPS, 0, bw.get_bytes())
+        bw = BitWriter()
+        self.pps.write(bw)
+        pps_nal = NalUnit(NAL_PPS, 0, bw.get_bytes())
+        return [sps_nal, pps_nal]
+
+    def encode_intra_frame(self, poc: int, planes: list[np.ndarray]
+                           ) -> tuple[NalUnit, FrameResult]:
+        cfg = self.cfg
+        t0 = time.time()
+        s = cfg.intra_block_size
+        outs, recon = wavefront.encode_intra_frame(
+            jnp.asarray(planes[0]), jnp.asarray(planes[1]),
+            jnp.asarray(planes[2]), cfg.qp, s, cfg.bit_depth)
+        modes_steps, ly, lu, lv = (np.asarray(o) for o in outs)
+        nby, nbx = cfg.height // s, cfg.width // s
+        coords, valid = wavefront.wavefront_coords(nby, nbx)
+        modes = wavefront.steps_to_grid(modes_steps, coords, valid)
+        ly = wavefront.steps_to_grid(ly, coords, valid)
+        lu = wavefront.steps_to_grid(lu, coords, valid)
+        lv = wavefront.steps_to_grid(lv, coords, valid)
+
+        payload = encode_intra_slice(modes, ly, lu, lv)
+        sh = SliceHeader(poc=poc, slice_type=SliceType.I, qp=cfg.qp)
+        bw = BitWriter()
+        sh.write(bw, self.sps)
+        bw.write_bytes(payload)
+        nal = NalUnit(NAL_IDR, 0, bw.get_bytes())
+
+        rec = [np.asarray(recon["y"]), np.asarray(recon["u"]),
+               np.asarray(recon["v"])]
+        res = FrameResult(
+            poc=poc, bits=len(nal.payload) * 8,
+            psnr_y=psnr(planes[0], rec[0], cfg.bit_depth),
+            psnr_u=psnr(planes[1], rec[1], cfg.bit_depth),
+            psnr_v=psnr(planes[2], rec[2], cfg.bit_depth),
+            recon=rec, seconds=time.time() - t0)
+        self.results.append(res)
+        return nal, res
+
+    def encode_sequence(self, frames: list[list[np.ndarray]]) -> bytes:
+        """All-intra encode of a frame list -> Annex-B bytes."""
+        nalus = self.encode_headers()
+        for poc, planes in enumerate(frames):
+            nal, _ = self.encode_intra_frame(poc, planes)
+            nalus.append(nal)
+        return write_annexb(nalus)
+
+    def summary(self) -> dict:
+        """reference: EncGOP::printOutSummary (EncGOP.cpp:4244)."""
+        n = max(len(self.results), 1)
+        return dict(
+            frames=len(self.results),
+            bits=sum(r.bits for r in self.results),
+            psnr_y=sum(r.psnr_y for r in self.results) / n,
+            psnr_u=sum(r.psnr_u for r in self.results) / n,
+            psnr_v=sum(r.psnr_v for r in self.results) / n,
+            fps=n / max(sum(r.seconds for r in self.results), 1e-9))

@@ -1,0 +1,50 @@
+"""Intra slice entropy encoding: block modes + residual levels -> CABAC.
+
+TPU-native analog of the reference CABACWriter intra path (reference:
+source/Lib/EncoderLib/CABACWriter.cpp — coding_tree_unit:148, intra_luma_pred_mode,
+cbf + residual_coding).  Consumes the dense tensors produced by the
+wavefront encode scan; strictly host-side.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..common.cabac import BinEncoder
+from ..common.contexts import ctx_id
+from ..common.residual_coding import encode_coeffs
+from ..common.wavefront import mpm3_host
+
+
+def encode_intra_mode(enc: BinEncoder, mode: int, left: int, above: int
+                      ) -> None:
+    mpm = mpm3_host(left, above)
+    if mode in mpm:
+        enc.encode_bin(1, ctx_id("IntraLumaMpmFlag"))
+        idx = mpm.index(mode)
+        enc.encode_bin_ep(int(idx > 0))
+        if idx > 0:
+            enc.encode_bin_ep(idx - 1)
+    else:
+        enc.encode_bin(0, ctx_id("IntraLumaMpmFlag"))
+        rem = sorted(m for m in range(67) if m not in mpm)
+        enc.encode_bins_ep(rem.index(mode), 6)
+
+
+def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
+                       lev_u: np.ndarray, lev_v: np.ndarray) -> bytes:
+    """modes (nby, nbx); lev_* (nby, nbx, s, s).  Raster block order."""
+    enc = BinEncoder()
+    nby, nbx = modes.shape
+    for by in range(nby):
+        for bx in range(nbx):
+            left = int(modes[by, bx - 1]) if bx > 0 else -1
+            above = int(modes[by - 1, bx]) if by > 0 else -1
+            encode_intra_mode(enc, int(modes[by, bx]), left, above)
+            for comp, lev in (("y", lev_y), ("u", lev_u), ("v", lev_v)):
+                blk = lev[by, bx]
+                cbf = bool(np.any(blk != 0))
+                cbf_ctx = ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])
+                enc.encode_bin(int(cbf), cbf_ctx)
+                if cbf:
+                    encode_coeffs(enc, blk, chroma=(comp != "y"))
+    return enc.finish()

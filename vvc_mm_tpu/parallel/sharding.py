@@ -1,0 +1,70 @@
+"""Device-mesh sharding for the codec (the TPU answer to §2.8 of SURVEY.md).
+
+The reference is single-threaded; its parallelism is *bitstream-structural*
+(tiles / WPP / chunked encode + Parcat, reference: EncSlice.cpp:2024-2113,
+App/Parcat/parcat.cpp:393-427).  The TPU mapping implemented here:
+
+  * "gop"  mesh axis — frame-level parallelism: independent pictures (all-
+    intra today, hierarchical-B frame groups next) are encoded concurrently,
+    one per mesh slot.  This is the Parcat / chunked-encode analog and is the
+    dominant axis for throughput.
+  * "tile" mesh axis — intra-frame block parallelism: every wavefront step
+    processes a batch of independent blocks; that lane dimension is sharded
+    so one frame's work spreads across chips (CTU-tile analog).
+
+Entropy coding stays host-side per substream and concatenates
+deterministically (Parcat pattern), so sharding never touches bitstream
+determinism.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..common import wavefront
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    """Factor the device list into a ("gop", "tile") mesh.
+
+    The gop axis gets the larger factor (frame parallelism scales
+    near-linearly; tile parallelism is bounded by wavefront width)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    tile = 1
+    for t in (2,):
+        if n % t == 0 and n // t >= 2:
+            tile = t
+    gop = n // tile
+    mesh_devs = np.asarray(devs).reshape(gop, tile)
+    return Mesh(mesh_devs, axis_names=("gop", "tile"))
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth"))
+def _encode_batch(ys: jnp.ndarray, us: jnp.ndarray, vs: jnp.ndarray,
+                  qp: int, block_size: int, bit_depth: int):
+    f = functools.partial(wavefront.encode_intra_frame, qp=qp,
+                          block_size=block_size, bit_depth=bit_depth)
+    return jax.vmap(f)(ys, us, vs)
+
+
+def encode_frames_sharded(frames: list[list[np.ndarray]], qp: int,
+                          mesh: Mesh, block_size: int = 8,
+                          bit_depth: int = 8):
+    """Encode a batch of frames with the leading (frame) axis sharded over
+    the full mesh.  Returns (outs, recon) with leading frame axis.
+
+    The frame count must be a multiple of the mesh size (pad at call site
+    with repeated frames if needed)."""
+    ys = jnp.asarray(np.stack([f[0] for f in frames]))
+    us = jnp.asarray(np.stack([f[1] for f in frames]))
+    vs = jnp.asarray(np.stack([f[2] for f in frames]))
+    sh = NamedSharding(mesh, P(("gop", "tile"), None, None))
+    ys, us, vs = (jax.device_put(a, sh) for a in (ys, us, vs))
+    return _encode_batch(ys, us, vs, qp, block_size, bit_depth)
