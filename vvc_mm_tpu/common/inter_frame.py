@@ -1,0 +1,163 @@
+"""Batched P-frame codec: motion compensation + residual reconstruction.
+
+TPU-native analog of the reference inter path (reference:
+source/Lib/CommonLib/InterPrediction.cpp — motionCompensation:1681,
+xPredInterBlk:928; EncoderLib/InterSearch.cpp predInterSearch:2695;
+DecoderLib/DecCu.cpp reconstruction).
+
+Architecture: unlike intra, inter blocks of a frame have *no* mutual
+dependency (prediction reads only the reference picture), so the whole
+frame is one batched step — gather all block patches, filter, transform,
+reconstruct; no wavefront needed.  Encoder and decoder share
+`reconstruct_p_frame` (same math -> bit-exact recon, the decoded-picture-
+hash oracle of SURVEY.md §4.1).
+
+Round-1 scope: uniform SxS luma blocks, one reference (low-delay P),
+per-block skip.  B-frames/bi-prediction ride the same machinery with a
+second MC pass + finalize_bi.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import interp, quant, transforms
+from ..encoder import me as me_mod
+
+MC_MARGIN = 80     # ref padding: search range + filter taps + slack
+
+
+def pad_ref(plane: jnp.ndarray, margin: int = MC_MARGIN,
+            wrap_around: bool = False) -> jnp.ndarray:
+    """Edge-extend a reconstructed plane for MC.  With `wrap_around`, the
+    horizontal padding wraps (ERP 360 content; reference: Picture.cpp:94
+    PIC_RECON_WRAP + Mv.cpp:113 wrapClipMv)."""
+    if wrap_around:
+        p = jnp.concatenate([plane[:, -margin:], plane, plane[:, :margin]],
+                            axis=1)
+    else:
+        p = jnp.pad(plane, ((0, 0), (margin, margin)), mode="edge")
+    return jnp.pad(p, ((margin, margin), (0, 0)), mode="edge")
+
+
+def _to_blocks(plane: jnp.ndarray, s: int) -> jnp.ndarray:
+    h, w = plane.shape
+    return (plane.reshape(h // s, s, w // s, s).transpose(0, 2, 1, 3)
+            .reshape(-1, s, s))
+
+
+def _from_blocks(blocks: jnp.ndarray, nby: int, nbx: int) -> jnp.ndarray:
+    s = blocks.shape[-1]
+    return (blocks.reshape(nby, nbx, s, s).transpose(0, 2, 1, 3)
+            .reshape(nby * s, nbx * s))
+
+
+def _block_coords(nby: int, nbx: int, s: int):
+    idx = jnp.arange(nby * nbx, dtype=jnp.int32)
+    return (idx // nbx) * s, (idx % nbx) * s
+
+
+def mc_predict(ref_y: jnp.ndarray, ref_u: jnp.ndarray, ref_v: jnp.ndarray,
+               mvs: jnp.ndarray, s: int, bit_depth: int,
+               wrap_around: bool = False):
+    """Motion-compensated prediction of the full frame from padded refs.
+
+    Args:
+      ref_*: unpadded reconstructed reference planes.
+      mvs: (nby, nbx, 2) 1/16-pel MVs.
+    Returns (pred_y, pred_u, pred_v) pixel-domain planes."""
+    h, w = ref_y.shape
+    nby, nbx = h // s, w // s
+    sc = s // 2
+    mv = mvs.reshape(-1, 2)
+    ry = pad_ref(ref_y, MC_MARGIN, wrap_around)
+    ru = pad_ref(ref_u, MC_MARGIN // 2, wrap_around)
+    rv = pad_ref(ref_v, MC_MARGIN // 2, wrap_around)
+
+    yb, xb = _block_coords(nby, nbx, s)
+    py = interp.finalize_uni(
+        interp.mc_luma(ry, mv, yb, xb, s, s, MC_MARGIN, bit_depth), bit_depth)
+    ybc, xbc = _block_coords(nby, nbx, sc)
+    pu = interp.finalize_uni(
+        interp.mc_chroma(ru, mv, ybc, xbc, sc, sc, MC_MARGIN // 2, bit_depth),
+        bit_depth)
+    pv = interp.finalize_uni(
+        interp.mc_chroma(rv, mv, ybc, xbc, sc, sc, MC_MARGIN // 2, bit_depth),
+        bit_depth)
+    return (_from_blocks(py, nby, nbx), _from_blocks(pu, nby, nbx),
+            _from_blocks(pv, nby, nbx))
+
+
+def _residual_pass(orig: jnp.ndarray, pred: jnp.ndarray, s: int, qp: int,
+                   bit_depth: int):
+    """Transform/quant the residual and reconstruct — returns (levels,
+    recon_plane)."""
+    h, w = orig.shape
+    nby, nbx = h // s, w // s
+    log2s = s.bit_length() - 1
+    ob = _to_blocks(orig, s)
+    pb = _to_blocks(pred, s)
+    coeff = transforms.forward_transform(ob - pb, bit_depth=bit_depth)
+    levels = quant.quantize(coeff, qp, log2s, log2s, bit_depth, intra=False)
+    dq = quant.dequantize(levels, qp, log2s, log2s, bit_depth)
+    r = transforms.inverse_transform(dq, bit_depth=bit_depth)
+    rec = jnp.clip(pb + r, 0, (1 << bit_depth) - 1)
+    return (levels.reshape(nby, nbx, s, s),
+            _from_blocks(rec, nby, nbx))
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
+                                             "search_range", "wrap_around"))
+def encode_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
+                   block_size: int = 16, bit_depth: int = 8,
+                   search_range: int = 24, wrap_around: bool = False):
+    """Full-frame P encode: batched ME -> MC -> residual -> recon.
+
+    Returns (mvs (nby,nbx,2) 1/16-pel, levels y/u/v, recon dict)."""
+    s = block_size
+    lam = quant.lambda_from_qp(qp, intra=False)
+    lam_bits_x16 = int(lam ** 0.5 * 16)
+
+    ry_pad = pad_ref(ref_y, MC_MARGIN, wrap_around)
+    mv_int, _ = me_mod.integer_search(orig_y, ry_pad, s, search_range,
+                                      MC_MARGIN, lam_bits_x16)
+    mvs, _ = me_mod.fractional_refine(orig_y, ry_pad, mv_int, s, MC_MARGIN,
+                                      bit_depth)
+    pred_y, pred_u, pred_v = mc_predict(ref_y, ref_u, ref_v, mvs, s,
+                                        bit_depth, wrap_around)
+    lev_y, rec_y = _residual_pass(orig_y, pred_y, s, qp, bit_depth)
+    lev_u, rec_u = _residual_pass(orig_u, pred_u, s // 2, qp, bit_depth)
+    lev_v, rec_v = _residual_pass(orig_v, pred_v, s // 2, qp, bit_depth)
+    return (mvs, lev_y, lev_u, lev_v,
+            dict(y=rec_y, u=rec_u, v=rec_v))
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
+                                             "wrap_around"))
+def reconstruct_p_frame(mvs, lev_y, lev_u, lev_v, ref_y, ref_u, ref_v,
+                        qp: int, block_size: int = 16, bit_depth: int = 8,
+                        wrap_around: bool = False):
+    """Decoder-side P reconstruction — also the encoder's recon path when
+    levels are already decided (shared math -> bit-exactness)."""
+    s = block_size
+    sc = s // 2
+    h, w = ref_y.shape
+    nby, nbx = h // s, w // s
+    pred_y, pred_u, pred_v = mc_predict(ref_y, ref_u, ref_v, mvs, s,
+                                        bit_depth, wrap_around)
+
+    def rec_plane(pred, lev, size):
+        log2s = size.bit_length() - 1
+        pb = _to_blocks(pred, size)
+        dq = quant.dequantize(lev.reshape(-1, size, size), qp, log2s, log2s,
+                              bit_depth)
+        r = transforms.inverse_transform(dq, bit_depth=bit_depth)
+        rec = jnp.clip(pb + r, 0, (1 << bit_depth) - 1)
+        return _from_blocks(rec, nby, nbx)
+
+    return dict(y=rec_plane(pred_y, lev_y, s),
+                u=rec_plane(pred_u, lev_u, sc),
+                v=rec_plane(pred_v, lev_v, sc))

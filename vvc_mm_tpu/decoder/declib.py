@@ -12,12 +12,13 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import wavefront
+from ..common import inter_frame, wavefront
 from ..common.bitstream import (BitReader, read_annexb, NAL_SPS, NAL_PPS,
                                 NAL_IDR, NAL_TRAIL)
 from ..common.slice_ps import PPS, SPS, SliceHeader
 from ..common.typedefs import SliceType
 from .intra_parser import decode_intra_slice
+from .inter_parser import decode_p_slice
 
 
 @dataclass
@@ -77,6 +78,27 @@ class DecLib:
                 poc=sh.poc,
                 planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
                         np.asarray(recon["v"])]))
+        elif sh.slice_type == SliceType.P:
+            s = sps.inter_block_size
+            nby, nbx = sps.height // s, sps.width // s
+            mvs, ly, lu, lv = decode_p_slice(cabac_bytes, nby, nbx, s)
+            ref = self._ref_by_poc(sh.ref_pocs_l0[0])
+            recon = inter_frame.reconstruct_p_frame(
+                jnp.asarray(mvs), jnp.asarray(ly), jnp.asarray(lu),
+                jnp.asarray(lv), jnp.asarray(ref.planes[0]),
+                jnp.asarray(ref.planes[1]), jnp.asarray(ref.planes[2]),
+                sh.qp, s, sps.bit_depth, sps.wrap_around)
+            self.frames.append(DecodedFrame(
+                poc=sh.poc,
+                planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
+                        np.asarray(recon["v"])]))
         else:
-            raise NotImplementedError("inter slices land with the inter "
+            raise NotImplementedError("B slices land with the bi-prediction "
                                       "pipeline")
+
+    def _ref_by_poc(self, poc: int) -> DecodedFrame:
+        """DPB lookup (reference: DecLib picture list m_cListPic)."""
+        for f in self.frames:
+            if f.poc == poc:
+                return f
+        raise KeyError(f"reference POC {poc} not in DPB")

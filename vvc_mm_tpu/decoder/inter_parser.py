@@ -1,0 +1,51 @@
+"""P-slice entropy decoding — exact inverse of encoder/inter_coder.py.
+
+TPU-native analog of the reference CABACReader inter path (reference:
+source/Lib/DecoderLib/CABACReader.cpp — cu_skip_flag, mvd_coding,
+residual_coding).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..common.cabac import BinDecoder
+from ..common.contexts import ctx_id
+from ..common.residual_coding import decode_coeffs
+from ..encoder.inter_coder import mvp_median
+
+
+def decode_mvd_comp(dec: BinDecoder, ctx_base: str = "Mvd") -> int:
+    if not dec.decode_bin(ctx_id(ctx_base, 0)):
+        return 0
+    a = 1
+    if dec.decode_bin(ctx_id(ctx_base, 1)):
+        a = 2 + dec.decode_eg(1)
+    return -a if dec.decode_bin_ep() else a
+
+
+def decode_p_slice(data: bytes, nby: int, nbx: int, s: int
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                              np.ndarray]:
+    """Returns (mvs (nby,nbx,2) 1/16-pel, lev_y, lev_u, lev_v)."""
+    dec = BinDecoder(data)
+    sc = s // 2
+    mvs = np.zeros((nby, nbx, 2), dtype=np.int64)
+    lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
+    lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    for by in range(nby):
+        for bx in range(nbx):
+            pred = mvp_median(mvs, by, bx)
+            if dec.decode_bin(ctx_id("SkipFlag")):
+                mvs[by, bx] = pred
+                continue
+            mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
+                           dtype=np.int64)
+            mvs[by, bx] = pred + mvd
+            for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
+                                    ("v", lev_v, sc)):
+                if dec.decode_bin(
+                        ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])):
+                    lev[by, bx] = decode_coeffs(dec, size, size,
+                                                chroma=(comp != "y"))
+    return mvs, lev_y, lev_u, lev_v

@@ -13,13 +13,14 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import wavefront
+from ..common import inter_frame, wavefront
 from ..common.bitstream import (BitWriter, NalUnit, write_annexb, NAL_SPS,
-                                NAL_PPS, NAL_IDR)
+                                NAL_PPS, NAL_IDR, NAL_TRAIL)
 from ..common.picture import psnr
 from ..common.slice_ps import PPS, SPS, SliceHeader
 from ..common.typedefs import SliceType
 from .intra_coder import encode_intra_slice
+from .inter_coder import encode_p_slice
 
 
 @dataclass
@@ -31,8 +32,12 @@ class EncCfg:
     bit_depth: int = 8
     qp: int = 32
     intra_block_size: int = 8
+    inter_block_size: int = 16
     frames: int = 0
     wrap_around: bool = False
+    gop: str = "AI"              # "AI" all-intra | "LDP" low-delay P
+    intra_period: int = 32       # IDR refresh interval for LDP
+    search_range: int = 24
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -104,11 +109,54 @@ class EncLib:
         self.results.append(res)
         return nal, res
 
+    def encode_p_frame(self, poc: int, planes: list[np.ndarray],
+                       ref: list[np.ndarray], ref_poc: int
+                       ) -> tuple[NalUnit, FrameResult]:
+        """Low-delay P encode against one reference reconstruction
+        (reference: EncGOP::compressGOP inter picture path)."""
+        cfg = self.cfg
+        t0 = time.time()
+        s = cfg.inter_block_size
+        mvs, ly, lu, lv, recon = inter_frame.encode_p_frame(
+            jnp.asarray(planes[0]), jnp.asarray(planes[1]),
+            jnp.asarray(planes[2]), jnp.asarray(ref[0]), jnp.asarray(ref[1]),
+            jnp.asarray(ref[2]), cfg.qp, s, cfg.bit_depth, cfg.search_range,
+            cfg.wrap_around)
+        payload = encode_p_slice(np.asarray(mvs), np.asarray(ly),
+                                 np.asarray(lu), np.asarray(lv))
+        sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=cfg.qp,
+                         ref_pocs_l0=[ref_poc])
+        bw = BitWriter()
+        sh.write(bw, self.sps)
+        bw.write_bytes(payload)
+        nal = NalUnit(NAL_TRAIL, 0, bw.get_bytes())
+
+        rec = [np.asarray(recon["y"]), np.asarray(recon["u"]),
+               np.asarray(recon["v"])]
+        res = FrameResult(
+            poc=poc, bits=len(nal.payload) * 8,
+            psnr_y=psnr(planes[0], rec[0], cfg.bit_depth),
+            psnr_u=psnr(planes[1], rec[1], cfg.bit_depth),
+            psnr_v=psnr(planes[2], rec[2], cfg.bit_depth),
+            recon=rec, seconds=time.time() - t0)
+        self.results.append(res)
+        return nal, res
+
     def encode_sequence(self, frames: list[list[np.ndarray]]) -> bytes:
-        """All-intra encode of a frame list -> Annex-B bytes."""
+        """Encode a frame list -> Annex-B bytes (AI or low-delay P GOP)."""
         nalus = self.encode_headers()
+        last_rec: list[np.ndarray] | None = None
+        last_poc = -1
         for poc, planes in enumerate(frames):
-            nal, _ = self.encode_intra_frame(poc, planes)
+            is_intra = (self.cfg.gop == "AI" or last_rec is None
+                        or (self.cfg.intra_period > 0
+                            and poc % self.cfg.intra_period == 0))
+            if is_intra:
+                nal, res = self.encode_intra_frame(poc, planes)
+            else:
+                nal, res = self.encode_p_frame(poc, planes, last_rec,
+                                               last_poc)
+            last_rec, last_poc = res.recon, poc
             nalus.append(nal)
         return write_annexb(nalus)
 
