@@ -1,0 +1,226 @@
+"""Multi-model P-frame codec: per-block model search + mixed-model MC.
+
+TPU-native analog of the reference's per-model inter coding loop (reference:
+source/Lib/EncoderLib/EncCu.cpp:775-798 — the mode loop drives
+xCheckRDCostInter once per active motion model; InterSearch.cpp:2695
+predInterSearch(cu, partitioner, motionModel); decoder side DecCu.cpp +
+InterPrediction.cpp:520-528 model dispatch).
+
+Re-design: instead of a serial per-CU per-model RD loop, every model's
+motion search runs *frame-batched* (diamond refinement where each step
+reprojects + motion-compensates ALL blocks at once), then one argmin
+selects the per-block model.  Reconstruction merges per-subblock target
+positions across models with masks and runs ONE position-based MC pass —
+mixed-model frames cost one gather, not one pass per model.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import interp, quant, transforms
+from ..inter_frame import (MC_MARGIN, _block_coords, _from_blocks,
+                           _residual_pass, _to_blocks, pad_ref)
+from ..typedefs import MotionModelID as M
+from . import mc as mm_mc
+from .reprojection import MVReprojection, SUBBLK
+
+
+def _block_sad(diff_abs: jnp.ndarray, s: int) -> jnp.ndarray:
+    h, w = diff_abs.shape
+    return diff_abs.reshape(h // s, s, w // s, s).sum(axis=(1, 3))
+
+
+def make_eval_fn(reproj: MVReprojection, model_id: int, block_size: int,
+                 bit_depth: int, epipole=None):
+    """Jitted (orig, ref_padded, mvs) -> (pred, sad-per-block) for one
+    model.  Model id and geometry are closure-static."""
+    if model_id in (M.MPA_FRONT_BACK, M.MPA_LEFT_RIGHT, M.MPA_TOP_BOTTOM):
+        reproj.mpa_cache(model_id)    # warm eagerly — a first computation
+        # inside the jit trace would store tracers in the cache
+
+    @jax.jit
+    def eval_mvs(orig, ref_padded, mvs):
+        if model_id == M.CLASSIC:
+            pos = mm_mc.classic_positions(reproj.offset, reproj.width,
+                                          reproj.height, mvs, block_size)
+        else:
+            pos = reproj.reproject_frame(model_id, mvs, block_size, epipole)
+        pred = mm_mc.mc_luma_positions(ref_padded, pos, MC_MARGIN, bit_depth)
+        sad = _block_sad(jnp.abs(orig - pred), block_size)
+        return pred, sad
+
+    return eval_mvs
+
+
+_DIAMOND = np.array([(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0),
+                     (-1, 1), (0, 1), (1, 1)], dtype=np.int32)
+
+
+def diamond_search(eval_fn, orig, ref_padded, mv_init: jnp.ndarray,
+                   steps=(64, 32, 16, 8, 4, 2)) -> tuple[jnp.ndarray,
+                                                         jnp.ndarray]:
+    """Batched diamond refinement in 1/16-pel units (steps 64..16 are
+    integer-pel, below is fractional).  All blocks refine simultaneously;
+    each candidate evaluation is one frame-level reproject+MC+SAD."""
+    mv = mv_init.astype(jnp.int32)
+    _, best = eval_fn(orig, ref_padded, mv)
+    for step in steps:
+        for k in range(8):
+            d = jnp.asarray(_DIAMOND[k] * step)
+            cand = mv + d[None, None, :]
+            _, sad = eval_fn(orig, ref_padded, cand)
+            better = sad < best
+            mv = jnp.where(better[..., None], cand, mv)
+            best = jnp.minimum(sad, best)
+    return mv, best
+
+
+def search_models(reproj: MVReprojection, active_models: list[int],
+                  orig_y: jnp.ndarray, ref_y: jnp.ndarray,
+                  classic_mv: jnp.ndarray, classic_sad: jnp.ndarray,
+                  block_size: int, bit_depth: int, lam_bits: float,
+                  epipoles: dict | None = None, wrap_around: bool = False):
+    """Search every active non-classic model (seeded from zero MV, which is
+    the natural origin in each model's own domain) and pick the per-block
+    best model by SAD + lambda*bits(model index).
+
+    Returns (model_idx_grid (nby, nbx) int32 index into active_models,
+             mvs_per_model dict, sad_per_model dict)."""
+    refp = pad_ref(ref_y, MC_MARGIN, wrap_around)
+    mvs = {M.CLASSIC: classic_mv}
+    sads = {M.CLASSIC: classic_sad}
+    for model_id in active_models:
+        if model_id == M.CLASSIC:
+            continue
+        ep = (epipoles or {}).get(model_id)
+        ev = make_eval_fn(reproj, model_id, block_size, bit_depth, ep)
+        mv0 = jnp.zeros_like(classic_mv)
+        mv, sad = diamond_search(ev, orig_y, refp, mv0)
+        mvs[model_id] = mv
+        sads[model_id] = sad
+    # model cost: unary index bins (reference: CABACReader.cpp:2300 unary
+    # over the active-model list)
+    costs = []
+    for i, model_id in enumerate(active_models):
+        bits = i + 1 if i < len(active_models) - 1 else i
+        costs.append(sads[model_id] + int(lam_bits * bits))
+    idx = jnp.argmin(jnp.stack(costs), axis=0).astype(jnp.int32)
+    return idx, mvs, sads
+
+
+def merged_positions(reproj: MVReprojection, active_models: list[int],
+                     model_idx: jnp.ndarray, mvs_stack: jnp.ndarray,
+                     block_size: int, epipoles: dict | None = None
+                     ) -> jnp.ndarray:
+    """Merge per-subblock target positions across models.
+
+    Args:
+      model_idx: (nby, nbx) int32 index into active_models per block.
+      mvs_stack: (n_models, nby, nbx, 2) MV of each model for each block.
+    Returns (nsy, nsx, 2) int32 positions."""
+    pos_all = []
+    for i, model_id in enumerate(active_models):
+        if model_id == M.CLASSIC:
+            pos = mm_mc.classic_positions(reproj.offset, reproj.width,
+                                          reproj.height, mvs_stack[i],
+                                          block_size)
+        else:
+            ep = (epipoles or {}).get(model_id)
+            pos = reproj.reproject_frame(model_id, mvs_stack[i], block_size,
+                                         ep)
+        pos_all.append(pos)
+    pos_all = jnp.stack(pos_all)                     # (n, nsy, nsx, 2)
+    rep = block_size // SUBBLK
+    idx_sb = jnp.repeat(jnp.repeat(model_idx, rep, 0), rep, 1)
+    return jnp.take_along_axis(
+        pos_all, idx_sb[None, :, :, None].astype(jnp.int32), axis=0
+    )[0]
+
+
+def predict_from_positions(positions: jnp.ndarray, ref_y, ref_u, ref_v,
+                           bit_depth: int, wrap_around: bool = False):
+    """One unified MC pass for all models: luma + chroma planes from the
+    merged per-subblock position tensor."""
+    ry = pad_ref(ref_y, MC_MARGIN, wrap_around)
+    ru = pad_ref(ref_u, MC_MARGIN // 2, wrap_around)
+    rv = pad_ref(ref_v, MC_MARGIN // 2, wrap_around)
+    pred_y = mm_mc.mc_luma_positions(ry, positions, MC_MARGIN, bit_depth)
+    # chroma: 2x2 subblocks; position tensor reinterpreted at 1/32 chroma
+    pred_u = mm_mc.mc_chroma_positions(ru, positions, MC_MARGIN // 2,
+                                       bit_depth)
+    pred_v = mm_mc.mc_chroma_positions(rv, positions, MC_MARGIN // 2,
+                                       bit_depth)
+    return pred_y, pred_u, pred_v
+
+
+def reconstruct_p_frame_mm(reproj: MVReprojection, active_models: list[int],
+                           model_idx: jnp.ndarray, mvs_stack: jnp.ndarray,
+                           lev_y, lev_u, lev_v, ref_y, ref_u, ref_v,
+                           qp: int, block_size: int, bit_depth: int = 8,
+                           epipoles: dict | None = None,
+                           wrap_around: bool = False):
+    """Shared decoder/encoder reconstruction for multi-model P frames."""
+    s = block_size
+    sc = s // 2
+    h, w = ref_y.shape
+    nby, nbx = h // s, w // s
+    positions = merged_positions(reproj, active_models, model_idx, mvs_stack,
+                                 s, epipoles)
+    pred_y, pred_u, pred_v = predict_from_positions(
+        positions, ref_y, ref_u, ref_v, bit_depth, wrap_around)
+
+    def rec_plane(pred, lev, size):
+        log2s = size.bit_length() - 1
+        pb = _to_blocks(pred, size)
+        dq = quant.dequantize(lev.reshape(-1, size, size), qp, log2s, log2s,
+                              bit_depth)
+        r = transforms.inverse_transform(dq, bit_depth=bit_depth)
+        rec = jnp.clip(pb + r, 0, (1 << bit_depth) - 1)
+        return _from_blocks(rec, nby, nbx)
+
+    return dict(y=rec_plane(pred_y, lev_y, s),
+                u=rec_plane(pred_u, lev_u, sc),
+                v=rec_plane(pred_v, lev_v, sc))
+
+
+def encode_p_frame_mm(reproj: MVReprojection, active_models: list[int],
+                      orig_y, orig_u, orig_v, ref_y, ref_u, ref_v,
+                      qp: int, block_size: int = 16, bit_depth: int = 8,
+                      search_range: int = 24,
+                      epipoles: dict | None = None,
+                      wrap_around: bool = False):
+    """Full multi-model P encode.  Returns (model_idx, mvs_stack, levels,
+    recon)."""
+    from ...encoder import me as me_mod
+    s = block_size
+    lam = quant.lambda_from_qp(qp, intra=False)
+    lam_bits = lam ** 0.5 * 4.0
+
+    refp = pad_ref(ref_y, MC_MARGIN, wrap_around)
+    mv_int, _ = me_mod.integer_search(orig_y, refp, s, search_range,
+                                      MC_MARGIN,
+                                      int(lam ** 0.5 * 16))
+    classic_mv, classic_sad = me_mod.fractional_refine(
+        orig_y, refp, mv_int, s, MC_MARGIN, bit_depth)
+
+    model_idx, mvs, sads = search_models(
+        reproj, active_models, orig_y, ref_y, classic_mv, classic_sad,
+        s, bit_depth, lam_bits, epipoles, wrap_around)
+    mvs_stack = jnp.stack([mvs[m] for m in active_models])
+
+    # residual + recon via the shared path (bit-exact with the decoder)
+    positions = merged_positions(reproj, active_models, model_idx, mvs_stack,
+                                 s, epipoles)
+    pred_y, pred_u, pred_v = predict_from_positions(
+        positions, ref_y, ref_u, ref_v, bit_depth, wrap_around)
+    lev_y, _ = _residual_pass(orig_y, pred_y, s, qp, bit_depth)
+    lev_u, _ = _residual_pass(orig_u, pred_u, s // 2, qp, bit_depth)
+    lev_v, _ = _residual_pass(orig_v, pred_v, s // 2, qp, bit_depth)
+    recon = reconstruct_p_frame_mm(
+        reproj, active_models, model_idx, mvs_stack, lev_y, lev_u, lev_v,
+        ref_y, ref_u, ref_v, qp, s, bit_depth, epipoles, wrap_around)
+    return model_idx, mvs_stack, lev_y, lev_u, lev_v, recon

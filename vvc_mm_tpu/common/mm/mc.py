@@ -1,0 +1,96 @@
+"""Position-based subblock motion compensation — the MM hot path.
+
+TPU-native analog of the reference's xPredInterBlkMM inner loop (reference:
+source/Lib/CommonLib/InterPrediction.cpp:683-860 — per-4x4-subblock
+independent displacement: integer+fractional split, then 8-tap separable
+filtering per subblock; SURVEY.md §3.3 marks this the #1 kernel target).
+
+Design: every 4x4 luma (2x2 chroma) subblock of the frame has an absolute
+1/16-pel target position (from mm.reprojection, or synthesized from classic
+MVs).  One vmapped gather pulls each subblock's (4+7)x(4+7) neighborhood
+from the padded reference; the separable 8-tap filter runs with
+per-subblock phases — no control flow, pure VPU.  A fused Pallas kernel
+(gather + filter in VMEM) is the planned optimization; this XLA version
+establishes the numerics.
+
+Out-of-range subblocks are clamped into the padded reference (the reference
+zeroes subblocks beyond maxCU outside the picture, InterPrediction.cpp:788;
+clamping is our self-consistent decoder/encoder-shared choice).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import interp
+from ..typedefs import NTAPS_LUMA, NTAPS_CHROMA
+
+
+def _assemble(blocks: jnp.ndarray, nsy: int, nsx: int, s: int) -> jnp.ndarray:
+    return (blocks.reshape(nsy, nsx, s, s).transpose(0, 2, 1, 3)
+            .reshape(nsy * s, nsx * s))
+
+
+@functools.partial(jax.jit, static_argnames=("margin", "bit_depth"))
+def mc_luma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
+                      margin: int, bit_depth: int = 8) -> jnp.ndarray:
+    """MC the whole luma plane from per-4x4-subblock absolute positions.
+
+    Args:
+      ref_padded: (H+2m, W+2m) int32 padded reference.
+      positions: (nsy, nsx, 2) int32 1/16-pel absolute target positions of
+        each subblock's origin.
+    Returns:
+      (H, W) int32 pixel-domain prediction.
+    """
+    nsy, nsx, _ = positions.shape
+    pos = positions.reshape(-1, 2)
+    xi = (pos[:, 0] >> 4) + margin - (NTAPS_LUMA // 2 - 1)
+    yi = (pos[:, 1] >> 4) + margin - (NTAPS_LUMA // 2 - 1)
+    xi = jnp.clip(xi, 0, ref_padded.shape[1] - (4 + NTAPS_LUMA - 1))
+    yi = jnp.clip(yi, 0, ref_padded.shape[0] - (4 + NTAPS_LUMA - 1))
+    patch = interp.gather_patches(ref_padded, yi, xi, 4 + NTAPS_LUMA - 1,
+                                  4 + NTAPS_LUMA - 1)
+    val = interp.interp_luma(patch, pos[:, 0] & 15, pos[:, 1] & 15, 4, 4,
+                             bit_depth)
+    pix = interp.finalize_uni(val, bit_depth)
+    return _assemble(pix, nsy, nsx, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("margin", "bit_depth"))
+def mc_chroma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
+                        margin: int, bit_depth: int = 8) -> jnp.ndarray:
+    """Chroma (4:2:0) variant: same position tensor, interpreted at 1/32-pel
+    chroma precision over 2x2 subblocks (see reprojection.py chroma note)."""
+    nsy, nsx, _ = positions.shape
+    pos = positions.reshape(-1, 2)
+    xi = (pos[:, 0] >> 5) + margin - (NTAPS_CHROMA // 2 - 1)
+    yi = (pos[:, 1] >> 5) + margin - (NTAPS_CHROMA // 2 - 1)
+    xi = jnp.clip(xi, 0, ref_padded.shape[1] - (2 + NTAPS_CHROMA - 1))
+    yi = jnp.clip(yi, 0, ref_padded.shape[0] - (2 + NTAPS_CHROMA - 1))
+    patch = interp.gather_patches(ref_padded, yi, xi, 2 + NTAPS_CHROMA - 1,
+                                  2 + NTAPS_CHROMA - 1)
+    val = interp.interp_chroma(patch, pos[:, 0] & 31, pos[:, 1] & 31, 2, 2,
+                               bit_depth)
+    pix = interp.finalize_uni(val, bit_depth)
+    return _assemble(pix, nsy, nsx, 2)
+
+
+def classic_positions(grid_offset: float, width: int, height: int,
+                      mvs: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    """Per-subblock absolute positions for CLASSIC translation — lets the
+    unified position-based MC handle mixed classic/MM frames in one pass.
+
+    Equivalent to reprojection.reproject_frame(CLASSIC, ...) but exact
+    integer math (no float round-trip)."""
+    nsx, nsy = width // 4, height // 4
+    rep = block_size // 4
+    gx = jnp.arange(nsx, dtype=jnp.int32) * (4 * 16)
+    gy = jnp.arange(nsy, dtype=jnp.int32) * (4 * 16)
+    base_x = jnp.broadcast_to(gx[None, :], (nsy, nsx))
+    base_y = jnp.broadcast_to(gy[:, None], (nsy, nsx))
+    mv_x = jnp.repeat(jnp.repeat(mvs[..., 0], rep, 0), rep, 1)
+    mv_y = jnp.repeat(jnp.repeat(mvs[..., 1], rep, 0), rep, 1)
+    return jnp.stack([base_x + mv_x, base_y + mv_y], -1).astype(jnp.int32)

@@ -15,10 +15,14 @@ import numpy as np
 from ..common import inter_frame, wavefront
 from ..common.bitstream import (BitReader, read_annexb, NAL_SPS, NAL_PPS,
                                 NAL_IDR, NAL_TRAIL)
+from ..common.mm import epipole as epipole_mod
+from ..common.mm import frame_codec as mm_codec
+from ..common.mm.reprojection import MVReprojection
 from ..common.slice_ps import PPS, SPS, SliceHeader
-from ..common.typedefs import SliceType
+from ..common.typedefs import MotionModelID, SliceType
+from ..lib360.projection import make_projection
 from .intra_parser import decode_intra_slice
-from .inter_parser import decode_p_slice
+from .inter_parser import decode_p_slice, decode_p_slice_mm
 
 
 @dataclass
@@ -43,11 +47,25 @@ class DecLib:
         self.sps: SPS | None = None
         self.pps: PPS | None = None
         self.frames: list[DecodedFrame] = []
+        self.reproj: MVReprojection | None = None
+        self.epipole_list: epipole_mod.EpipoleList | None = None
+
+    def _activate_sps(self, sps: SPS) -> None:
+        """reference: DecLib.cpp:1904 xActivateParameterSets — builds the
+        decoder-side MVReprojection from SPS (DecLib.cpp:2039)."""
+        self.sps = sps
+        if sps.mm.any_enabled():
+            proj = make_projection(int(sps.mm.projection), sps.width,
+                                   sps.height)
+            self.reproj = MVReprojection(proj, sps.width, sps.height,
+                                         sps.mm.mm_offset_4x4,
+                                         int(sps.mm.ged_flavor))
+            self.epipole_list = epipole_mod.EpipoleList(sps.mm.global_epipole)
 
     def decode_bytes(self, data: bytes) -> list[DecodedFrame]:
         for nalu in read_annexb(data):
             if nalu.nal_type == NAL_SPS:
-                self.sps = SPS.read(BitReader(nalu.payload))
+                self._activate_sps(SPS.read(BitReader(nalu.payload)))
             elif nalu.nal_type == NAL_PPS:
                 self.pps = PPS.read(BitReader(nalu.payload))
             elif nalu.nal_type in (NAL_IDR, NAL_TRAIL):
@@ -81,13 +99,40 @@ class DecLib:
         elif sh.slice_type == SliceType.P:
             s = sps.inter_block_size
             nby, nbx = sps.height // s, sps.width // s
-            mvs, ly, lu, lv = decode_p_slice(cabac_bytes, nby, nbx, s)
             ref = self._ref_by_poc(sh.ref_pocs_l0[0])
-            recon = inter_frame.reconstruct_p_frame(
-                jnp.asarray(mvs), jnp.asarray(ly), jnp.asarray(lu),
-                jnp.asarray(lv), jnp.asarray(ref.planes[0]),
-                jnp.asarray(ref.planes[1]), jnp.asarray(ref.planes[2]),
-                sh.qp, s, sps.bit_depth, sps.wrap_around)
+            if sps.mm.any_enabled():
+                active = sps.mm.active_models()
+                epipoles = None
+                if sps.mm.ged:
+                    # epipole reconstruction (reference: DecLib.cpp:3136-3143)
+                    pred = self.epipole_list.derive_predictor(
+                        sh.poc, sh.ref_pocs_l0[0])
+                    delta = sh.epipole_delta or (0, 0, 0)
+                    ep = epipole_mod.from_fixed(tuple(
+                        a + b for a, b in zip(epipole_mod.to_fixed(pred),
+                                              delta)))
+                    self.epipole_list.set_epipole(sh.poc, sh.ref_pocs_l0[0],
+                                                  ep)
+                    epipoles = {MotionModelID.GEODESIC_CAMPOSE: ep}
+                model_idx, mvs, ly, lu, lv = decode_p_slice_mm(
+                    cabac_bytes, nby, nbx, s, active)
+                mvs_stack = np.zeros((len(active),) + mvs.shape,
+                                     dtype=np.int64)
+                np.put_along_axis(mvs_stack, model_idx[None, :, :, None]
+                                  .astype(np.int64), mvs[None], axis=0)
+                recon = mm_codec.reconstruct_p_frame_mm(
+                    self.reproj, active, jnp.asarray(model_idx),
+                    jnp.asarray(mvs_stack), jnp.asarray(ly), jnp.asarray(lu),
+                    jnp.asarray(lv), jnp.asarray(ref.planes[0]),
+                    jnp.asarray(ref.planes[1]), jnp.asarray(ref.planes[2]),
+                    sh.qp, s, sps.bit_depth, epipoles, sps.wrap_around)
+            else:
+                mvs, ly, lu, lv = decode_p_slice(cabac_bytes, nby, nbx, s)
+                recon = inter_frame.reconstruct_p_frame(
+                    jnp.asarray(mvs), jnp.asarray(ly), jnp.asarray(lu),
+                    jnp.asarray(lv), jnp.asarray(ref.planes[0]),
+                    jnp.asarray(ref.planes[1]), jnp.asarray(ref.planes[2]),
+                    sh.qp, s, sps.bit_depth, sps.wrap_around)
             self.frames.append(DecodedFrame(
                 poc=sh.poc,
                 planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),

@@ -11,7 +11,8 @@ import numpy as np
 from ..common.cabac import BinDecoder
 from ..common.contexts import ctx_id
 from ..common.residual_coding import decode_coeffs
-from ..encoder.inter_coder import mvp_median
+from ..encoder.inter_coder import (inherited_model, mvp_median,
+                                   mvp_median_same_model)
 
 
 def decode_mvd_comp(dec: BinDecoder, ctx_base: str = "Mvd") -> int:
@@ -21,6 +22,56 @@ def decode_mvd_comp(dec: BinDecoder, ctx_base: str = "Mvd") -> int:
     if dec.decode_bin(ctx_id(ctx_base, 1)):
         a = 2 + dec.decode_eg(1)
     return -a if dec.decode_bin_ep() else a
+
+
+def decode_motion_model(dec: BinDecoder, n_active: int) -> int:
+    """Inverse of encoder.inter_coder.encode_motion_model (reference:
+    CABACReader.cpp:2300 unary over the active-model list)."""
+    idx = 0
+    while idx < n_active - 1 and dec.decode_bin(
+            ctx_id("MotionModel", min(idx, 10))):
+        idx += 1
+    return idx
+
+
+def decode_p_slice_mm(data: bytes, nby: int, nbx: int, s: int,
+                      active_models: list[int]
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                 np.ndarray, np.ndarray]:
+    """Returns (model_idx, mvs (nby,nbx,2), lev_y, lev_u, lev_v)."""
+    dec = BinDecoder(data)
+    sc = s // 2
+    model_idx = np.zeros((nby, nbx), dtype=np.int32)
+    models_sel = np.zeros((nby, nbx), dtype=np.int32)
+    mvs = np.zeros((nby, nbx, 2), dtype=np.int64)
+    lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
+    lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    model_to_idx = {m: i for i, m in enumerate(active_models)}
+    for by in range(nby):
+        for bx in range(nbx):
+            if dec.decode_bin(ctx_id("SkipFlag")):
+                model = inherited_model(models_sel, by, bx)
+                models_sel[by, bx] = model
+                model_idx[by, bx] = model_to_idx[model]
+                mvs[by, bx] = mvp_median_same_model(mvs, models_sel, by, bx,
+                                                    model)
+                continue
+            midx = decode_motion_model(dec, len(active_models))
+            model = active_models[midx]
+            model_idx[by, bx] = midx
+            models_sel[by, bx] = model
+            mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
+                           dtype=np.int64)
+            pred = mvp_median_same_model(mvs, models_sel, by, bx, model)
+            mvs[by, bx] = pred + mvd
+            for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
+                                    ("v", lev_v, sc)):
+                if dec.decode_bin(
+                        ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])):
+                    lev[by, bx] = decode_coeffs(dec, size, size,
+                                                chroma=(comp != "y"))
+    return model_idx, mvs, lev_y, lev_u, lev_v
 
 
 def decode_p_slice(data: bytes, nby: int, nbx: int, s: int

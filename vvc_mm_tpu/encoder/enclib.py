@@ -16,11 +16,15 @@ import numpy as np
 from ..common import inter_frame, wavefront
 from ..common.bitstream import (BitWriter, NalUnit, write_annexb, NAL_SPS,
                                 NAL_PPS, NAL_IDR, NAL_TRAIL)
+from ..common.mm import epipole as epipole_mod
+from ..common.mm import frame_codec as mm_codec
+from ..common.mm.reprojection import MVReprojection
 from ..common.picture import psnr
-from ..common.slice_ps import PPS, SPS, SliceHeader
-from ..common.typedefs import SliceType
+from ..common.slice_ps import MMConfig, PPS, SPS, SliceHeader
+from ..common.typedefs import MotionModelID, SliceType
+from ..lib360.projection import make_projection
 from .intra_coder import encode_intra_slice
-from .inter_coder import encode_p_slice
+from .inter_coder import encode_p_slice, encode_p_slice_mm
 
 
 @dataclass
@@ -38,12 +42,18 @@ class EncCfg:
     gop: str = "AI"              # "AI" all-intra | "LDP" low-delay P
     intra_period: int = 32       # IDR refresh interval for LDP
     search_range: int = 24
+    # multi-model motion tools (reference: EncAppCfg.cpp:1013-1020
+    # --MPA/--3DT/--TAN/--ROT/--GED/--GEDA/--MMMVP/--Epipole)
+    mm: MMConfig = field(default_factory=MMConfig)
+    epipoles: list[tuple[int, int, float, float, float]] = field(
+        default_factory=list)    # (curPOC, refPOC, x, y, z)
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
                    bit_depth=self.bit_depth,
                    intra_block_size=self.intra_block_size,
-                   wrap_around=self.wrap_around)
+                   inter_block_size=self.inter_block_size,
+                   wrap_around=self.wrap_around, mm=self.mm)
 
 
 @dataclass
@@ -65,6 +75,21 @@ class EncLib:
         self.sps = cfg.make_sps()
         self.pps = PPS(base_qp=cfg.qp)
         self.results: list[FrameResult] = []
+        self.reproj: MVReprojection | None = None
+        self.epipole_list = epipole_mod.EpipoleList(cfg.mm.global_epipole)
+        # decoder-mirror list: only epipoles already signaled in PHs — the
+        # predictor must be derivable on the decoder side (reference:
+        # EpipoleList availability gating, EpipoleList.cpp makeAvailable)
+        self.coded_epipoles = epipole_mod.EpipoleList(cfg.mm.global_epipole)
+        if cfg.mm.any_enabled():
+            # reference: EncLib.cpp:335-357 projection + MVReprojection init
+            proj = make_projection(int(cfg.mm.projection), cfg.width,
+                                   cfg.height)
+            self.reproj = MVReprojection(proj, cfg.width, cfg.height,
+                                         cfg.mm.mm_offset_4x4,
+                                         int(cfg.mm.ged_flavor))
+            for (c, r, x, y, z) in cfg.epipoles:
+                self.epipole_list.set_epipole(c, r, (x, y, z))
 
     def encode_headers(self) -> list[NalUnit]:
         bw = BitWriter()
@@ -117,15 +142,42 @@ class EncLib:
         cfg = self.cfg
         t0 = time.time()
         s = cfg.inter_block_size
-        mvs, ly, lu, lv, recon = inter_frame.encode_p_frame(
-            jnp.asarray(planes[0]), jnp.asarray(planes[1]),
-            jnp.asarray(planes[2]), jnp.asarray(ref[0]), jnp.asarray(ref[1]),
-            jnp.asarray(ref[2]), cfg.qp, s, cfg.bit_depth, cfg.search_range,
-            cfg.wrap_around)
-        payload = encode_p_slice(np.asarray(mvs), np.asarray(ly),
-                                 np.asarray(lu), np.asarray(lv))
+        epipole_delta = None
+        if cfg.mm.any_enabled():
+            active = cfg.mm.active_models()
+            epipoles = None
+            if cfg.mm.ged:
+                ep = self.epipole_list.find_epipole(poc, ref_poc)
+                pred = self.coded_epipoles.derive_predictor(poc, ref_poc)
+                # PH epipole delta vs predictor (reference: EncGOP.cpp:3105)
+                epipole_delta = tuple(
+                    a - b for a, b in zip(epipole_mod.to_fixed(ep),
+                                          epipole_mod.to_fixed(pred)))
+                ep_used = epipole_mod.from_fixed(
+                    tuple(a + b for a, b in
+                          zip(epipole_mod.to_fixed(pred), epipole_delta)))
+                self.coded_epipoles.set_epipole(poc, ref_poc, ep_used)
+                epipoles = {MotionModelID.GEODESIC_CAMPOSE: ep_used}
+            model_idx, mvs_stack, ly, lu, lv, recon = \
+                mm_codec.encode_p_frame_mm(
+                    self.reproj, active, jnp.asarray(planes[0]),
+                    jnp.asarray(planes[1]), jnp.asarray(planes[2]),
+                    jnp.asarray(ref[0]), jnp.asarray(ref[1]),
+                    jnp.asarray(ref[2]), cfg.qp, s, cfg.bit_depth,
+                    cfg.search_range, epipoles, cfg.wrap_around)
+            payload = encode_p_slice_mm(
+                np.asarray(model_idx), active, np.asarray(mvs_stack),
+                np.asarray(ly), np.asarray(lu), np.asarray(lv))
+        else:
+            mvs, ly, lu, lv, recon = inter_frame.encode_p_frame(
+                jnp.asarray(planes[0]), jnp.asarray(planes[1]),
+                jnp.asarray(planes[2]), jnp.asarray(ref[0]),
+                jnp.asarray(ref[1]), jnp.asarray(ref[2]), cfg.qp, s,
+                cfg.bit_depth, cfg.search_range, cfg.wrap_around)
+            payload = encode_p_slice(np.asarray(mvs), np.asarray(ly),
+                                     np.asarray(lu), np.asarray(lv))
         sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=cfg.qp,
-                         ref_pocs_l0=[ref_poc])
+                         ref_pocs_l0=[ref_poc], epipole_delta=epipole_delta)
         bw = BitWriter()
         sh.write(bw, self.sps)
         bw.write_bytes(payload)

@@ -53,6 +53,98 @@ def encode_mvd_comp(enc: BinEncoder, v: int, ctx_base: str = "Mvd") -> None:
         enc.encode_bin_ep(int(v < 0))
 
 
+def mvp_median_same_model(mvs: np.ndarray, model_ids: np.ndarray,
+                          by: int, bx: int, model: int) -> np.ndarray:
+    """Median MVP restricted to neighbors coded with the same motion model
+    (simplified MM-MVP; the reference converts cross-model candidates via
+    MVReprojection::motionVectorInDesiredMotionModel, UnitTools.cpp:2272 —
+    conversion lands with the MM-MVP pass)."""
+    nby, nbx = mvs.shape[:2]
+    cand = []
+    for (y, x) in ((by, bx - 1), (by - 1, bx), (by - 1, bx + 1),
+                   (by - 1, bx - 1)):
+        if 0 <= y < nby and 0 <= x < nbx and (y, x) < (by, bx) \
+                and model_ids[y, x] == model:
+            cand.append(mvs[y, x])
+        if len(cand) == 3:
+            break
+    if not cand:
+        return np.zeros(2, dtype=np.int64)
+    if len(cand) == 1:
+        return cand[0]
+    c = np.stack(cand[:3])
+    if len(c) == 2:
+        return (c[0] + c[1] + 1) >> 1
+    return np.median(c, axis=0).astype(np.int64)
+
+
+def inherited_model(model_ids: np.ndarray, by: int, bx: int,
+                    default: int = 0) -> int:
+    """Skip-mode model inheritance: left, else above, else CLASSIC
+    (reference analog: merge candidates carry their model,
+    UnitTools.cpp:872-885)."""
+    if bx > 0:
+        return int(model_ids[by, bx - 1])
+    if by > 0:
+        return int(model_ids[by - 1, bx])
+    return default
+
+
+def encode_motion_model(enc: BinEncoder, idx: int, n_active: int) -> None:
+    """Truncated-unary model index over the active-model list, each bin
+    context-coded (reference: CABACWriter.cpp:1854 motion_model() — first
+    m_mmCodingDepth(=9) bins context-coded Ctx::MotionModel(i); all our
+    lists are <= 11 so every bin gets a context)."""
+    for i in range(idx):
+        enc.encode_bin(1, ctx_id("MotionModel", min(i, 10)))
+    if idx < n_active - 1:
+        enc.encode_bin(0, ctx_id("MotionModel", min(idx, 10)))
+
+
+def encode_p_slice_mm(model_idx: np.ndarray, active_models: list[int],
+                      mvs_stack: np.ndarray, lev_y: np.ndarray,
+                      lev_u: np.ndarray, lev_v: np.ndarray) -> bytes:
+    """MM P-slice: per block skip / motion_model / mvd / residual.
+
+    model_idx: (nby, nbx) index into active_models; mvs_stack
+    (n_models, nby, nbx, 2)."""
+    enc = BinEncoder()
+    nby, nbx = model_idx.shape
+    n_active = len(active_models)
+    mvs_sel = np.take_along_axis(
+        mvs_stack, model_idx[None, :, :, None].astype(np.int64), axis=0
+    )[0].astype(np.int64)                              # (nby, nbx, 2)
+    models_sel = np.asarray([active_models[i]
+                             for i in model_idx.reshape(-1)],
+                            dtype=np.int32).reshape(nby, nbx)
+    for by in range(nby):
+        for bx in range(nbx):
+            midx = int(model_idx[by, bx])
+            model = int(models_sel[by, bx])
+            mv = mvs_sel[by, bx]
+            levels = (lev_y[by, bx], lev_u[by, bx], lev_v[by, bx])
+            no_resid = all(not np.any(l != 0) for l in levels)
+            inh = inherited_model(models_sel, by, bx)
+            inh_mv = mvp_median_same_model(mvs_sel, models_sel, by, bx, inh)
+            skip = (no_resid and model == inh
+                    and mv[0] == inh_mv[0] and mv[1] == inh_mv[1])
+            enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+            if skip:
+                continue
+            encode_motion_model(enc, midx, n_active)
+            pred = mvp_median_same_model(mvs_sel, models_sel, by, bx, model)
+            encode_mvd_comp(enc, int(mv[0] - pred[0]))
+            encode_mvd_comp(enc, int(mv[1] - pred[1]))
+            for comp, lev in (("y", levels[0]), ("u", levels[1]),
+                              ("v", levels[2])):
+                cbf = bool(np.any(lev != 0))
+                enc.encode_bin(int(cbf),
+                               ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp]))
+                if cbf:
+                    encode_coeffs(enc, lev, chroma=(comp != "y"))
+    return enc.finish()
+
+
 def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
                    lev_v: np.ndarray) -> bytes:
     """mvs (nby, nbx, 2) 1/16-pel; lev_* (nby, nbx, s, s).  Raster order."""
