@@ -72,6 +72,7 @@ class SPS:
     inter_block_size: int = 16
     max_num_ref: int = 4
     wrap_around: bool = False     # ERP horizontal wrap (pps in VVC; SPS here)
+    deblocking: bool = True       # in-loop deblocking enable
     mm: MMConfig = field(default_factory=MMConfig)
 
     def write(self, bw: BitWriter) -> None:
@@ -84,6 +85,7 @@ class SPS:
         bw.write_uvlc(self.inter_block_size.bit_length() - 1)
         bw.write_uvlc(self.max_num_ref)
         bw.write_flag(self.wrap_around)
+        bw.write_flag(self.deblocking)
         mm = self.mm
         bw.write_flag(mm.any_enabled())
         if mm.any_enabled():
@@ -111,6 +113,7 @@ class SPS:
         sps.inter_block_size = 1 << br.read_uvlc()
         sps.max_num_ref = br.read_uvlc()
         sps.wrap_around = br.read_flag()
+        sps.deblocking = br.read_flag()
         if br.read_flag():
             mm = sps.mm
             mm.mpa, mm.t3d, mm.tan, mm.rot, mm.ged, mm.geda = (

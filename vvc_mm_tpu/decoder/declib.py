@@ -12,7 +12,7 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import inter_frame, wavefront
+from ..common import deblock, inter_frame, wavefront
 from ..common.bitstream import (BitReader, read_annexb, NAL_SPS, NAL_PPS,
                                 NAL_IDR, NAL_TRAIL)
 from ..common.mm import epipole as epipole_mod
@@ -92,6 +92,13 @@ class DecLib:
                 jnp.asarray(modes_steps), jnp.asarray(ly_s),
                 jnp.asarray(lu_s), jnp.asarray(lv_s), sh.qp,
                 sps.height, sps.width, s, sps.bit_depth)
+            if sps.deblocking:
+                # reference: DecLib.cpp:669 executeLoopFilters
+                bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)
+                ry, ru, rv = deblock.deblock_frame(
+                    recon["y"], recon["u"], recon["v"], bs_v, bs_h, s,
+                    sh.qp, sps.bit_depth)
+                recon = dict(y=ry, u=ru, v=rv)
             self.frames.append(DecodedFrame(
                 poc=sh.poc,
                 planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
@@ -133,6 +140,17 @@ class DecLib:
                     jnp.asarray(lv), jnp.asarray(ref.planes[0]),
                     jnp.asarray(ref.planes[1]), jnp.asarray(ref.planes[2]),
                     sh.qp, s, sps.bit_depth, sps.wrap_around)
+            if sps.deblocking:
+                has_resid = (np.any(ly != 0, axis=(2, 3))
+                             | np.any(lu != 0, axis=(2, 3))
+                             | np.any(lv != 0, axis=(2, 3)))
+                bs_v, bs_h = deblock.boundary_strengths_inter(
+                    jnp.asarray(mvs, dtype=jnp.int32),
+                    jnp.asarray(has_resid))
+                ry, ru, rv = deblock.deblock_frame(
+                    recon["y"], recon["u"], recon["v"], bs_v, bs_h, s,
+                    sh.qp, sps.bit_depth)
+                recon = dict(y=ry, u=ru, v=rv)
             self.frames.append(DecodedFrame(
                 poc=sh.poc,
                 planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),

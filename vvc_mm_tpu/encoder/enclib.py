@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import inter_frame, wavefront
+from ..common import deblock, inter_frame, wavefront
 from ..common.bitstream import (BitWriter, NalUnit, write_annexb, NAL_SPS,
                                 NAL_PPS, NAL_IDR, NAL_TRAIL)
 from ..common.mm import epipole as epipole_mod
@@ -47,13 +47,17 @@ class EncCfg:
     mm: MMConfig = field(default_factory=MMConfig)
     epipoles: list[tuple[int, int, float, float, float]] = field(
         default_factory=list)    # (curPOC, refPOC, x, y, z)
+    metrics_360: bool = False    # per-POC WS-PSNR/S-PSNR/CPP-PSNR
+                                 # (reference: TExt360EncGop)
+    deblocking: bool = True      # in-loop deblocking filter
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
                    bit_depth=self.bit_depth,
                    intra_block_size=self.intra_block_size,
                    inter_block_size=self.inter_block_size,
-                   wrap_around=self.wrap_around, mm=self.mm)
+                   wrap_around=self.wrap_around, deblocking=self.deblocking,
+                   mm=self.mm)
 
 
 @dataclass
@@ -65,6 +69,7 @@ class FrameResult:
     psnr_v: float
     recon: list[np.ndarray]
     seconds: float = 0.0
+    metrics_360: dict | None = None   # WS-PSNR/S-PSNR-NN/CPP-PSNR (luma)
 
 
 class EncLib:
@@ -123,6 +128,12 @@ class EncLib:
         bw.write_bytes(payload)
         nal = NalUnit(NAL_IDR, 0, bw.get_bytes())
 
+        if cfg.deblocking:
+            bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)
+            ry, ru, rv = deblock.deblock_frame(
+                recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, cfg.qp,
+                cfg.bit_depth)
+            recon = dict(y=ry, u=ru, v=rv)
         rec = [np.asarray(recon["y"]), np.asarray(recon["u"]),
                np.asarray(recon["v"])]
         res = FrameResult(
@@ -131,6 +142,7 @@ class EncLib:
             psnr_u=psnr(planes[1], rec[1], cfg.bit_depth),
             psnr_v=psnr(planes[2], rec[2], cfg.bit_depth),
             recon=rec, seconds=time.time() - t0)
+        self._finish_frame(res, planes)
         self.results.append(res)
         return nal, res
 
@@ -168,6 +180,9 @@ class EncLib:
             payload = encode_p_slice_mm(
                 np.asarray(model_idx), active, np.asarray(mvs_stack),
                 np.asarray(ly), np.asarray(lu), np.asarray(lv))
+            mvs = jnp.take_along_axis(
+                mvs_stack, model_idx[None, :, :, None].astype(jnp.int32),
+                axis=0)[0]
         else:
             mvs, ly, lu, lv, recon = inter_frame.encode_p_frame(
                 jnp.asarray(planes[0]), jnp.asarray(planes[1]),
@@ -183,6 +198,16 @@ class EncLib:
         bw.write_bytes(payload)
         nal = NalUnit(NAL_TRAIL, 0, bw.get_bytes())
 
+        if cfg.deblocking:
+            has_resid = (jnp.any(ly != 0, axis=(2, 3))
+                         | jnp.any(lu != 0, axis=(2, 3))
+                         | jnp.any(lv != 0, axis=(2, 3)))
+            bs_v, bs_h = deblock.boundary_strengths_inter(
+                jnp.asarray(mvs, dtype=jnp.int32), has_resid)
+            ry, ru, rv = deblock.deblock_frame(
+                recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, cfg.qp,
+                cfg.bit_depth)
+            recon = dict(y=ry, u=ru, v=rv)
         rec = [np.asarray(recon["y"]), np.asarray(recon["u"]),
                np.asarray(recon["v"])]
         res = FrameResult(
@@ -191,6 +216,7 @@ class EncLib:
             psnr_u=psnr(planes[1], rec[1], cfg.bit_depth),
             psnr_v=psnr(planes[2], rec[2], cfg.bit_depth),
             recon=rec, seconds=time.time() - t0)
+        self._finish_frame(res, planes)
         self.results.append(res)
         return nal, res
 
@@ -212,13 +238,28 @@ class EncLib:
             nalus.append(nal)
         return write_annexb(nalus)
 
+    def _finish_frame(self, res: FrameResult, orig: list[np.ndarray]
+                      ) -> FrameResult:
+        """Per-POC metric hook (reference: EncGOP.cpp:4914
+        m_ext360.calculatePSNRs)."""
+        if self.cfg.metrics_360:
+            from ..lib360.metrics import metrics_360
+            res.metrics_360 = metrics_360(orig[0], res.recon[0],
+                                          self.cfg.bit_depth)
+        return res
+
     def summary(self) -> dict:
         """reference: EncGOP::printOutSummary (EncGOP.cpp:4244)."""
         n = max(len(self.results), 1)
-        return dict(
+        out = dict(
             frames=len(self.results),
             bits=sum(r.bits for r in self.results),
             psnr_y=sum(r.psnr_y for r in self.results) / n,
             psnr_u=sum(r.psnr_u for r in self.results) / n,
             psnr_v=sum(r.psnr_v for r in self.results) / n,
             fps=n / max(sum(r.seconds for r in self.results), 1e-9))
+        if self.cfg.metrics_360 and any(r.metrics_360 for r in self.results):
+            ms = [r.metrics_360 for r in self.results if r.metrics_360]
+            for key in ("ws_psnr", "s_psnr_nn", "cpp_psnr"):
+                out[key] = sum(m[key] for m in ms) / len(ms)
+        return out
