@@ -1,0 +1,58 @@
+"""Decoder CLI.
+
+TPU-native analog of the reference DecoderApp (reference:
+source/App/DecoderApp/decmain.cpp:51 main; DecApp.cpp:143-355 NAL loop;
+xWriteOutput:739 DPB-ordered YUV writing; per-picture MD5 like the
+decoded-picture-hash check DecLib.cpp:868).
+
+Usage:
+  python -m vvc_mm_tpu.apps.decoder_app -b in.bin -o out.yuv
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+from ..decoder.declib import DecLib
+from ..utils.options import OptionParser
+from ..utils.yuv_io import VideoFormat, YuvWriter
+
+
+def build_parser() -> OptionParser:
+    p = OptionParser()
+    p.add("BitstreamFile", "", "input bitstream")
+    p.add("ReconFile", "", "output YUV")
+    p.add("OutputBitDepth", 0, "0 = keep internal")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    opts = build_parser().parse(sys.argv[1:] if argv is None else argv)
+    if not opts["BitstreamFile"]:
+        raise SystemExit("need -b bitstream.bin (see --help)")
+    with open(opts["BitstreamFile"], "rb") as f:
+        data = f.read()
+    t0 = time.time()
+    dec = DecLib()
+    frames = dec.decode_bytes(data)
+    dt = time.time() - t0
+    sps = dec.sps
+    if sps is None or not frames:
+        raise SystemExit(f"{opts['BitstreamFile']}: no decodable pictures "
+                         "(not a vvc_mm_tpu bitstream?)")
+    for fr in frames:
+        print(f"POC {fr.poc:4d} [MD5:{fr.md5(sps.bit_depth)}]")
+    print(f"decoded {len(frames)} pictures ({sps.width}x{sps.height}) "
+          f"in {dt:.2f}s ({len(frames) / max(dt, 1e-9):.2f} fps)")
+    if opts["ReconFile"] and frames:
+        fmt = VideoFormat(sps.width, sps.height, sps.bit_depth,
+                          sps.chroma_format)
+        wr = YuvWriter(opts["ReconFile"], fmt)
+        for fr in frames:
+            wr.write_frame(fr.planes)
+        wr.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,133 @@
+"""Encoder CLI.
+
+TPU-native analog of the reference EncoderApp (reference:
+source/App/EncoderApp/encmain.cpp:83 main; EncAppCfg.cpp:1013-1020 the MM
+options --MPA/--3DT/--TAN/--ROT/--GED/--GEDA/--MMMVP/--Epipole;
+EncApp.cpp:1522 encodePrep frame loop; per-POC log lines + summary like
+EncGOP.cpp:4767/printOutSummary:4244).
+
+Usage:
+  python -m vvc_mm_tpu.apps.encoder_app -c cfg/encoder_randomaccess.cfg \
+      -i in.yuv -b out.bin -o rec.yuv -wdt 416 -hgt 240 -f 8 -q 37
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from ..common.slice_ps import MMConfig
+from ..common.typedefs import ChromaFormat, GeodesicFlavor, ProjectionID
+from ..encoder.enclib import EncCfg, EncLib
+from ..utils.options import OptionParser, parse_epipole
+from ..utils.yuv_io import VideoFormat, YuvReader, YuvWriter
+
+
+def build_parser() -> OptionParser:
+    p = OptionParser()
+    p.add("InputFile", "", "input YUV file")
+    p.add("BitstreamFile", "", "output bitstream")
+    p.add("ReconFile", "", "output reconstruction YUV")
+    p.add("SourceWidth", 0, "frame width")
+    p.add("SourceHeight", 0, "frame height")
+    p.add("InputBitDepth", 8, "input bit depth")
+    p.add("InputChromaFormat", 420, "400/420/422/444")
+    p.add("FramesToBeEncoded", 0, "0 = all")
+    p.add("FrameSkip", 0, "frames to skip at start")
+    p.add("QP", 32, "base quantization parameter")
+    p.add("IntraPeriod", -1, "IDR period (-1 = only first)")
+    p.add("GOPSize", 8, "RA mini-GOP size")
+    p.add("DecodingRefreshType", 1, "")
+    p.add("Profile", "main", "")
+    p.add("GOP", "RA", "AI | LDP | RA")
+    p.add("SearchRange", 24, "ME search range")
+    p.add("WrapAround", False, "ERP horizontal wrap-around")
+    p.add("Deblocking", True, "in-loop deblocking")
+    p.add("SphereVideo", False, "enable 360 metrics")
+    # multi-model motion (reference: EncAppCfg.cpp:1013-1020)
+    p.add("MPA", False, "motion-plane-adaptive models")
+    p.add("3DT", False, "3-D translational model")
+    p.add("TAN", False, "tangential model")
+    p.add("ROT", False, "rotational model")
+    p.add("GED", False, "geodesic (camera pose) model")
+    p.add("GEDA", False, "geodesic fixed-axis models")
+    p.add("GEDFlavor", 1, "0 original / 1 modulated")
+    p.add("MMMVP", False, "multi-model MVP")
+    p.add("MMOffset4x4", 1, "subblock center offset code (4 -> 1.5)")
+    p.add("Projection", 3, "0 equisolid/2 perspective/3 ERP")
+    p.add("Epipole", [], "curPOC,refPOC,x,y,z (repeatable)",
+          parse=parse_epipole)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    opts = build_parser().parse(sys.argv[1:] if argv is None else argv)
+    if not opts["InputFile"] or not opts["BitstreamFile"]:
+        raise SystemExit("need -i input.yuv and -b out.bin (see --help)")
+    w, h = opts["SourceWidth"], opts["SourceHeight"]
+    if not w or not h:
+        raise SystemExit("need -wdt/-hgt (SourceWidth/SourceHeight)")
+
+    mm = MMConfig(
+        mpa=opts["MPA"], t3d=opts["3DT"], tan=opts["TAN"], rot=opts["ROT"],
+        ged=opts["GED"], geda=opts["GEDA"],
+        ged_flavor=GeodesicFlavor(opts["GEDFlavor"]), mmmvp=opts["MMMVP"],
+        mm_offset_4x4=opts["MMOffset4x4"],
+        projection=ProjectionID(opts["Projection"]))
+    cfg = EncCfg(width=w, height=h, bit_depth=opts["InputBitDepth"],
+                 qp=opts["QP"], gop=opts["GOP"],
+                 intra_period=max(opts["IntraPeriod"], 0),
+                 gop_size=opts["GOPSize"], search_range=opts["SearchRange"],
+                 wrap_around=opts["WrapAround"],
+                 deblocking=opts["Deblocking"], mm=mm,
+                 epipoles=list(opts["Epipole"]),
+                 metrics_360=opts["SphereVideo"])
+
+    fmt = VideoFormat(w, h, opts["InputBitDepth"],
+                      {400: ChromaFormat.C400, 420: ChromaFormat.C420,
+                       422: ChromaFormat.C422,
+                       444: ChromaFormat.C444}[opts["InputChromaFormat"]])
+    reader = YuvReader(opts["InputFile"], fmt)
+    if opts["FrameSkip"]:
+        reader.skip_frames(opts["FrameSkip"])
+    n = reader.num_frames - opts["FrameSkip"]
+    if opts["FramesToBeEncoded"]:
+        n = min(n, opts["FramesToBeEncoded"])
+    frames = [reader.read_frame() for _ in range(n)]
+    reader.close()
+
+    print(f"vvc_mm_tpu encoder: {w}x{h} {n} frames QP{opts['QP']} "
+          f"GOP={opts['GOP']} MM={'on' if mm.any_enabled() else 'off'}")
+    t0 = time.time()
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    with open(opts["BitstreamFile"], "wb") as f:
+        f.write(stream)
+    for r in enc.results:
+        extra = ""
+        if r.metrics_360:
+            extra = (f" WS {r.metrics_360['ws_psnr']:6.3f}"
+                     f" S-NN {r.metrics_360['s_psnr_nn']:6.3f}")
+        print(f"POC {r.poc:4d} [{r.bits:8d} bits] "
+              f"Y {r.psnr_y:6.3f} U {r.psnr_u:6.3f} V {r.psnr_v:6.3f} dB"
+              + extra)
+    s = enc.summary()
+    dt = time.time() - t0
+    print(f"SUMMARY: {s['frames']} frames, {s['bits']} bits, "
+          f"Y {s['psnr_y']:.3f} U {s['psnr_u']:.3f} V {s['psnr_v']:.3f} dB, "
+          f"{s['frames'] / dt:.2f} fps")
+    if "ws_psnr" in s:
+        print(f"360:     WS-PSNR {s['ws_psnr']:.3f}  "
+              f"S-PSNR-NN {s['s_psnr_nn']:.3f}  CPP-PSNR {s['cpp_psnr']:.3f}")
+
+    if opts["ReconFile"]:
+        wr = YuvWriter(opts["ReconFile"], fmt)
+        for r in enc.results:
+            wr.write_frame(r.recon)
+        wr.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -109,6 +109,130 @@ def _residual_pass(orig: jnp.ndarray, pred: jnp.ndarray, s: int, qp: int,
             _from_blocks(rec, nby, nbx))
 
 
+def _mc_planes_internal(ref_y, ref_u, ref_v, mvs, s: int, bit_depth: int,
+                        wrap_around: bool):
+    """Uni-prediction of all planes kept in 14-bit internal precision
+    (for bi-prediction averaging, reference: xWeightedAverage)."""
+    h, w = ref_y.shape
+    nby, nbx = h // s, w // s
+    sc = s // 2
+    mv = mvs.reshape(-1, 2)
+    ry = pad_ref(ref_y, MC_MARGIN, wrap_around)
+    ru = pad_ref(ref_u, MC_MARGIN // 2, wrap_around)
+    rv = pad_ref(ref_v, MC_MARGIN // 2, wrap_around)
+    yb, xb = _block_coords(nby, nbx, s)
+    py = interp.mc_luma(ry, mv, yb, xb, s, s, MC_MARGIN, bit_depth)
+    ybc, xbc = _block_coords(nby, nbx, sc)
+    pu = interp.mc_chroma(ru, mv, ybc, xbc, sc, sc, MC_MARGIN // 2,
+                          bit_depth)
+    pv = interp.mc_chroma(rv, mv, ybc, xbc, sc, sc, MC_MARGIN // 2,
+                          bit_depth)
+    return py, pu, pv          # block-batched (B, s, s) internal precision
+
+
+def _combine_bi(int0, int1, dirs, nby, nbx, bit_depth):
+    """Per-block uni/bi finalize: dirs (nby, nbx) 0=L0, 1=L1, 2=BI."""
+    d = dirs.reshape(-1)[:, None, None]
+    uni0 = interp.finalize_uni(int0, bit_depth)
+    uni1 = interp.finalize_uni(int1, bit_depth)
+    bi = interp.finalize_bi(int0, int1, bit_depth)
+    sel = jnp.where(d == 2, bi, jnp.where(d == 1, uni1, uni0))
+    return _from_blocks(sel, nby, nbx)
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
+                                             "wrap_around"))
+def bpred_and_residual(orig_y, orig_u, orig_v, ref0, ref1, mv0, mv1, dirs,
+                       qp: int, block_size: int, bit_depth: int,
+                       wrap_around: bool):
+    """Shared B prediction+residual path (encoder passes orig; decoder uses
+    reconstruct_b_frame below)."""
+    s = block_size
+    h, w = orig_y.shape
+    nby, nbx = h // s, w // s
+    i0 = _mc_planes_internal(*ref0, mv0, s, bit_depth, wrap_around)
+    i1 = _mc_planes_internal(*ref1, mv1, s, bit_depth, wrap_around)
+    pred_y = _combine_bi(i0[0], i1[0], dirs, nby, nbx, bit_depth)
+    pred_u = _combine_bi(i0[1], i1[1], dirs, nby, nbx, bit_depth)
+    pred_v = _combine_bi(i0[2], i1[2], dirs, nby, nbx, bit_depth)
+    lev_y, rec_y = _residual_pass(orig_y, pred_y, s, qp, bit_depth)
+    lev_u, rec_u = _residual_pass(orig_u, pred_u, s // 2, qp, bit_depth)
+    lev_v, rec_v = _residual_pass(orig_v, pred_v, s // 2, qp, bit_depth)
+    return lev_y, lev_u, lev_v, dict(y=rec_y, u=rec_u, v=rec_v)
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
+                                             "search_range", "wrap_around"))
+def search_b_frame(orig_y, ref0_y, ref1_y, qp: int, block_size: int,
+                   bit_depth: int, search_range: int, wrap_around: bool):
+    """Per-list ME + per-block prediction-direction decision (reference:
+    InterSearch::predInterSearch uni L0/L1 + bi iteration; round-1 bi uses
+    the uni-best MVs without iterative refinement)."""
+    from ..encoder import me as me_mod
+    s = block_size
+    h, w = orig_y.shape
+    nby, nbx = h // s, w // s
+    lam = quant.lambda_from_qp(qp, intra=False)
+    lam16 = int(lam ** 0.5 * 16)
+
+    mvs = []
+    sads = []
+    preds = []
+    for ref in (ref0_y, ref1_y):
+        refp = pad_ref(ref, MC_MARGIN, wrap_around)
+        mv_i, _ = me_mod.integer_search(orig_y, refp, s, search_range,
+                                        MC_MARGIN, lam16)
+        mv, sad = me_mod.fractional_refine(orig_y, refp, mv_i, s, MC_MARGIN,
+                                           bit_depth)
+        mvs.append(mv)
+        yb, xb = _block_coords(nby, nbx, s)
+        pred = interp.mc_luma(refp, mv.reshape(-1, 2), yb, xb, s, s,
+                              MC_MARGIN, bit_depth)
+        preds.append(pred)
+        sads.append(sad)
+    ob = _to_blocks(orig_y, s)
+    bi_pix = interp.finalize_bi(preds[0], preds[1], bit_depth)
+    sad_bi = jnp.sum(jnp.abs(bi_pix - ob), axis=(1, 2)).reshape(nby, nbx)
+    # direction decision: bi costs two mvds
+    mv_bits = int(lam ** 0.5 * 8)
+    cost0 = sads[0]
+    cost1 = sads[1]
+    cost_bi = sad_bi + mv_bits
+    dirs = jnp.argmin(jnp.stack([cost0, cost1, cost_bi]), axis=0
+                      ).astype(jnp.int32)
+    return mvs[0], mvs[1], dirs
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
+                                             "wrap_around"))
+def reconstruct_b_frame(mv0, mv1, dirs, lev_y, lev_u, lev_v,
+                        ref0, ref1, qp: int, block_size: int,
+                        bit_depth: int = 8, wrap_around: bool = False):
+    """Decoder-side B reconstruction (shared with encoder recon)."""
+    s = block_size
+    sc = s // 2
+    h, w = ref0[0].shape
+    nby, nbx = h // s, w // s
+    i0 = _mc_planes_internal(*ref0, mv0, s, bit_depth, wrap_around)
+    i1 = _mc_planes_internal(*ref1, mv1, s, bit_depth, wrap_around)
+    pred_y = _combine_bi(i0[0], i1[0], dirs, nby, nbx, bit_depth)
+    pred_u = _combine_bi(i0[1], i1[1], dirs, nby, nbx, bit_depth)
+    pred_v = _combine_bi(i0[2], i1[2], dirs, nby, nbx, bit_depth)
+
+    def rec_plane(pred, lev, size):
+        log2s = size.bit_length() - 1
+        pb = _to_blocks(pred, size)
+        dq = quant.dequantize(lev.reshape(-1, size, size), qp, log2s, log2s,
+                              bit_depth)
+        r = transforms.inverse_transform(dq, bit_depth=bit_depth)
+        rec = jnp.clip(pb + r, 0, (1 << bit_depth) - 1)
+        return _from_blocks(rec, nby, nbx)
+
+    return dict(y=rec_plane(pred_y, lev_y, s),
+                u=rec_plane(pred_u, lev_u, sc),
+                v=rec_plane(pred_v, lev_v, sc))
+
+
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
                                              "search_range", "wrap_around"))
 def encode_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,

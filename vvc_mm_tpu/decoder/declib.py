@@ -22,7 +22,7 @@ from ..common.slice_ps import PPS, SPS, SliceHeader
 from ..common.typedefs import MotionModelID, SliceType
 from ..lib360.projection import make_projection
 from .intra_parser import decode_intra_slice
-from .inter_parser import decode_p_slice, decode_p_slice_mm
+from .inter_parser import decode_b_slice, decode_p_slice, decode_p_slice_mm
 
 
 @dataclass
@@ -155,9 +155,37 @@ class DecLib:
                 poc=sh.poc,
                 planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
                         np.asarray(recon["v"])]))
+        elif sh.slice_type == SliceType.B:
+            s = sps.inter_block_size
+            nby, nbx = sps.height // s, sps.width // s
+            ref0 = self._ref_by_poc(sh.ref_pocs_l0[0])
+            ref1 = self._ref_by_poc(sh.ref_pocs_l1[0])
+            mv0, mv1, dirs, ly, lu, lv = decode_b_slice(cabac_bytes, nby,
+                                                        nbx, s)
+            r0 = tuple(jnp.asarray(p) for p in ref0.planes)
+            r1 = tuple(jnp.asarray(p) for p in ref1.planes)
+            recon = inter_frame.reconstruct_b_frame(
+                jnp.asarray(mv0), jnp.asarray(mv1), jnp.asarray(dirs),
+                jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
+                r0, r1, sh.qp, s, sps.bit_depth, sps.wrap_around)
+            if sps.deblocking:
+                has_resid = (np.any(ly != 0, axis=(2, 3))
+                             | np.any(lu != 0, axis=(2, 3))
+                             | np.any(lv != 0, axis=(2, 3)))
+                sel_mv = np.where(dirs[..., None] == 1, mv1, mv0)
+                bs_v, bs_h = deblock.boundary_strengths_inter(
+                    jnp.asarray(sel_mv, dtype=jnp.int32),
+                    jnp.asarray(has_resid))
+                ry, ru, rv = deblock.deblock_frame(
+                    recon["y"], recon["u"], recon["v"], bs_v, bs_h, s,
+                    sh.qp, sps.bit_depth)
+                recon = dict(y=ry, u=ru, v=rv)
+            self.frames.append(DecodedFrame(
+                poc=sh.poc,
+                planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
+                        np.asarray(recon["v"])]))
         else:
-            raise NotImplementedError("B slices land with the bi-prediction "
-                                      "pipeline")
+            raise NotImplementedError(f"slice type {sh.slice_type}")
 
     def _ref_by_poc(self, poc: int) -> DecodedFrame:
         """DPB lookup (reference: DecLib picture list m_cListPic)."""

@@ -74,6 +74,54 @@ def decode_p_slice_mm(data: bytes, nby: int, nbx: int, s: int,
     return model_idx, mvs, lev_y, lev_u, lev_v
 
 
+def decode_b_slice(data: bytes, nby: int, nbx: int, s: int
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                              np.ndarray, np.ndarray, np.ndarray]:
+    """Exact inverse of encoder.inter_coder.encode_b_slice.  Returns
+    (mv0, mv1, dirs, lev_y, lev_u, lev_v)."""
+    dec = BinDecoder(data)
+    sc = s // 2
+    mv0 = np.zeros((nby, nbx, 2), dtype=np.int64)
+    mv1 = np.zeros((nby, nbx, 2), dtype=np.int64)
+    dirs = np.zeros((nby, nbx), dtype=np.int32)
+    lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
+    lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    for by in range(nby):
+        for bx in range(nbx):
+            pred0 = mvp_median(mv0, by, bx)
+            pred1 = mvp_median(mv1, by, bx)
+            d_pred = (int(dirs[by, bx - 1]) if bx > 0
+                      else int(dirs[by - 1, bx]) if by > 0 else 0)
+            if dec.decode_bin(ctx_id("SkipFlag")):
+                dirs[by, bx] = d_pred
+                mv0[by, bx] = pred0
+                mv1[by, bx] = pred1
+                continue
+            if dec.decode_bin(ctx_id("InterDir", 0)):
+                d = 2
+            else:
+                d = dec.decode_bin(ctx_id("InterDir", 1))
+            dirs[by, bx] = d
+            if d != 1:
+                mvd = [decode_mvd_comp(dec), decode_mvd_comp(dec)]
+                mv0[by, bx] = pred0 + np.asarray(mvd)
+            else:
+                mv0[by, bx] = pred0
+            if d != 0:
+                mvd = [decode_mvd_comp(dec), decode_mvd_comp(dec)]
+                mv1[by, bx] = pred1 + np.asarray(mvd)
+            else:
+                mv1[by, bx] = pred1
+            for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
+                                    ("v", lev_v, sc)):
+                if dec.decode_bin(
+                        ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])):
+                    lev[by, bx] = decode_coeffs(dec, size, size,
+                                                chroma=(comp != "y"))
+    return mv0, mv1, dirs, lev_y, lev_u, lev_v
+
+
 def decode_p_slice(data: bytes, nby: int, nbx: int, s: int
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                               np.ndarray]:

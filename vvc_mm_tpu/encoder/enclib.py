@@ -24,7 +24,7 @@ from ..common.slice_ps import MMConfig, PPS, SPS, SliceHeader
 from ..common.typedefs import MotionModelID, SliceType
 from ..lib360.projection import make_projection
 from .intra_coder import encode_intra_slice
-from .inter_coder import encode_p_slice, encode_p_slice_mm
+from .inter_coder import encode_b_slice, encode_p_slice, encode_p_slice_mm
 
 
 @dataclass
@@ -39,8 +39,10 @@ class EncCfg:
     inter_block_size: int = 16
     frames: int = 0
     wrap_around: bool = False
-    gop: str = "AI"              # "AI" all-intra | "LDP" low-delay P
-    intra_period: int = 32       # IDR refresh interval for LDP
+    gop: str = "AI"              # "AI" | "LDP" | "RA" (hierarchical B)
+    intra_period: int = 32       # IDR refresh interval (LDP / RA)
+    gop_size: int = 8            # RA mini-GOP (reference:
+                                 # cfg/encoder_randomaccess_vtm.cfg GOP table)
     search_range: int = 24
     # multi-model motion tools (reference: EncAppCfg.cpp:1013-1020
     # --MPA/--3DT/--TAN/--ROT/--GED/--GEDA/--MMMVP/--Epipole)
@@ -220,9 +222,111 @@ class EncLib:
         self.results.append(res)
         return nal, res
 
+    def encode_b_frame(self, poc: int, planes: list[np.ndarray],
+                       ref0: list[np.ndarray], ref0_poc: int,
+                       ref1: list[np.ndarray], ref1_poc: int, tid: int = 0
+                       ) -> tuple[NalUnit, FrameResult]:
+        """Hierarchical-B encode against past+future references (reference:
+        EncGOP compressGOP B pictures; RA GOP table
+        cfg/encoder_randomaccess_vtm.cfg:13-33)."""
+        cfg = self.cfg
+        t0 = time.time()
+        s = cfg.inter_block_size
+        r0 = [jnp.asarray(p) for p in ref0]
+        r1 = [jnp.asarray(p) for p in ref1]
+        oy, ou, ov = (jnp.asarray(p) for p in planes)
+        mv0, mv1, dirs = inter_frame.search_b_frame(
+            oy, r0[0], r1[0], cfg.qp, s, cfg.bit_depth, cfg.search_range,
+            cfg.wrap_around)
+        ly, lu, lv, _ = inter_frame.bpred_and_residual(
+            oy, ou, ov, tuple(r0), tuple(r1), mv0, mv1, dirs, cfg.qp, s,
+            cfg.bit_depth, cfg.wrap_around)
+        payload, coded0, coded1 = encode_b_slice(
+            np.asarray(mv0), np.asarray(mv1), np.asarray(dirs),
+            np.asarray(ly), np.asarray(lu), np.asarray(lv))
+        # reconstruct with the *coded* grids (unused-list entries replaced
+        # by MVPs) so the decoder's deblock inputs match bit-exactly
+        recon = inter_frame.reconstruct_b_frame(
+            jnp.asarray(coded0), jnp.asarray(coded1), dirs,
+            jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
+            tuple(r0), tuple(r1), cfg.qp, s, cfg.bit_depth, cfg.wrap_around)
+        sh = SliceHeader(poc=poc, slice_type=SliceType.B, qp=cfg.qp,
+                         temporal_id=tid, ref_pocs_l0=[ref0_poc],
+                         ref_pocs_l1=[ref1_poc])
+        bw = BitWriter()
+        sh.write(bw, self.sps)
+        bw.write_bytes(payload)
+        nal = NalUnit(NAL_TRAIL, tid, bw.get_bytes())
+
+        if cfg.deblocking:
+            has_resid = (jnp.any(jnp.asarray(ly) != 0, axis=(2, 3))
+                         | jnp.any(jnp.asarray(lu) != 0, axis=(2, 3))
+                         | jnp.any(jnp.asarray(lv) != 0, axis=(2, 3)))
+            sel_mv = np.where(np.asarray(dirs)[..., None] == 1, coded1,
+                              coded0)
+            bs_v, bs_h = deblock.boundary_strengths_inter(
+                jnp.asarray(sel_mv, dtype=jnp.int32), has_resid)
+            ry, ru, rv = deblock.deblock_frame(
+                recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, cfg.qp,
+                cfg.bit_depth)
+            recon = dict(y=ry, u=ru, v=rv)
+        rec = [np.asarray(recon["y"]), np.asarray(recon["u"]),
+               np.asarray(recon["v"])]
+        res = FrameResult(
+            poc=poc, bits=len(nal.payload) * 8,
+            psnr_y=psnr(planes[0], rec[0], cfg.bit_depth),
+            psnr_u=psnr(planes[1], rec[1], cfg.bit_depth),
+            psnr_v=psnr(planes[2], rec[2], cfg.bit_depth),
+            recon=rec, seconds=time.time() - t0)
+        self._finish_frame(res, planes)
+        self.results.append(res)
+        return nal, res
+
+    @staticmethod
+    def ra_coding_order(n: int, gop_size: int) -> list[tuple[int, int, int,
+                                                             int]]:
+        """Hierarchical-B coding order: list of (poc, ref0_poc, ref1_poc,
+        temporal_id); ref1_poc == -1 means P frame (trailing partial GOP).
+        Mirrors the dyadic GOP tables of the reference CTC configs."""
+        order: list[tuple[int, int, int, int]] = []
+
+        def bisect(lo: int, hi: int, tid: int) -> None:
+            if hi - lo < 2:
+                return
+            mid = (lo + hi) // 2
+            order.append((mid, lo, hi, tid))
+            bisect(lo, mid, tid + 1)
+            bisect(mid, hi, tid + 1)
+
+        pos = 0
+        while pos + 1 < n:
+            end = min(pos + gop_size, n - 1)
+            order.append((end, pos, -1, 0))       # GOP anchor: P frame
+            bisect(pos, end, 1)
+            pos = end
+        return order
+
     def encode_sequence(self, frames: list[list[np.ndarray]]) -> bytes:
-        """Encode a frame list -> Annex-B bytes (AI or low-delay P GOP)."""
+        """Encode a frame list -> Annex-B bytes (AI / LDP / RA GOP)."""
         nalus = self.encode_headers()
+        if self.cfg.gop == "RA" and len(frames) > 1:
+            dpb: dict[int, list[np.ndarray]] = {}
+            nal, res = self.encode_intra_frame(0, frames[0])
+            nalus.append(nal)
+            dpb[0] = res.recon
+            for (poc, r0, r1, tid) in self.ra_coding_order(
+                    len(frames), self.cfg.gop_size):
+                if r1 < 0:
+                    nal, res = self.encode_p_frame(poc, frames[poc],
+                                                   dpb[r0], r0)
+                else:
+                    nal, res = self.encode_b_frame(poc, frames[poc],
+                                                   dpb[r0], r0, dpb[r1], r1,
+                                                   tid)
+                dpb[poc] = res.recon
+                nalus.append(nal)
+            self.results.sort(key=lambda r: r.poc)
+            return write_annexb(nalus)
         last_rec: list[np.ndarray] | None = None
         last_poc = -1
         for poc, planes in enumerate(frames):

@@ -145,6 +145,59 @@ def encode_p_slice_mm(model_idx: np.ndarray, active_models: list[int],
     return enc.finish()
 
 
+def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
+                   lev_y: np.ndarray, lev_u: np.ndarray, lev_v: np.ndarray
+                   ) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """B-slice entropy coding: skip / inter_dir / per-list mvd / residual
+    (reference: CABACWriter inter_pred_idc + mvd_coding per list).
+
+    Unused-list entries in the coded MV grids are replaced by their MVP so
+    the dense grid evolves identically on the decoder; returns the coded
+    grids (used for deblocking boundary strengths on both sides)."""
+    enc = BinEncoder()
+    nby, nbx = dirs.shape
+    coded0 = mv0.astype(np.int64).copy()
+    coded1 = mv1.astype(np.int64).copy()
+    for by in range(nby):
+        for bx in range(nbx):
+            d = int(dirs[by, bx])
+            pred0 = mvp_median(coded0, by, bx)
+            pred1 = mvp_median(coded1, by, bx)
+            if d == 0:
+                coded1[by, bx] = pred1
+            elif d == 1:
+                coded0[by, bx] = pred0
+            mvd0 = coded0[by, bx] - pred0
+            mvd1 = coded1[by, bx] - pred1
+            levels = (lev_y[by, bx], lev_u[by, bx], lev_v[by, bx])
+            no_resid = all(not np.any(l != 0) for l in levels)
+            d_pred = (int(dirs[by, bx - 1]) if bx > 0
+                      else int(dirs[by - 1, bx]) if by > 0 else 0)
+            used_zero = (((d != 1) <= (mvd0 == 0).all())
+                         and ((d != 0) <= (mvd1 == 0).all()))
+            skip = no_resid and d == d_pred and used_zero
+            enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+            if skip:
+                continue
+            enc.encode_bin(int(d == 2), ctx_id("InterDir", 0))
+            if d != 2:
+                enc.encode_bin(d, ctx_id("InterDir", 1))
+            if d != 1:
+                encode_mvd_comp(enc, int(mvd0[0]))
+                encode_mvd_comp(enc, int(mvd0[1]))
+            if d != 0:
+                encode_mvd_comp(enc, int(mvd1[0]))
+                encode_mvd_comp(enc, int(mvd1[1]))
+            for comp, lev in (("y", levels[0]), ("u", levels[1]),
+                              ("v", levels[2])):
+                cbf = bool(np.any(lev != 0))
+                enc.encode_bin(int(cbf),
+                               ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp]))
+                if cbf:
+                    encode_coeffs(enc, lev, chroma=(comp != "y"))
+    return enc.finish(), coded0, coded1
+
+
 def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
                    lev_v: np.ndarray) -> bytes:
     """mvs (nby, nbx, 2) 1/16-pel; lev_* (nby, nbx, s, s).  Raster order."""
