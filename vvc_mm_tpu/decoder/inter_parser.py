@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..common.cabac import BinDecoder
+from ..utils.native import coeffs_decode, make_decoder
 from ..common.contexts import ctx_id
 from ..common.residual_coding import decode_coeffs
 from ..encoder.inter_coder import (inherited_model, mvp_median,
@@ -39,7 +40,7 @@ def decode_p_slice_mm(data: bytes, nby: int, nbx: int, s: int,
                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                  np.ndarray, np.ndarray]:
     """Returns (model_idx, mvs (nby,nbx,2), lev_y, lev_u, lev_v)."""
-    dec = BinDecoder(data)
+    dec = make_decoder(data)
     sc = s // 2
     model_idx = np.zeros((nby, nbx), dtype=np.int32)
     models_sel = np.zeros((nby, nbx), dtype=np.int32)
@@ -69,7 +70,7 @@ def decode_p_slice_mm(data: bytes, nby: int, nbx: int, s: int,
                                     ("v", lev_v, sc)):
                 if dec.decode_bin(
                         ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])):
-                    lev[by, bx] = decode_coeffs(dec, size, size,
+                    lev[by, bx] = coeffs_decode(dec, size, size,
                                                 chroma=(comp != "y"))
     return model_idx, mvs, lev_y, lev_u, lev_v
 
@@ -79,7 +80,7 @@ def decode_b_slice(data: bytes, nby: int, nbx: int, s: int
                               np.ndarray, np.ndarray, np.ndarray]:
     """Exact inverse of encoder.inter_coder.encode_b_slice.  Returns
     (mv0, mv1, dirs, lev_y, lev_u, lev_v)."""
-    dec = BinDecoder(data)
+    dec = make_decoder(data)
     sc = s // 2
     mv0 = np.zeros((nby, nbx, 2), dtype=np.int64)
     mv1 = np.zeros((nby, nbx, 2), dtype=np.int64)
@@ -117,7 +118,7 @@ def decode_b_slice(data: bytes, nby: int, nbx: int, s: int
                                     ("v", lev_v, sc)):
                 if dec.decode_bin(
                         ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])):
-                    lev[by, bx] = decode_coeffs(dec, size, size,
+                    lev[by, bx] = coeffs_decode(dec, size, size,
                                                 chroma=(comp != "y"))
     return mv0, mv1, dirs, lev_y, lev_u, lev_v
 
@@ -126,7 +127,7 @@ def decode_p_slice(data: bytes, nby: int, nbx: int, s: int
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                               np.ndarray]:
     """Returns (mvs (nby,nbx,2) 1/16-pel, lev_y, lev_u, lev_v)."""
-    dec = BinDecoder(data)
+    dec = make_decoder(data)
     sc = s // 2
     mvs = np.zeros((nby, nbx, 2), dtype=np.int64)
     lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
@@ -145,6 +146,6 @@ def decode_p_slice(data: bytes, nby: int, nbx: int, s: int
                                     ("v", lev_v, sc)):
                 if dec.decode_bin(
                         ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])):
-                    lev[by, bx] = decode_coeffs(dec, size, size,
+                    lev[by, bx] = coeffs_decode(dec, size, size,
                                                 chroma=(comp != "y"))
     return mvs, lev_y, lev_u, lev_v

@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..common.cabac import BinDecoder
+from ..utils.native import coeffs_decode, make_decoder
 from ..common.contexts import ctx_id
 from ..common.residual_coding import decode_coeffs
 from ..common.wavefront import mpm3_host
@@ -28,7 +29,7 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int
                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                   np.ndarray]:
     """Returns (modes, lev_y, lev_u, lev_v) dense grids."""
-    dec = BinDecoder(data)
+    dec = make_decoder(data)
     sc = s // 2
     modes = np.zeros((nby, nbx), dtype=np.int32)
     lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
@@ -43,6 +44,6 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int
                                     ("v", lev_v, sc)):
                 cbf_ctx = ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])
                 if dec.decode_bin(cbf_ctx):
-                    lev[by, bx] = decode_coeffs(dec, size, size,
+                    lev[by, bx] = coeffs_decode(dec, size, size,
                                                 chroma=(comp != "y"))
     return modes, lev_y, lev_u, lev_v

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..common.cabac import BinEncoder
+from ..utils.native import coeffs_encode, make_encoder
 from ..common.contexts import ctx_id
 from ..common.residual_coding import encode_coeffs
 
@@ -108,7 +109,7 @@ def encode_p_slice_mm(model_idx: np.ndarray, active_models: list[int],
 
     model_idx: (nby, nbx) index into active_models; mvs_stack
     (n_models, nby, nbx, 2)."""
-    enc = BinEncoder()
+    enc = make_encoder()
     nby, nbx = model_idx.shape
     n_active = len(active_models)
     mvs_sel = np.take_along_axis(
@@ -141,7 +142,7 @@ def encode_p_slice_mm(model_idx: np.ndarray, active_models: list[int],
                 enc.encode_bin(int(cbf),
                                ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp]))
                 if cbf:
-                    encode_coeffs(enc, lev, chroma=(comp != "y"))
+                    coeffs_encode(enc, lev, chroma=(comp != "y"))
     return enc.finish()
 
 
@@ -154,7 +155,7 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
     Unused-list entries in the coded MV grids are replaced by their MVP so
     the dense grid evolves identically on the decoder; returns the coded
     grids (used for deblocking boundary strengths on both sides)."""
-    enc = BinEncoder()
+    enc = make_encoder()
     nby, nbx = dirs.shape
     coded0 = mv0.astype(np.int64).copy()
     coded1 = mv1.astype(np.int64).copy()
@@ -194,14 +195,14 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
                 enc.encode_bin(int(cbf),
                                ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp]))
                 if cbf:
-                    encode_coeffs(enc, lev, chroma=(comp != "y"))
+                    coeffs_encode(enc, lev, chroma=(comp != "y"))
     return enc.finish(), coded0, coded1
 
 
 def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
                    lev_v: np.ndarray) -> bytes:
     """mvs (nby, nbx, 2) 1/16-pel; lev_* (nby, nbx, s, s).  Raster order."""
-    enc = BinEncoder()
+    enc = make_encoder()
     nby, nbx = mvs.shape[:2]
     mvs = mvs.astype(np.int64)
     for by in range(nby):
@@ -223,5 +224,5 @@ def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
                 enc.encode_bin(int(cbf),
                                ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp]))
                 if cbf:
-                    encode_coeffs(enc, lev, chroma=(comp != "y"))
+                    coeffs_encode(enc, lev, chroma=(comp != "y"))
     return enc.finish()

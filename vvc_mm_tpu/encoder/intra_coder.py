@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..common.cabac import BinEncoder
+from ..utils.native import coeffs_encode, make_encoder
 from ..common.contexts import ctx_id
 from ..common.residual_coding import encode_coeffs
 from ..common.wavefront import mpm3_host
@@ -33,7 +34,7 @@ def encode_intra_mode(enc: BinEncoder, mode: int, left: int, above: int
 def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
                        lev_u: np.ndarray, lev_v: np.ndarray) -> bytes:
     """modes (nby, nbx); lev_* (nby, nbx, s, s).  Raster block order."""
-    enc = BinEncoder()
+    enc = make_encoder()
     nby, nbx = modes.shape
     for by in range(nby):
         for bx in range(nbx):
@@ -46,5 +47,5 @@ def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
                 cbf_ctx = ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])
                 enc.encode_bin(int(cbf), cbf_ctx)
                 if cbf:
-                    encode_coeffs(enc, blk, chroma=(comp != "y"))
+                    coeffs_encode(enc, blk, chroma=(comp != "y"))
     return enc.finish()
