@@ -1,52 +1,54 @@
-"""Benchmark: all-intra encoder throughput on one chip.
+"""Benchmark: the BASELINE.json north-star metric —
+encoder frames/s/chip on ERP 2048x1024 random-access QP37 with the
+multi-model motion tools active (MPA + ROT, wrap-around ERP).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline note: the reference (VTM-17.2 + MM extension) cannot be built in
-this environment (Eigen3 is fetched at configure time, zero egress;
-source/3rdparty/External-Eigen3.cmake), so the baseline is the documented
-single-thread VTM-class all-intra speed on this config: ~0.2 frames/s at
-416x240 QP37 (VTM AI encodes Class-D content at seconds-per-frame on one
-core; BASELINE.md records that the repo publishes no numbers).  The target
-from BASELINE.json is >=3x that per chip.
+this environment (Eigen3 is fetched at configure time; zero egress —
+source/3rdparty/External-Eigen3.cmake), so the baseline is a documented
+estimate of single-thread VTM-class RA encoding at this resolution:
+~0.05 frames/s (VTM RA encodes 2K-class content at tens of seconds per
+frame on one core).  The BASELINE.json target is >=3x per chip.
 """
 from __future__ import annotations
 
 import json
 import time
 
-import numpy as np
+BASELINE_FPS = 0.05   # single-thread VTM-class RA 2048x1024 QP37 (estimate)
 
-BASELINE_FPS = 0.2  # single-thread VTM-class AI 416x240 QP37 (estimate)
+W, H, QP, NFRAMES = 2048, 1024, 37, 9
 
 
 def main() -> None:
-    import jax
-    import jax.numpy as jnp
+    import numpy as np
 
-    from vvc_mm_tpu.common import wavefront
-    from vvc_mm_tpu.common.typedefs import ChromaFormat
+    from vvc_mm_tpu.common.slice_ps import MMConfig
+    from vvc_mm_tpu.common.typedefs import ChromaFormat, ProjectionID
+    from vvc_mm_tpu.encoder.enclib import EncCfg, EncLib
     from vvc_mm_tpu.utils.yuv_io import VideoFormat, synthetic_sequence
 
-    w, h, qp, nframes = 416, 240, 37, 8
-    # pad to block multiple (416x240 is 52x30 8x8 blocks — exact)
-    fmt = VideoFormat(w, h, 8, ChromaFormat.C420)
-    frames = synthetic_sequence(fmt, nframes)
+    fmt = VideoFormat(W, H, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, NFRAMES, motion=(4.0, 1.5))
 
-    planes = [[jnp.asarray(p) for p in f] for f in frames]
-    # warmup/compile
-    outs, recon = wavefront.encode_intra_frame(*planes[0], qp, 8, 8)
-    jax.block_until_ready(recon)
+    mm = MMConfig(mpa=True, rot=True,
+                  projection=ProjectionID.EQUIRECTANGULAR)
+    cfg = EncCfg(width=W, height=H, qp=QP, gop="RA", gop_size=8,
+                 search_range=24, wrap_around=True, mm=mm)
 
+    # warmup GOP: pay all jit compiles once
+    warm = EncLib(cfg)
+    warm.encode_sequence(frames[:3])
+
+    enc = EncLib(cfg)
     t0 = time.perf_counter()
-    for f in planes:
-        outs, recon = wavefront.encode_intra_frame(*f, qp, 8, 8)
-    jax.block_until_ready(recon)
+    enc.encode_sequence(frames)
     dt = time.perf_counter() - t0
-    fps = nframes / dt
+    fps = NFRAMES / dt
 
     print(json.dumps({
-        "metric": "allintra_encode_fps_416x240_qp37",
+        "metric": "erp2048x1024_ra_qp37_mm_encode_fps",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),

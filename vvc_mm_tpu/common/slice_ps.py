@@ -73,6 +73,7 @@ class SPS:
     max_num_ref: int = 4
     wrap_around: bool = False     # ERP horizontal wrap (pps in VVC; SPS here)
     deblocking: bool = True       # in-loop deblocking enable
+    sao: bool = True              # sample adaptive offset enable
     mm: MMConfig = field(default_factory=MMConfig)
 
     def write(self, bw: BitWriter) -> None:
@@ -86,6 +87,7 @@ class SPS:
         bw.write_uvlc(self.max_num_ref)
         bw.write_flag(self.wrap_around)
         bw.write_flag(self.deblocking)
+        bw.write_flag(self.sao)
         mm = self.mm
         bw.write_flag(mm.any_enabled())
         if mm.any_enabled():
@@ -114,6 +116,7 @@ class SPS:
         sps.max_num_ref = br.read_uvlc()
         sps.wrap_around = br.read_flag()
         sps.deblocking = br.read_flag()
+        sps.sao = br.read_flag()
         if br.read_flag():
             mm = sps.mm
             mm.mpa, mm.t3d, mm.tan, mm.rot, mm.ged, mm.geda = (
@@ -153,6 +156,8 @@ class SliceHeader:
     ref_pocs_l0: list[int] = field(default_factory=list)
     ref_pocs_l1: list[int] = field(default_factory=list)
     epipole_delta: tuple[int, int, int] | None = None  # 2^-24 fixed point
+    # per-region SAO params (types, offsets(4), band_pos), luma
+    sao_params: tuple | None = None
 
     def write(self, bw: BitWriter, sps: SPS) -> None:
         bw.write_uvlc(self.poc)
@@ -169,6 +174,20 @@ class SliceHeader:
             if self.epipole_delta is not None:
                 for d in self.epipole_delta:
                     bw.write_svlc(d)
+        if sps.sao:
+            bw.write_flag(self.sao_params is not None)
+            if self.sao_params is not None:
+                types, offsets, band_pos = self.sao_params
+                gy, gx = types.shape
+                for y in range(gy):
+                    for x in range(gx):
+                        t = int(types[y, x])
+                        bw.write(t, 3)
+                        if t:
+                            for c in range(4):
+                                bw.write_svlc(int(offsets[y, x, c]))
+                        if t == 1:
+                            bw.write(int(band_pos[y, x]), 5)
         bw.align()
 
     @classmethod
@@ -186,5 +205,24 @@ class SliceHeader:
         if sps.mm.ged:
             if br.read_flag():
                 sh.epipole_delta = tuple(br.read_svlc() for _ in range(3))
+        if sps.sao:
+            if br.read_flag():
+                import numpy as np
+                from .sao import REGION
+                gy = -(-sps.height // REGION)
+                gx = -(-sps.width // REGION)
+                types = np.zeros((gy, gx), dtype=np.int32)
+                offsets = np.zeros((gy, gx, 4), dtype=np.int32)
+                band_pos = np.zeros((gy, gx), dtype=np.int32)
+                for y in range(gy):
+                    for x in range(gx):
+                        t = br.read(3)
+                        types[y, x] = t
+                        if t:
+                            for c in range(4):
+                                offsets[y, x, c] = br.read_svlc()
+                        if t == 1:
+                            band_pos[y, x] = br.read(5)
+                sh.sao_params = (types, offsets, band_pos)
         br.byte_align()
         return sh

@@ -12,7 +12,7 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import deblock, inter_frame, wavefront
+from ..common import deblock, inter_frame, sao, wavefront
 from ..common.bitstream import (BitReader, read_annexb, NAL_SPS, NAL_PPS,
                                 NAL_IDR, NAL_TRAIL)
 from ..common.mm import epipole as epipole_mod
@@ -73,6 +73,17 @@ class DecLib:
         self.frames.sort(key=lambda f: f.poc)
         return self.frames
 
+
+    def _apply_sao(self, recon: dict, sh) -> dict:
+        """reference: SAOProcess after deblocking (DecLib executeLoopFilters)."""
+        if self.sps.sao and sh.sao_params is not None:
+            types, offsets, band_pos = sh.sao_params
+            out_y = sao.apply_sao(recon["y"], jnp.asarray(types),
+                                  jnp.asarray(offsets), jnp.asarray(band_pos),
+                                  self.sps.bit_depth)
+            recon = dict(y=out_y, u=recon["u"], v=recon["v"])
+        return recon
+
     def _decode_slice(self, payload: bytes) -> None:
         assert self.sps is not None
         sps = self.sps
@@ -99,6 +110,7 @@ class DecLib:
                     recon["y"], recon["u"], recon["v"], bs_v, bs_h, s,
                     sh.qp, sps.bit_depth)
                 recon = dict(y=ry, u=ru, v=rv)
+            recon = self._apply_sao(recon, sh)
             self.frames.append(DecodedFrame(
                 poc=sh.poc,
                 planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
@@ -151,6 +163,7 @@ class DecLib:
                     recon["y"], recon["u"], recon["v"], bs_v, bs_h, s,
                     sh.qp, sps.bit_depth)
                 recon = dict(y=ry, u=ru, v=rv)
+            recon = self._apply_sao(recon, sh)
             self.frames.append(DecodedFrame(
                 poc=sh.poc,
                 planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
@@ -180,6 +193,7 @@ class DecLib:
                     recon["y"], recon["u"], recon["v"], bs_v, bs_h, s,
                     sh.qp, sps.bit_depth)
                 recon = dict(y=ry, u=ru, v=rv)
+            recon = self._apply_sao(recon, sh)
             self.frames.append(DecodedFrame(
                 poc=sh.poc,
                 planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),

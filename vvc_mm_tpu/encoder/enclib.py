@@ -13,7 +13,8 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import deblock, inter_frame, wavefront
+from ..common import deblock, inter_frame, sao, wavefront
+from ..common import quant
 from ..common.bitstream import (BitWriter, NalUnit, write_annexb, NAL_SPS,
                                 NAL_PPS, NAL_IDR, NAL_TRAIL)
 from ..common.mm import epipole as epipole_mod
@@ -52,6 +53,7 @@ class EncCfg:
     metrics_360: bool = False    # per-POC WS-PSNR/S-PSNR/CPP-PSNR
                                  # (reference: TExt360EncGop)
     deblocking: bool = True      # in-loop deblocking filter
+    sao: bool = True             # sample adaptive offset (luma)
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -59,7 +61,7 @@ class EncCfg:
                    intra_block_size=self.intra_block_size,
                    inter_block_size=self.inter_block_size,
                    wrap_around=self.wrap_around, deblocking=self.deblocking,
-                   mm=self.mm)
+                   sao=self.sao, mm=self.mm)
 
 
 @dataclass
@@ -124,18 +126,19 @@ class EncLib:
         lv = wavefront.steps_to_grid(lv, coords, valid)
 
         payload = encode_intra_slice(modes, ly, lu, lv)
-        sh = SliceHeader(poc=poc, slice_type=SliceType.I, qp=cfg.qp)
-        bw = BitWriter()
-        sh.write(bw, self.sps)
-        bw.write_bytes(payload)
-        nal = NalUnit(NAL_IDR, 0, bw.get_bytes())
-
         if cfg.deblocking:
             bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)
             ry, ru, rv = deblock.deblock_frame(
                 recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, cfg.qp,
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
+        recon, sao_params = self._sao_stage(recon, planes[0], cfg.qp)
+        sh = SliceHeader(poc=poc, slice_type=SliceType.I, qp=cfg.qp,
+                         sao_params=sao_params)
+        bw = BitWriter()
+        sh.write(bw, self.sps)
+        bw.write_bytes(payload)
+        nal = NalUnit(NAL_IDR, 0, bw.get_bytes())
         rec = [np.asarray(recon["y"]), np.asarray(recon["u"]),
                np.asarray(recon["v"])]
         res = FrameResult(
@@ -193,13 +196,6 @@ class EncLib:
                 cfg.bit_depth, cfg.search_range, cfg.wrap_around)
             payload = encode_p_slice(np.asarray(mvs), np.asarray(ly),
                                      np.asarray(lu), np.asarray(lv))
-        sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=cfg.qp,
-                         ref_pocs_l0=[ref_poc], epipole_delta=epipole_delta)
-        bw = BitWriter()
-        sh.write(bw, self.sps)
-        bw.write_bytes(payload)
-        nal = NalUnit(NAL_TRAIL, 0, bw.get_bytes())
-
         if cfg.deblocking:
             has_resid = (jnp.any(ly != 0, axis=(2, 3))
                          | jnp.any(lu != 0, axis=(2, 3))
@@ -210,6 +206,14 @@ class EncLib:
                 recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, cfg.qp,
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
+        recon, sao_params = self._sao_stage(recon, planes[0], cfg.qp)
+        sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=cfg.qp,
+                         ref_pocs_l0=[ref_poc], epipole_delta=epipole_delta,
+                         sao_params=sao_params)
+        bw = BitWriter()
+        sh.write(bw, self.sps)
+        bw.write_bytes(payload)
+        nal = NalUnit(NAL_TRAIL, 0, bw.get_bytes())
         rec = [np.asarray(recon["y"]), np.asarray(recon["u"]),
                np.asarray(recon["v"])]
         res = FrameResult(
@@ -250,14 +254,6 @@ class EncLib:
             jnp.asarray(coded0), jnp.asarray(coded1), dirs,
             jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
             tuple(r0), tuple(r1), cfg.qp, s, cfg.bit_depth, cfg.wrap_around)
-        sh = SliceHeader(poc=poc, slice_type=SliceType.B, qp=cfg.qp,
-                         temporal_id=tid, ref_pocs_l0=[ref0_poc],
-                         ref_pocs_l1=[ref1_poc])
-        bw = BitWriter()
-        sh.write(bw, self.sps)
-        bw.write_bytes(payload)
-        nal = NalUnit(NAL_TRAIL, tid, bw.get_bytes())
-
         if cfg.deblocking:
             has_resid = (jnp.any(jnp.asarray(ly) != 0, axis=(2, 3))
                          | jnp.any(jnp.asarray(lu) != 0, axis=(2, 3))
@@ -270,6 +266,14 @@ class EncLib:
                 recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, cfg.qp,
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
+        recon, sao_params = self._sao_stage(recon, planes[0], cfg.qp)
+        sh = SliceHeader(poc=poc, slice_type=SliceType.B, qp=cfg.qp,
+                         temporal_id=tid, ref_pocs_l0=[ref0_poc],
+                         ref_pocs_l1=[ref1_poc], sao_params=sao_params)
+        bw = BitWriter()
+        sh.write(bw, self.sps)
+        bw.write_bytes(payload)
+        nal = NalUnit(NAL_TRAIL, tid, bw.get_bytes())
         rec = [np.asarray(recon["y"]), np.asarray(recon["u"]),
                np.asarray(recon["v"])]
         res = FrameResult(
@@ -351,6 +355,21 @@ class EncLib:
             res.metrics_360 = metrics_360(orig[0], res.recon[0],
                                           self.cfg.bit_depth)
         return res
+
+    def _sao_stage(self, recon: dict, orig_y, qp: int):
+        """Estimate + apply luma SAO after deblocking (reference:
+        EncGOP.cpp:3495 SAOProcess after deblock).  Returns (recon,
+        sao_params-or-None)."""
+        if not self.cfg.sao:
+            return recon, None
+        lam = quant.lambda_from_qp(qp, intra=False)
+        types, offsets, band_pos = sao.estimate_sao(
+            jnp.asarray(orig_y), recon["y"], lam, self.cfg.bit_depth)
+        out_y = sao.apply_sao(recon["y"], types, offsets, band_pos,
+                              self.cfg.bit_depth)
+        recon = dict(y=out_y, u=recon["u"], v=recon["v"])
+        return recon, (np.asarray(types), np.asarray(offsets),
+                       np.asarray(band_pos))
 
     def summary(self) -> dict:
         """reference: EncGOP::printOutSummary (EncGOP.cpp:4244)."""
