@@ -231,7 +231,7 @@ def rot_mv_for_shift(proj, angle_res: float, px, py, sx, sy, cx, cy):
     s_al = _rot_y(beta, *_rot_z(-phi_c, *proj.to_sphere(sx, sy)))
     _, th_p, ph_p = cartesian_to_spherical(*p_al)
     _, th_s, ph_s = cartesian_to_spherical(*s_al)
-    return (ph_p - ph_s) / angle_res, (th_s - th_p) / angle_res
+    return _wrap_angle(ph_p - ph_s) / angle_res, (th_s - th_p) / angle_res
 
 
 # ---------------------------------------------------------------------------
@@ -293,12 +293,17 @@ def ged_motion(proj, angle_res: float, rot_mat, flavor: int,
     return (jnp.where(zero, grid_x, out_x), jnp.where(zero, grid_y, out_y))
 
 
+def _wrap_angle(a):
+    """Wrap an angle difference into [-pi, pi)."""
+    return jnp.mod(a + PI, 2 * PI) - PI
+
+
 def ged_mv_for_shift(proj, angle_res: float, rot_mat, flavor: int,
                      px, py, sx, sy, cx, cy):
     m = jnp.asarray(rot_mat)
     _, th_p, ph_p = cartesian_to_spherical(*_mat_apply(m, *proj.to_sphere(px, py)))
     _, th_s, ph_s = cartesian_to_spherical(*_mat_apply(m, *proj.to_sphere(sx, sy)))
-    mv_y = (ph_s - ph_p) / angle_res
+    mv_y = _wrap_angle(ph_s - ph_p) / angle_res
     if flavor == VISHWANATH_ORIGINAL:
         return (th_s - th_p) / angle_res, mv_y
     _, th_c, _ = cartesian_to_spherical(*_mat_apply(m, *proj.to_sphere(cx, cy)))

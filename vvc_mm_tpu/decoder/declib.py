@@ -17,6 +17,7 @@ from ..common.bitstream import (BitReader, read_annexb, NAL_SPS, NAL_PPS,
                                 NAL_IDR, NAL_TRAIL)
 from ..common.mm import epipole as epipole_mod
 from ..common.mm import frame_codec as mm_codec
+from ..common.mm.mvp_convert import MMVPConverter
 from ..common.mm.reprojection import MVReprojection
 from ..common.slice_ps import PPS, SPS, SliceHeader
 from ..common.typedefs import MotionModelID, SliceType
@@ -61,6 +62,11 @@ class DecLib:
                                          sps.mm.mm_offset_4x4,
                                          int(sps.mm.ged_flavor))
             self.epipole_list = epipole_mod.EpipoleList(sps.mm.global_epipole)
+            self.mvp_conv = (MMVPConverter(sps.width, sps.height,
+                                           int(sps.mm.ged_flavor))
+                             if sps.mm.mmmvp else None)
+        else:
+            self.mvp_conv = None
 
     def decode_bytes(self, data: bytes) -> list[DecodedFrame]:
         for nalu in read_annexb(data):
@@ -133,8 +139,11 @@ class DecLib:
                     self.epipole_list.set_epipole(sh.poc, sh.ref_pocs_l0[0],
                                                   ep)
                     epipoles = {MotionModelID.GEODESIC_CAMPOSE: ep}
+                ep_for_mvp = (epipoles or {}).get(
+                    MotionModelID.GEODESIC_CAMPOSE)
                 model_idx, mvs, ly, lu, lv = decode_p_slice_mm(
-                    cabac_bytes, nby, nbx, s, active)
+                    cabac_bytes, nby, nbx, s, active, self.mvp_conv,
+                    ep_for_mvp)
                 mvs_stack = np.zeros((len(active),) + mvs.shape,
                                      dtype=np.int64)
                 np.put_along_axis(mvs_stack, model_idx[None, :, :, None]

@@ -12,7 +12,7 @@ from ..common.cabac import BinDecoder
 from ..utils.native import coeffs_decode, make_decoder
 from ..common.contexts import ctx_id
 from ..common.residual_coding import decode_coeffs
-from ..encoder.inter_coder import (inherited_model, mvp_median,
+from ..encoder.inter_coder import (_mm_mvp, inherited_model, mvp_median,
                                    mvp_median_same_model)
 
 
@@ -36,7 +36,7 @@ def decode_motion_model(dec: BinDecoder, n_active: int) -> int:
 
 
 def decode_p_slice_mm(data: bytes, nby: int, nbx: int, s: int,
-                      active_models: list[int]
+                      active_models: list[int], conv=None, epipole=None
                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                  np.ndarray, np.ndarray]:
     """Returns (model_idx, mvs (nby,nbx,2), lev_y, lev_u, lev_v)."""
@@ -55,8 +55,8 @@ def decode_p_slice_mm(data: bytes, nby: int, nbx: int, s: int,
                 model = inherited_model(models_sel, by, bx)
                 models_sel[by, bx] = model
                 model_idx[by, bx] = model_to_idx[model]
-                mvs[by, bx] = mvp_median_same_model(mvs, models_sel, by, bx,
-                                                    model)
+                mvs[by, bx] = _mm_mvp(mvs, models_sel, by, bx, model, s,
+                                      conv, epipole)
                 continue
             midx = decode_motion_model(dec, len(active_models))
             model = active_models[midx]
@@ -64,7 +64,7 @@ def decode_p_slice_mm(data: bytes, nby: int, nbx: int, s: int,
             models_sel[by, bx] = model
             mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
                            dtype=np.int64)
-            pred = mvp_median_same_model(mvs, models_sel, by, bx, model)
+            pred = _mm_mvp(mvs, models_sel, by, bx, model, s, conv, epipole)
             mvs[by, bx] = pred + mvd
             for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
                                     ("v", lev_v, sc)):

@@ -19,6 +19,7 @@ from ..common.bitstream import (BitWriter, NalUnit, write_annexb, NAL_SPS,
                                 NAL_PPS, NAL_IDR, NAL_TRAIL)
 from ..common.mm import epipole as epipole_mod
 from ..common.mm import frame_codec as mm_codec
+from ..common.mm.mvp_convert import MMVPConverter
 from ..common.mm.reprojection import MVReprojection
 from ..common.picture import psnr
 from ..common.slice_ps import MMConfig, PPS, SPS, SliceHeader
@@ -99,6 +100,11 @@ class EncLib:
                                          int(cfg.mm.ged_flavor))
             for (c, r, x, y, z) in cfg.epipoles:
                 self.epipole_list.set_epipole(c, r, (x, y, z))
+            self.mvp_conv = (MMVPConverter(cfg.width, cfg.height,
+                                           int(cfg.mm.ged_flavor))
+                             if cfg.mm.mmmvp else None)
+        else:
+            self.mvp_conv = None
 
     def encode_headers(self) -> list[NalUnit]:
         bw = BitWriter()
@@ -182,9 +188,12 @@ class EncLib:
                     jnp.asarray(ref[0]), jnp.asarray(ref[1]),
                     jnp.asarray(ref[2]), cfg.qp, s, cfg.bit_depth,
                     cfg.search_range, epipoles, cfg.wrap_around)
+            ep_for_mvp = (epipoles or {}).get(
+                MotionModelID.GEODESIC_CAMPOSE)
             payload = encode_p_slice_mm(
                 np.asarray(model_idx), active, np.asarray(mvs_stack),
-                np.asarray(ly), np.asarray(lu), np.asarray(lv))
+                np.asarray(ly), np.asarray(lu), np.asarray(lv), s,
+                self.mvp_conv, ep_for_mvp)
             mvs = jnp.take_along_axis(
                 mvs_stack, model_idx[None, :, :, None].astype(jnp.int32),
                 axis=0)[0]

@@ -79,6 +79,45 @@ def mvp_median_same_model(mvs: np.ndarray, model_ids: np.ndarray,
     return np.median(c, axis=0).astype(np.int64)
 
 
+def mvp_mm_converted(mvs: np.ndarray, model_ids: np.ndarray, by: int,
+                     bx: int, model: int, s: int, conv, epipole=None
+                     ) -> np.ndarray:
+    """MM-MVP: median over neighbors with cross-model candidates converted
+    into the current model (reference: UnitTools.cpp:2272 fillMvpCand ->
+    MVReprojection::motionVectorInDesiredMotionModel).  `conv` is a
+    mvp_convert.MMVPConverter shared bit-exactly by encoder and decoder."""
+    nby, nbx = mvs.shape[:2]
+    pos = (bx * s, by * s)
+    cur_c = (bx * s + (s - 1) / 2.0, by * s + (s - 1) / 2.0)
+    cand = []
+    for (y, x) in ((by, bx - 1), (by - 1, bx), (by - 1, bx + 1),
+                   (by - 1, bx - 1)):
+        if not (0 <= y < nby and 0 <= x < nbx and (y, x) < (by, bx)):
+            continue
+        cand_model = int(model_ids[y, x])
+        cand_c = (x * s + (s - 1) / 2.0, y * s + (s - 1) / 2.0)
+        mv = conv.convert(pos, mvs[y, x], cand_model, model, cand_c, cur_c,
+                          epipole, epipole)
+        cand.append(mv)
+        if len(cand) == 3:
+            break
+    if not cand:
+        return np.zeros(2, dtype=np.int64)
+    if len(cand) == 1:
+        return cand[0]
+    c = np.stack(cand[:3])
+    if len(c) == 2:
+        return (c[0] + c[1] + 1) >> 1
+    return np.median(c, axis=0).astype(np.int64)
+
+
+def _mm_mvp(mvs, models_sel, by, bx, model, s, conv, epipole):
+    if conv is not None:
+        return mvp_mm_converted(mvs, models_sel, by, bx, model, s, conv,
+                                epipole)
+    return mvp_median_same_model(mvs, models_sel, by, bx, model)
+
+
 def inherited_model(model_ids: np.ndarray, by: int, bx: int,
                     default: int = 0) -> int:
     """Skip-mode model inheritance: left, else above, else CLASSIC
@@ -104,7 +143,9 @@ def encode_motion_model(enc: BinEncoder, idx: int, n_active: int) -> None:
 
 def encode_p_slice_mm(model_idx: np.ndarray, active_models: list[int],
                       mvs_stack: np.ndarray, lev_y: np.ndarray,
-                      lev_u: np.ndarray, lev_v: np.ndarray) -> bytes:
+                      lev_u: np.ndarray, lev_v: np.ndarray,
+                      block_size: int = 16, conv=None,
+                      epipole=None) -> bytes:
     """MM P-slice: per block skip / motion_model / mvd / residual.
 
     model_idx: (nby, nbx) index into active_models; mvs_stack
@@ -126,14 +167,16 @@ def encode_p_slice_mm(model_idx: np.ndarray, active_models: list[int],
             levels = (lev_y[by, bx], lev_u[by, bx], lev_v[by, bx])
             no_resid = all(not np.any(l != 0) for l in levels)
             inh = inherited_model(models_sel, by, bx)
-            inh_mv = mvp_median_same_model(mvs_sel, models_sel, by, bx, inh)
+            inh_mv = _mm_mvp(mvs_sel, models_sel, by, bx, inh, block_size,
+                             conv, epipole)
             skip = (no_resid and model == inh
                     and mv[0] == inh_mv[0] and mv[1] == inh_mv[1])
             enc.encode_bin(int(skip), ctx_id("SkipFlag"))
             if skip:
                 continue
             encode_motion_model(enc, midx, n_active)
-            pred = mvp_median_same_model(mvs_sel, models_sel, by, bx, model)
+            pred = _mm_mvp(mvs_sel, models_sel, by, bx, model, block_size,
+                           conv, epipole)
             encode_mvd_comp(enc, int(mv[0] - pred[0]))
             encode_mvd_comp(enc, int(mv[1] - pred[1]))
             for comp, lev in (("y", levels[0]), ("u", levels[1]),
