@@ -36,8 +36,9 @@ def pad_ref(plane: jnp.ndarray, margin: int = MC_MARGIN,
     horizontal padding wraps (ERP 360 content; reference: Picture.cpp:94
     PIC_RECON_WRAP + Mv.cpp:113 wrapClipMv)."""
     if wrap_around:
-        p = jnp.concatenate([plane[:, -margin:], plane, plane[:, :margin]],
-                            axis=1)
+        w = plane.shape[1]
+        xs = jnp.mod(jnp.arange(-margin, w + margin), w)
+        p = plane[:, xs]      # modular gather: correct even for margin > W
     else:
         p = jnp.pad(plane, ((0, 0), (margin, margin)), mode="edge")
     return jnp.pad(p, ((margin, margin), (0, 0)), mode="edge")
@@ -180,8 +181,8 @@ def search_b_frame(orig_y, ref0_y, ref1_y, qp: int, block_size: int,
     preds = []
     for ref in (ref0_y, ref1_y):
         refp = pad_ref(ref, MC_MARGIN, wrap_around)
-        mv_i, _ = me_mod.integer_search(orig_y, refp, s, search_range,
-                                        MC_MARGIN, lam16)
+        mv_i, _ = me_mod.hierarchical_search(orig_y, refp, s, search_range,
+                                             MC_MARGIN, lam16)
         mv, sad = me_mod.fractional_refine(orig_y, refp, mv_i, s, MC_MARGIN,
                                            bit_depth)
         mvs.append(mv)
@@ -246,8 +247,8 @@ def encode_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
     lam_bits_x16 = int(lam ** 0.5 * 16)
 
     ry_pad = pad_ref(ref_y, MC_MARGIN, wrap_around)
-    mv_int, _ = me_mod.integer_search(orig_y, ry_pad, s, search_range,
-                                      MC_MARGIN, lam_bits_x16)
+    mv_int, _ = me_mod.hierarchical_search(orig_y, ry_pad, s, search_range,
+                                           MC_MARGIN, lam_bits_x16)
     mvs, _ = me_mod.fractional_refine(orig_y, ry_pad, mv_int, s, MC_MARGIN,
                                       bit_depth)
     pred_y, pred_u, pred_v = mc_predict(ref_y, ref_u, ref_v, mvs, s,

@@ -116,6 +116,30 @@ def merged_positions(reproj: MVReprojection, active_models: list[int],
                      model_idx: jnp.ndarray, mvs_stack: jnp.ndarray,
                      block_size: int, epipoles: dict | None = None
                      ) -> jnp.ndarray:
+    """Jit-cached wrapper around _merged_positions (one compiled program
+    per (model set, block size, epipole) instead of eager per-op
+    dispatch)."""
+    ep_key = tuple(
+        (m, tuple(np.asarray(e, dtype=np.float64).round(12)))
+        for m, e in sorted((epipoles or {}).items()))
+    key = (tuple(active_models), block_size, ep_key)
+    cache = getattr(reproj, "_merged_jit_cache", None)
+    if cache is None:
+        cache = reproj._merged_jit_cache = {}
+    if key not in cache:
+        for m in active_models:
+            if m in (M.MPA_FRONT_BACK, M.MPA_LEFT_RIGHT, M.MPA_TOP_BOTTOM):
+                reproj.mpa_cache(m)      # warm outside the trace
+        cache[key] = jax.jit(functools.partial(
+            _merged_positions, reproj, list(active_models), block_size,
+            epipoles))
+    return cache[key](model_idx, mvs_stack)
+
+
+def _merged_positions(reproj: MVReprojection, active_models: list[int],
+                      block_size: int, epipoles: dict | None,
+                      model_idx: jnp.ndarray, mvs_stack: jnp.ndarray
+                      ) -> jnp.ndarray:
     """Merge per-subblock target positions across models.
 
     Args:
@@ -201,9 +225,8 @@ def encode_p_frame_mm(reproj: MVReprojection, active_models: list[int],
     lam_bits = lam ** 0.5 * 4.0
 
     refp = pad_ref(ref_y, MC_MARGIN, wrap_around)
-    mv_int, _ = me_mod.integer_search(orig_y, refp, s, search_range,
-                                      MC_MARGIN,
-                                      int(lam ** 0.5 * 16))
+    mv_int, _ = me_mod.hierarchical_search(orig_y, refp, s, search_range,
+                                           MC_MARGIN, int(lam ** 0.5 * 16))
     classic_mv, classic_sad = me_mod.fractional_refine(
         orig_y, refp, mv_int, s, MC_MARGIN, bit_depth)
 

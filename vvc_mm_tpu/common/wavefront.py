@@ -304,25 +304,24 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
 def steps_to_grid(outs_steps: np.ndarray, coords: np.ndarray,
                   valid: np.ndarray) -> np.ndarray:
     """Reorder per-step scan outputs (steps, bmax, ...) into a (nby, nbx, ...)
-    grid on the host."""
+    grid on the host (vectorized scatter)."""
     nby = coords[..., 0].max() + 1
     nbx = coords[..., 1].max() + 1
     out = np.zeros((nby, nbx) + outs_steps.shape[2:], outs_steps.dtype)
-    for i in range(coords.shape[0]):
-        for k in range(coords.shape[1]):
-            if valid[i, k]:
-                by, bx = coords[i, k]
-                out[by, bx] = outs_steps[i, k]
+    v = valid.reshape(-1)
+    by = coords[..., 0].reshape(-1)[v]
+    bx = coords[..., 1].reshape(-1)[v]
+    out[by, bx] = outs_steps.reshape((-1,) + outs_steps.shape[2:])[v]
     return out
 
 
 def grid_to_steps(grid: np.ndarray, coords: np.ndarray,
                   valid: np.ndarray) -> np.ndarray:
-    """Inverse of steps_to_grid (host)."""
+    """Inverse of steps_to_grid (host, vectorized gather)."""
     out = np.zeros(coords.shape[:2] + grid.shape[2:], grid.dtype)
-    for i in range(coords.shape[0]):
-        for k in range(coords.shape[1]):
-            if valid[i, k]:
-                by, bx = coords[i, k]
-                out[i, k] = grid[by, bx]
-    return out
+    v = valid.reshape(-1)
+    by = coords[..., 0].reshape(-1)[v]
+    bx = coords[..., 1].reshape(-1)[v]
+    flat = out.reshape((-1,) + grid.shape[2:])
+    flat[v] = grid[by, bx]
+    return flat.reshape(out.shape)

@@ -78,6 +78,68 @@ def integer_search(orig: jnp.ndarray, ref_padded: jnp.ndarray,
     return mv_int, sad
 
 
+def _downsample4(x: jnp.ndarray) -> jnp.ndarray:
+    h, w = x.shape
+    return x.reshape(h // 4, 4, w // 4, 4).mean(axis=(1, 3)).astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "search_range",
+                                             "margin", "lambda_bits_x16"))
+def hierarchical_search(orig: jnp.ndarray, ref_padded: jnp.ndarray,
+                        block_size: int, search_range: int, margin: int,
+                        lambda_bits_x16: int = 0):
+    """Coarse-to-fine integer search: exhaustive at 1/4 resolution, then a
+    +-3 full-resolution refinement around the upscaled winner.
+
+    The TPU answer to the reference's TZ search pruning (reference:
+    InterSearch.cpp:4937 xMotionEstimation): instead of data-dependent
+    early-outs, shrink the exhaustive stage onto 16x fewer pixels — at
+    2048x1024 this is ~25x less SAD traffic than the flat full search for
+    the same +-R coverage.
+
+    Returns (mv_int (nby,nbx,2) in pels, sad at full resolution)."""
+    h, w = orig.shape
+    s = block_size
+    nby, nbx = h // s, w // s
+    # --- coarse: quarter resolution, quarter range, quarter block ---
+    orig4 = _downsample4(orig)
+    m4 = margin // 4
+    ref4 = _downsample4(
+        jax.lax.dynamic_slice(
+            ref_padded, (margin - m4 * 4, margin - m4 * 4),
+            (h + 8 * m4, w + 8 * m4)))
+    r4 = max(search_range // 4, 2)
+    mv4, _ = integer_search(orig4, ref4, s // 4, r4, m4, lambda_bits_x16)
+    base = mv4 * 4                                     # (nby, nbx, 2) pels
+
+    # --- fine: +-3 px window around the coarse winner, per-block gathers ---
+    nb = nby * nbx
+    ys = (jnp.arange(nb, dtype=jnp.int32) // nbx) * s
+    xs = (jnp.arange(nb, dtype=jnp.int32) % nbx) * s
+    ob = orig.reshape(nby, s, nbx, s).transpose(0, 2, 1, 3).reshape(nb, s, s)
+    basef = base.reshape(nb, 2)
+    # gather one (s+6, s+6) window per block at the coarse target
+    win = 3
+    gy = jnp.clip(ys + margin + basef[:, 1] - win, 0,
+                  ref_padded.shape[0] - (s + 2 * win))
+    gx = jnp.clip(xs + margin + basef[:, 0] - win, 0,
+                  ref_padded.shape[1] - (s + 2 * win))
+    patch = interp.gather_patches(ref_padded, gy, gx, s + 2 * win,
+                                  s + 2 * win)
+    best_sad = jnp.full((nb,), 1 << 30, dtype=jnp.int32)
+    best_d = jnp.zeros((nb, 2), dtype=jnp.int32)
+    for dy in range(2 * win + 1):
+        for dx in range(2 * win + 1):
+            cand = patch[:, dy:dy + s, dx:dx + s]
+            sad = jnp.sum(jnp.abs(cand - ob), axis=(1, 2)).astype(jnp.int32)
+            better = sad < best_sad
+            best_sad = jnp.where(better, sad, best_sad)
+            d = jnp.asarray([dx - win, dy - win], dtype=jnp.int32)
+            best_d = jnp.where(better[:, None], d[None, :], best_d)
+    mv = (basef + best_d).reshape(nby, nbx, 2)
+    return mv, best_sad.reshape(nby, nbx)
+
+
 @functools.partial(jax.jit, static_argnames=("block_size", "margin",
                                              "bit_depth"))
 def fractional_refine(orig: jnp.ndarray, ref_padded: jnp.ndarray,
