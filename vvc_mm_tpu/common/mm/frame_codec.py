@@ -56,26 +56,51 @@ def make_eval_fn(reproj: MVReprojection, model_id: int, block_size: int,
     return eval_mvs
 
 
-_DIAMOND = np.array([(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0),
+_DIAMOND = np.array([(0, 0), (-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0),
                      (-1, 1), (0, 1), (1, 1)], dtype=np.int32)
 
 
-def diamond_search(eval_fn, orig, ref_padded, mv_init: jnp.ndarray,
+def make_eval_multi(reproj: MVReprojection, model_id: int, block_size: int,
+                    bit_depth: int, epipole=None):
+    """Jitted (orig, ref_padded, mv_cands (K,nby,nbx,2)) -> (K,nby,nbx)
+    SADs — all K candidates of a refinement step in ONE launch (vmapped
+    over the candidate axis) instead of K eager round trips."""
+    if model_id in (M.MPA_FRONT_BACK, M.MPA_LEFT_RIGHT, M.MPA_TOP_BOTTOM):
+        reproj.mpa_cache(model_id)
+
+    @jax.jit
+    def eval_cands(orig, ref_padded, mv_cands):
+        def one(mvs):
+            if model_id == M.CLASSIC:
+                pos = mm_mc.classic_positions(reproj.offset, reproj.width,
+                                              reproj.height, mvs, block_size)
+            else:
+                pos = reproj.reproject_frame(model_id, mvs, block_size,
+                                             epipole)
+            pred = mm_mc.mc_luma_positions(ref_padded, pos, MC_MARGIN,
+                                           bit_depth)
+            return _block_sad(jnp.abs(orig - pred), block_size)
+        return jax.vmap(one)(mv_cands)
+
+    return eval_cands
+
+
+def diamond_search(eval_multi, orig, ref_padded, mv_init: jnp.ndarray,
                    steps=(64, 32, 16, 8, 4, 2)) -> tuple[jnp.ndarray,
                                                          jnp.ndarray]:
     """Batched diamond refinement in 1/16-pel units (steps 64..16 are
     integer-pel, below is fractional).  All blocks refine simultaneously;
-    each candidate evaluation is one frame-level reproject+MC+SAD."""
+    each refinement step evaluates the center + 8 neighbors of every block
+    in a single launch."""
     mv = mv_init.astype(jnp.int32)
-    _, best = eval_fn(orig, ref_padded, mv)
+    best = None
     for step in steps:
-        for k in range(8):
-            d = jnp.asarray(_DIAMOND[k] * step)
-            cand = mv + d[None, None, :]
-            _, sad = eval_fn(orig, ref_padded, cand)
-            better = sad < best
-            mv = jnp.where(better[..., None], cand, mv)
-            best = jnp.minimum(sad, best)
+        cands = mv[None] + jnp.asarray(_DIAMOND * step)[:, None, None, :]
+        sads = eval_multi(orig, ref_padded, cands)       # (9, nby, nbx)
+        k = jnp.argmin(sads, axis=0)                     # (nby, nbx)
+        mv = jnp.take_along_axis(
+            cands, k[None, ..., None].astype(jnp.int32), axis=0)[0]
+        best = jnp.min(sads, axis=0)
     return mv, best
 
 
@@ -97,7 +122,7 @@ def search_models(reproj: MVReprojection, active_models: list[int],
         if model_id == M.CLASSIC:
             continue
         ep = (epipoles or {}).get(model_id)
-        ev = make_eval_fn(reproj, model_id, block_size, bit_depth, ep)
+        ev = make_eval_multi(reproj, model_id, block_size, bit_depth, ep)
         mv0 = jnp.zeros_like(classic_mv)
         mv, sad = diamond_search(ev, orig_y, refp, mv0)
         mvs[model_id] = mv

@@ -74,6 +74,7 @@ class SPS:
     wrap_around: bool = False     # ERP horizontal wrap (pps in VVC; SPS here)
     deblocking: bool = True       # in-loop deblocking enable
     sao: bool = True              # sample adaptive offset enable
+    alf: bool = True              # adaptive loop filter enable
     mm: MMConfig = field(default_factory=MMConfig)
 
     def write(self, bw: BitWriter) -> None:
@@ -88,6 +89,7 @@ class SPS:
         bw.write_flag(self.wrap_around)
         bw.write_flag(self.deblocking)
         bw.write_flag(self.sao)
+        bw.write_flag(self.alf)
         mm = self.mm
         bw.write_flag(mm.any_enabled())
         if mm.any_enabled():
@@ -117,6 +119,7 @@ class SPS:
         sps.wrap_around = br.read_flag()
         sps.deblocking = br.read_flag()
         sps.sao = br.read_flag()
+        sps.alf = br.read_flag()
         if br.read_flag():
             mm = sps.mm
             mm.mpa, mm.t3d, mm.tan, mm.rot, mm.ged, mm.geda = (
@@ -158,6 +161,8 @@ class SliceHeader:
     epipole_delta: tuple[int, int, int] | None = None  # 2^-24 fixed point
     # per-region SAO params (types, offsets(4), band_pos), luma
     sao_params: tuple | None = None
+    # ALF params: (coeffs (25,12) int32, enable (gy,gx) bool), luma
+    alf_params: tuple | None = None
 
     def write(self, bw: BitWriter, sps: SPS) -> None:
         bw.write_uvlc(self.poc)
@@ -188,6 +193,17 @@ class SliceHeader:
                                 bw.write_svlc(int(offsets[y, x, c]))
                         if t == 1:
                             bw.write(int(band_pos[y, x]), 5)
+        if sps.alf:
+            bw.write_flag(self.alf_params is not None)
+            if self.alf_params is not None:
+                coeffs, enable = self.alf_params
+                for k in range(coeffs.shape[0]):
+                    for i in range(coeffs.shape[1]):
+                        bw.write_svlc(int(coeffs[k, i]))
+                gy, gx = enable.shape
+                for y in range(gy):
+                    for x in range(gx):
+                        bw.write_flag(bool(enable[y, x]))
         bw.align()
 
     @classmethod
@@ -224,5 +240,20 @@ class SliceHeader:
                         if t == 1:
                             band_pos[y, x] = br.read(5)
                 sh.sao_params = (types, offsets, band_pos)
+        if sps.alf:
+            if br.read_flag():
+                import numpy as np
+                from .alf import NUM_CLASSES, NUM_COEFF, REGION as AREG
+                coeffs = np.zeros((NUM_CLASSES, NUM_COEFF), dtype=np.int32)
+                for k in range(NUM_CLASSES):
+                    for i in range(NUM_COEFF):
+                        coeffs[k, i] = br.read_svlc()
+                gy = -(-sps.height // AREG)
+                gx = -(-sps.width // AREG)
+                enable = np.zeros((gy, gx), dtype=bool)
+                for y in range(gy):
+                    for x in range(gx):
+                        enable[y, x] = br.read_flag()
+                sh.alf_params = (coeffs, enable)
         br.byte_align()
         return sh

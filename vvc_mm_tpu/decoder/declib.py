@@ -12,7 +12,7 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import deblock, inter_frame, sao, wavefront
+from ..common import alf, deblock, inter_frame, sao, wavefront
 from ..common.bitstream import (BitReader, read_annexb, NAL_SPS, NAL_PPS,
                                 NAL_IDR, NAL_TRAIL)
 from ..common.mm import epipole as epipole_mod
@@ -87,6 +87,12 @@ class DecLib:
             out_y = sao.apply_sao(recon["y"], jnp.asarray(types),
                                   jnp.asarray(offsets), jnp.asarray(band_pos),
                                   self.sps.bit_depth)
+            recon = dict(y=out_y, u=recon["u"], v=recon["v"])
+        if self.sps.alf and sh.alf_params is not None:
+            coeffs, enable = sh.alf_params
+            cls4 = alf.classify(recon["y"], self.sps.bit_depth)
+            out_y = alf.apply_alf(recon["y"], cls4, jnp.asarray(coeffs),
+                                  jnp.asarray(enable), self.sps.bit_depth)
             recon = dict(y=out_y, u=recon["u"], v=recon["v"])
         return recon
 

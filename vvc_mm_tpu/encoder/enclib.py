@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import deblock, inter_frame, sao, wavefront
+from ..common import alf, deblock, inter_frame, sao, wavefront
 from ..common import quant
 from ..common.bitstream import (BitWriter, NalUnit, write_annexb, NAL_SPS,
                                 NAL_PPS, NAL_IDR, NAL_TRAIL)
@@ -55,6 +55,7 @@ class EncCfg:
                                  # (reference: TExt360EncGop)
     deblocking: bool = True      # in-loop deblocking filter
     sao: bool = True             # sample adaptive offset (luma)
+    alf: bool = True             # adaptive loop filter (luma)
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -62,7 +63,7 @@ class EncCfg:
                    intra_block_size=self.intra_block_size,
                    inter_block_size=self.inter_block_size,
                    wrap_around=self.wrap_around, deblocking=self.deblocking,
-                   sao=self.sao, mm=self.mm)
+                   sao=self.sao, alf=self.alf, mm=self.mm)
 
 
 @dataclass
@@ -123,7 +124,11 @@ class EncLib:
         outs, recon = wavefront.encode_intra_frame(
             jnp.asarray(planes[0]), jnp.asarray(planes[1]),
             jnp.asarray(planes[2]), cfg.qp, s, cfg.bit_depth)
-        modes_steps, ly, lu, lv = (np.asarray(o) for o in outs)
+        # narrow dtypes before the device->host hop (levels fit int16,
+        # modes uint8) — D2H bandwidth is the scarce resource
+        modes_steps = np.asarray(outs[0].astype(jnp.uint8)).astype(np.int32)
+        ly, lu, lv = (np.asarray(o.astype(jnp.int16)).astype(np.int32)
+                      for o in outs[1:])
         nby, nbx = cfg.height // s, cfg.width // s
         coords, valid = wavefront.wavefront_coords(nby, nbx)
         modes = wavefront.steps_to_grid(modes_steps, coords, valid)
@@ -139,8 +144,9 @@ class EncLib:
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
         recon, sao_params = self._sao_stage(recon, planes[0], cfg.qp)
+        recon, alf_params = self._alf_stage(recon, planes[0], cfg.qp)
         sh = SliceHeader(poc=poc, slice_type=SliceType.I, qp=cfg.qp,
-                         sao_params=sao_params)
+                         sao_params=sao_params, alf_params=alf_params)
         bw = BitWriter()
         sh.write(bw, self.sps)
         bw.write_bytes(payload)
@@ -190,10 +196,11 @@ class EncLib:
                     cfg.search_range, epipoles, cfg.wrap_around)
             ep_for_mvp = (epipoles or {}).get(
                 MotionModelID.GEODESIC_CAMPOSE)
+            lyh, luh, lvh = (np.asarray(l.astype(jnp.int16))
+                             .astype(np.int32) for l in (ly, lu, lv))
             payload = encode_p_slice_mm(
                 np.asarray(model_idx), active, np.asarray(mvs_stack),
-                np.asarray(ly), np.asarray(lu), np.asarray(lv), s,
-                self.mvp_conv, ep_for_mvp)
+                lyh, luh, lvh, s, self.mvp_conv, ep_for_mvp)
             mvs = jnp.take_along_axis(
                 mvs_stack, model_idx[None, :, :, None].astype(jnp.int32),
                 axis=0)[0]
@@ -203,8 +210,9 @@ class EncLib:
                 jnp.asarray(planes[2]), jnp.asarray(ref[0]),
                 jnp.asarray(ref[1]), jnp.asarray(ref[2]), cfg.qp, s,
                 cfg.bit_depth, cfg.search_range, cfg.wrap_around)
-            payload = encode_p_slice(np.asarray(mvs), np.asarray(ly),
-                                     np.asarray(lu), np.asarray(lv))
+            lyh, luh, lvh = (np.asarray(l.astype(jnp.int16))
+                             .astype(np.int32) for l in (ly, lu, lv))
+            payload = encode_p_slice(np.asarray(mvs), lyh, luh, lvh)
         if cfg.deblocking:
             has_resid = (jnp.any(ly != 0, axis=(2, 3))
                          | jnp.any(lu != 0, axis=(2, 3))
@@ -216,9 +224,10 @@ class EncLib:
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
         recon, sao_params = self._sao_stage(recon, planes[0], cfg.qp)
+        recon, alf_params = self._alf_stage(recon, planes[0], cfg.qp)
         sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=cfg.qp,
                          ref_pocs_l0=[ref_poc], epipole_delta=epipole_delta,
-                         sao_params=sao_params)
+                         sao_params=sao_params, alf_params=alf_params)
         bw = BitWriter()
         sh.write(bw, self.sps)
         bw.write_bytes(payload)
@@ -254,9 +263,11 @@ class EncLib:
         ly, lu, lv, _ = inter_frame.bpred_and_residual(
             oy, ou, ov, tuple(r0), tuple(r1), mv0, mv1, dirs, cfg.qp, s,
             cfg.bit_depth, cfg.wrap_around)
+        lyh, luh, lvh = (np.asarray(l.astype(jnp.int16)).astype(np.int32)
+                         for l in (ly, lu, lv))
         payload, coded0, coded1 = encode_b_slice(
-            np.asarray(mv0), np.asarray(mv1), np.asarray(dirs),
-            np.asarray(ly), np.asarray(lu), np.asarray(lv))
+            np.asarray(mv0), np.asarray(mv1), np.asarray(dirs), lyh, luh,
+            lvh)
         # reconstruct with the *coded* grids (unused-list entries replaced
         # by MVPs) so the decoder's deblock inputs match bit-exactly
         recon = inter_frame.reconstruct_b_frame(
@@ -276,9 +287,11 @@ class EncLib:
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
         recon, sao_params = self._sao_stage(recon, planes[0], cfg.qp)
+        recon, alf_params = self._alf_stage(recon, planes[0], cfg.qp)
         sh = SliceHeader(poc=poc, slice_type=SliceType.B, qp=cfg.qp,
                          temporal_id=tid, ref_pocs_l0=[ref0_poc],
-                         ref_pocs_l1=[ref1_poc], sao_params=sao_params)
+                         ref_pocs_l1=[ref1_poc], sao_params=sao_params,
+                         alf_params=alf_params)
         bw = BitWriter()
         sh.write(bw, self.sps)
         bw.write_bytes(payload)
@@ -379,6 +392,30 @@ class EncLib:
         recon = dict(y=out_y, u=recon["u"], v=recon["v"])
         return recon, (np.asarray(types), np.asarray(offsets),
                        np.asarray(band_pos))
+
+    def _alf_stage(self, recon: dict, orig_y, qp: int):
+        """Estimate + apply luma ALF after SAO (reference: EncGOP.cpp:3527
+        ALFProcess)."""
+        if not self.cfg.alf:
+            return recon, None
+        lam = quant.lambda_from_qp(qp, intra=False)
+        coeffs, enable, cls4 = alf.estimate_alf(
+            jnp.asarray(orig_y), recon["y"], lam, self.cfg.bit_depth)
+        if not enable.any():
+            return recon, None
+        out_y = alf.apply_alf(recon["y"], cls4, jnp.asarray(coeffs),
+                              jnp.asarray(enable), self.cfg.bit_depth)
+        # frame-level RD gate: the 25x12 coefficient payload must pay for
+        # itself (reference: EncAdaptiveLoopFilter RD including APS bits)
+        o = jnp.asarray(orig_y)
+        gain = float(jnp.sum((o - recon["y"]) ** 2)
+                     - jnp.sum((o - out_y) ** 2))
+        coeff_bits = sum(2 * (abs(int(c)).bit_length() + 1)
+                         for c in coeffs.reshape(-1)) + enable.size
+        if gain < lam * coeff_bits:
+            return recon, None
+        recon = dict(y=out_y, u=recon["u"], v=recon["v"])
+        return recon, (coeffs, enable)
 
     def summary(self) -> dict:
         """reference: EncGOP::printOutSummary (EncGOP.cpp:4244)."""
