@@ -22,7 +22,16 @@ W, H, QP, NFRAMES = 2048, 1024, 37, 9
 
 
 def main() -> None:
+    import os
+
+    import jax
     import numpy as np
+
+    # persistent compile cache: repeat bench runs skip XLA recompiles
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from vvc_mm_tpu.common.slice_ps import MMConfig
     from vvc_mm_tpu.common.typedefs import ChromaFormat, ProjectionID
