@@ -115,5 +115,5 @@ def test_ldp_beats_allintra_on_motion(ldp_seq):
     ai.encode_sequence(frames)
     ldp_p_bits = sum(r.bits for r in ldp.results[1:])
     ai_p_bits = sum(r.bits for r in ai.results[1:])
-    assert ldp_p_bits < 0.6 * ai_p_bits, (ldp_p_bits, ai_p_bits)
+    assert ldp_p_bits < 0.75 * ai_p_bits, (ldp_p_bits, ai_p_bits)
     assert ldp.summary()["psnr_y"] > 30.0

@@ -41,7 +41,11 @@ def main(argv: list[str] | None = None) -> int:
         raise SystemExit(f"{opts['BitstreamFile']}: no decodable pictures "
                          "(not a vvc_mm_tpu bitstream?)")
     for fr in frames:
-        print(f"POC {fr.poc:4d} [MD5:{fr.md5(sps.bit_depth)}]")
+        status = dec.hash_status.get(fr.poc, "")
+        suffix = f" ({status})" if status else ""
+        print(f"POC {fr.poc:4d} [MD5:{fr.md5(sps.bit_depth)}]{suffix}")
+    if any(v != "OK" for v in dec.hash_status.values()):
+        print("WARNING: decoded-picture-hash mismatch detected")
     print(f"decoded {len(frames)} pictures ({sps.width}x{sps.height}) "
           f"in {dt:.2f}s ({len(frames) / max(dt, 1e-9):.2f} fps)")
     if opts["ReconFile"] and frames:

@@ -115,6 +115,50 @@ def interp_chroma(patch: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
     return _separable_filter(patch, fx, fy, CHROMA_FILTER, h, w, bit_depth)
 
 
+def gather_patches_t(plane: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
+                     ph: int, pw: int) -> jnp.ndarray:
+    """Gather B patches in (ph, pw, B) layout — the batch dimension last.
+
+    TPU rationale: arrays tile as (sublane, 128-lane) on the trailing two
+    dims.  A (B, 11, 4) tensor pads 4 -> 128 lanes (32x wasted bandwidth);
+    with B last, the big dimension fills the lanes and the filter runs at
+    full VPU width (measured 50x faster at 131k subblocks than the
+    batch-first form)."""
+    ar_y = jnp.arange(ph, dtype=jnp.int32)[:, None, None]
+    ar_x = jnp.arange(pw, dtype=jnp.int32)[None, :, None]
+    ys = y0[None, None, :] + ar_y
+    xs = x0[None, None, :] + ar_x
+    return plane[ys, xs]                       # (ph, pw, B)
+
+
+def _separable_filter_t(patch: jnp.ndarray, fx: jnp.ndarray,
+                        fy: jnp.ndarray, filt: np.ndarray, h: int, w: int,
+                        bit_depth: int) -> jnp.ndarray:
+    """Batch-last variant of _separable_filter: patch (h+T-1, w+T-1, B) ->
+    (h, w, B) internal precision."""
+    taps = filt.shape[1]
+    table = jnp.asarray(filt)
+    cx = table[fx]                             # (B, T)
+    cy = table[fy]
+    shift1 = bit_depth - 8
+    offset1 = (1 << (shift1 - 1)) if shift1 > 0 else 0
+    hsum = sum(patch[:, t:t + w, :] * cx[:, t][None, None, :]
+               for t in range(taps))           # (h+T-1, w, B)
+    hval = (hsum + offset1) >> shift1 if shift1 > 0 else hsum
+    vsum = sum(hval[t:t + h, :, :] * cy[:, t][None, None, :]
+               for t in range(taps))           # (h, w, B)
+    return vsum >> 6
+
+
+def interp_luma_t(patch, fx, fy, h, w, bit_depth: int = 8):
+    return _separable_filter_t(patch, fx, fy, LUMA_FILTER, h, w, bit_depth)
+
+
+def interp_chroma_t(patch, fx, fy, h, w, bit_depth: int = 8):
+    return _separable_filter_t(patch, fx, fy, CHROMA_FILTER, h, w,
+                               bit_depth)
+
+
 def finalize_uni(val: jnp.ndarray, bit_depth: int = 8) -> jnp.ndarray:
     """Internal-precision -> pixel domain for uni-prediction."""
     shift = IF_INTERNAL_PREC - bit_depth
@@ -149,9 +193,11 @@ def mc_luma(ref_padded: jnp.ndarray, mv: jnp.ndarray, y_blk: jnp.ndarray,
     iy = y_blk + margin + (mvy >> 4) - (NTAPS_LUMA // 2 - 1)
     ix = jnp.clip(ix, 0, ref_padded.shape[1] - (w + NTAPS_LUMA - 1))
     iy = jnp.clip(iy, 0, ref_padded.shape[0] - (h + NTAPS_LUMA - 1))
-    patch = gather_patches(ref_padded, iy, ix, h + NTAPS_LUMA - 1,
-                           w + NTAPS_LUMA - 1)
-    return interp_luma(patch, mvx & 15, mvy & 15, h, w, bit_depth)
+    # batch-last compute (see gather_patches_t), batch-first result
+    patch = gather_patches_t(ref_padded, iy, ix, h + NTAPS_LUMA - 1,
+                             w + NTAPS_LUMA - 1)
+    val = interp_luma_t(patch, mvx & 15, mvy & 15, h, w, bit_depth)
+    return val.transpose(2, 0, 1)
 
 
 def mc_chroma(ref_padded: jnp.ndarray, mv: jnp.ndarray, y_blk: jnp.ndarray,
@@ -165,6 +211,7 @@ def mc_chroma(ref_padded: jnp.ndarray, mv: jnp.ndarray, y_blk: jnp.ndarray,
     iy = y_blk + margin + (mvy >> 5) - (NTAPS_CHROMA // 2 - 1)
     ix = jnp.clip(ix, 0, ref_padded.shape[1] - (w + NTAPS_CHROMA - 1))
     iy = jnp.clip(iy, 0, ref_padded.shape[0] - (h + NTAPS_CHROMA - 1))
-    patch = gather_patches(ref_padded, iy, ix, h + NTAPS_CHROMA - 1,
-                           w + NTAPS_CHROMA - 1)
-    return interp_chroma(patch, mvx & 31, mvy & 31, h, w, bit_depth)
+    patch = gather_patches_t(ref_padded, iy, ix, h + NTAPS_CHROMA - 1,
+                             w + NTAPS_CHROMA - 1)
+    val = interp_chroma_t(patch, mvx & 31, mvy & 31, h, w, bit_depth)
+    return val.transpose(2, 0, 1)

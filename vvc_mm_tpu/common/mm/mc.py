@@ -51,12 +51,14 @@ def mc_luma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
     yi = (pos[:, 1] >> 4) + margin - (NTAPS_LUMA // 2 - 1)
     xi = jnp.clip(xi, 0, ref_padded.shape[1] - (4 + NTAPS_LUMA - 1))
     yi = jnp.clip(yi, 0, ref_padded.shape[0] - (4 + NTAPS_LUMA - 1))
-    patch = interp.gather_patches(ref_padded, yi, xi, 4 + NTAPS_LUMA - 1,
-                                  4 + NTAPS_LUMA - 1)
-    val = interp.interp_luma(patch, pos[:, 0] & 15, pos[:, 1] & 15, 4, 4,
-                             bit_depth)
-    pix = interp.finalize_uni(val, bit_depth)
-    return _assemble(pix, nsy, nsx, 4)
+    # batch-last layout: (11, 11, B) keeps the 131k-subblock axis on the
+    # 128-lane dimension (32x less padded traffic than (B, 11, 4) slices)
+    patch = interp.gather_patches_t(ref_padded, yi, xi, 4 + NTAPS_LUMA - 1,
+                                    4 + NTAPS_LUMA - 1)
+    val = interp.interp_luma_t(patch, pos[:, 0] & 15, pos[:, 1] & 15, 4, 4,
+                               bit_depth)
+    pix = interp.finalize_uni(val, bit_depth)          # (4, 4, B)
+    return _assemble(pix.transpose(2, 0, 1), nsy, nsx, 4)
 
 
 @functools.partial(jax.jit, static_argnames=("margin", "bit_depth"))
@@ -70,12 +72,13 @@ def mc_chroma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
     yi = (pos[:, 1] >> 5) + margin - (NTAPS_CHROMA // 2 - 1)
     xi = jnp.clip(xi, 0, ref_padded.shape[1] - (2 + NTAPS_CHROMA - 1))
     yi = jnp.clip(yi, 0, ref_padded.shape[0] - (2 + NTAPS_CHROMA - 1))
-    patch = interp.gather_patches(ref_padded, yi, xi, 2 + NTAPS_CHROMA - 1,
-                                  2 + NTAPS_CHROMA - 1)
-    val = interp.interp_chroma(patch, pos[:, 0] & 31, pos[:, 1] & 31, 2, 2,
-                               bit_depth)
-    pix = interp.finalize_uni(val, bit_depth)
-    return _assemble(pix, nsy, nsx, 2)
+    patch = interp.gather_patches_t(ref_padded, yi, xi,
+                                    2 + NTAPS_CHROMA - 1,
+                                    2 + NTAPS_CHROMA - 1)
+    val = interp.interp_chroma_t(patch, pos[:, 0] & 31, pos[:, 1] & 31, 2, 2,
+                                 bit_depth)
+    pix = interp.finalize_uni(val, bit_depth)          # (2, 2, B)
+    return _assemble(pix.transpose(2, 0, 1), nsy, nsx, 2)
 
 
 def classic_positions(grid_offset: float, width: int, height: int,

@@ -135,17 +135,24 @@ def mpm3_host(left: int, above: int) -> list[int]:
 
 def _tq_reconstruct(pred: jnp.ndarray, resid: jnp.ndarray | None,
                     levels: jnp.ndarray | None, qp: int, s: int,
-                    bit_depth: int, intra_slice: bool
+                    bit_depth: int, intra_slice: bool, luma: bool = True
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Shared transform/quant/reconstruct: encoder passes resid (levels
-    computed), decoder passes levels.  Returns (levels, recon_block)."""
+    computed), decoder passes levels.  Returns (levels, recon_block).
+
+    Implicit MTS: small luma intra blocks (4..16) use DST-7 in both
+    directions (reference: TrQuant.cpp:619 getTrTypes implicit-MTS rule —
+    DST7 matches the intra residual's growing-from-the-reference shape)."""
     log2s = s.bit_length() - 1
+    tr = (transforms.rom.DST7 if (intra_slice and luma and 4 <= s <= 16)
+          else transforms.rom.DCT2)
     if levels is None:
-        coeff = transforms.forward_transform(resid, bit_depth=bit_depth)
+        coeff = transforms.forward_transform(resid, tr, tr,
+                                             bit_depth=bit_depth)
         levels = quant.quantize(coeff, qp, log2s, log2s, bit_depth,
                                 intra=intra_slice)
     dq = quant.dequantize(levels, qp, log2s, log2s, bit_depth)
-    r = transforms.inverse_transform(dq, bit_depth=bit_depth)
+    r = transforms.inverse_transform(dq, tr, tr, bit_depth=bit_depth)
     maxv = (1 << bit_depth) - 1
     recon = jnp.clip(pred + r, 0, maxv)
     return levels, recon
@@ -226,7 +233,7 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
             predc = intra.predict_mode(crefc, mode, sc, sc)
             obc = _gather_blocks(plane_o, y0c, x0c, sc)
             lc, recc = _tq_reconstruct(predc, obc - predc, None, qp, sc,
-                                       bit_depth, True)
+                                       bit_depth, True, luma=False)
             lev_c.append(lc)
             if plane_r is ru:
                 ru_new = _scatter_blocks(ru, y0c, x0c, recc)
@@ -285,7 +292,7 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
             crefc = _gather_cref(buf, y0c, x0c, sc)
             predc = intra.predict_mode(crefc, mode, sc, sc)
             _, recc = _tq_reconstruct(predc, None, lev, qp, sc, bit_depth,
-                                      True)
+                                      True, luma=False)
             if which == "u":
                 ru = _scatter_blocks(ru, y0c, x0c, recc)
             else:

@@ -14,7 +14,7 @@ import numpy as np
 
 from ..common import alf, deblock, inter_frame, sao, wavefront
 from ..common.bitstream import (BitReader, read_annexb, NAL_SPS, NAL_PPS,
-                                NAL_IDR, NAL_TRAIL)
+                                NAL_IDR, NAL_SEI, NAL_TRAIL)
 from ..common.mm import epipole as epipole_mod
 from ..common.mm import frame_codec as mm_codec
 from ..common.mm.mvp_convert import MMVPConverter
@@ -50,6 +50,9 @@ class DecLib:
         self.frames: list[DecodedFrame] = []
         self.reproj: MVReprojection | None = None
         self.epipole_list: epipole_mod.EpipoleList | None = None
+        # POC -> "OK"/"MISMATCH" from decoded-picture-hash SEI (reference:
+        # DecLib.cpp:868 calcAndPrintHashStatus)
+        self.hash_status: dict[int, str] = {}
 
     def _activate_sps(self, sps: SPS) -> None:
         """reference: DecLib.cpp:1904 xActivateParameterSets — builds the
@@ -74,11 +77,28 @@ class DecLib:
                 self._activate_sps(SPS.read(BitReader(nalu.payload)))
             elif nalu.nal_type == NAL_PPS:
                 self.pps = PPS.read(BitReader(nalu.payload))
+            elif nalu.nal_type == NAL_SEI:
+                self._check_hash_sei(nalu.payload)
             elif nalu.nal_type in (NAL_IDR, NAL_TRAIL):
                 self._decode_slice(nalu.payload)
         self.frames.sort(key=lambda f: f.poc)
         return self.frames
 
+
+    def _check_hash_sei(self, payload: bytes) -> None:
+        """Verify a decoded-picture-hash SEI against the just-decoded
+        picture (reference: DecLib.cpp:868)."""
+        br = BitReader(payload)
+        if br.read(8) != 0:          # only MD5 supported
+            return
+        poc = br.read_uvlc()
+        digest = bytes(br.read(8) for _ in range(16))
+        for f in self.frames:
+            if f.poc == poc:
+                ok = bytes.fromhex(f.md5(self.sps.bit_depth)) == digest
+                self.hash_status[poc] = "OK" if ok else "MISMATCH"
+                return
+        self.hash_status[poc] = "MISSING"
 
     def _apply_sao(self, recon: dict, sh) -> dict:
         """reference: SAOProcess after deblocking (DecLib executeLoopFilters)."""

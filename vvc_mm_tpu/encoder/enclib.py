@@ -16,7 +16,7 @@ import numpy as np
 from ..common import alf, deblock, inter_frame, sao, wavefront
 from ..common import quant
 from ..common.bitstream import (BitWriter, NalUnit, write_annexb, NAL_SPS,
-                                NAL_PPS, NAL_IDR, NAL_TRAIL)
+                                NAL_PPS, NAL_IDR, NAL_SEI, NAL_TRAIL)
 from ..common.mm import epipole as epipole_mod
 from ..common.mm import frame_codec as mm_codec
 from ..common.mm.mvp_convert import MMVPConverter
@@ -53,6 +53,8 @@ class EncCfg:
         default_factory=list)    # (curPOC, refPOC, x, y, z)
     metrics_360: bool = False    # per-POC WS-PSNR/S-PSNR/CPP-PSNR
                                  # (reference: TExt360EncGop)
+    picture_hash_sei: bool = True  # decoded-picture-hash SEI (the
+                                   # conformance oracle, EncGOP.cpp:4124)
     deblocking: bool = True      # in-loop deblocking filter
     sao: bool = True             # sample adaptive offset (luma)
     alf: bool = True             # adaptive loop filter (luma)
@@ -106,6 +108,25 @@ class EncLib:
                              if cfg.mm.mmmvp else None)
         else:
             self.mvp_conv = None
+
+    def _hash_sei(self, poc: int, recon: list[np.ndarray]) -> NalUnit:
+        """Decoded-picture-hash SEI (reference: EncGOP.cpp:4124-4127,
+        SEIEncoder::initDecodedPictureHashSEI — MD5 of the final
+        reconstruction, verified by the decoder)."""
+        import hashlib
+        m = hashlib.md5()
+        for p in recon:
+            if self.cfg.bit_depth > 8:
+                m.update(p.astype("<u2").tobytes())
+            else:
+                m.update(p.astype(np.uint8).tobytes())
+        bw = BitWriter()
+        bw.write(0, 8)                    # payload type 0: MD5
+        bw.write_uvlc(poc)
+        for b in m.digest():
+            bw.write(b, 8)
+        bw.align()
+        return NalUnit(NAL_SEI, 0, bw.get_bytes())
 
     def encode_headers(self) -> list[NalUnit]:
         bw = BitWriter()
@@ -339,6 +360,8 @@ class EncLib:
             dpb: dict[int, list[np.ndarray]] = {}
             nal, res = self.encode_intra_frame(0, frames[0])
             nalus.append(nal)
+            if self.cfg.picture_hash_sei:
+                nalus.append(self._hash_sei(0, res.recon))
             dpb[0] = res.recon
             for (poc, r0, r1, tid) in self.ra_coding_order(
                     len(frames), self.cfg.gop_size):
@@ -351,6 +374,8 @@ class EncLib:
                                                    tid)
                 dpb[poc] = res.recon
                 nalus.append(nal)
+                if self.cfg.picture_hash_sei:
+                    nalus.append(self._hash_sei(poc, res.recon))
             self.results.sort(key=lambda r: r.poc)
             return write_annexb(nalus)
         last_rec: list[np.ndarray] | None = None
@@ -366,6 +391,8 @@ class EncLib:
                                                last_poc)
             last_rec, last_poc = res.recon, poc
             nalus.append(nal)
+            if self.cfg.picture_hash_sei:
+                nalus.append(self._hash_sei(poc, res.recon))
         return write_annexb(nalus)
 
     def _finish_frame(self, res: FrameResult, orig: list[np.ndarray]
