@@ -54,6 +54,34 @@ def _encode_batch(ys: jnp.ndarray, us: jnp.ndarray, vs: jnp.ndarray,
     return jax.vmap(f)(ys, us, vs)
 
 
+def encode_p_frame_sharded(orig: list[np.ndarray], ref: list[np.ndarray],
+                           qp: int, mesh: Mesh, block_size: int = 16,
+                           bit_depth: int = 8, search_range: int = 24,
+                           wrap_around: bool = False):
+    """Spatially-sharded P-frame encode: the current picture's rows are
+    sharded over the whole mesh, the reference picture is replicated (the
+    'reference-plane all-gather' strategy of SURVEY.md §2.9 — motion search
+    reads +-search_range anywhere, so each shard holds the full ref while
+    source pixels, residual transforms and reconstruction stay local to
+    the shard; XLA inserts the collectives for the frame-level reductions).
+
+    Returns (mvs, lev_y, lev_u, lev_v, recon) like inter_frame.encode_p_frame.
+    """
+    from ..common import inter_frame
+
+    row_shard = NamedSharding(mesh, P(("gop", "tile"), None))
+    repl = NamedSharding(mesh, P())
+    oy = jax.device_put(jnp.asarray(orig[0]), row_shard)
+    ou = jax.device_put(jnp.asarray(orig[1]), row_shard)
+    ov = jax.device_put(jnp.asarray(orig[2]), row_shard)
+    ry = jax.device_put(jnp.asarray(ref[0]), repl)
+    ru = jax.device_put(jnp.asarray(ref[1]), repl)
+    rv = jax.device_put(jnp.asarray(ref[2]), repl)
+    return inter_frame.encode_p_frame(oy, ou, ov, ry, ru, rv, qp,
+                                      block_size, bit_depth, search_range,
+                                      wrap_around)
+
+
 def encode_frames_sharded(frames: list[list[np.ndarray]], qp: int,
                           mesh: Mesh, block_size: int = 8,
                           bit_depth: int = 8):
