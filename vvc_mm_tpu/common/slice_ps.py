@@ -159,7 +159,8 @@ class SliceHeader:
     ref_pocs_l0: list[int] = field(default_factory=list)
     ref_pocs_l1: list[int] = field(default_factory=list)
     epipole_delta: tuple[int, int, int] | None = None  # 2^-24 fixed point
-    # per-region SAO params (types, offsets(4), band_pos), luma
+    # per-plane per-region SAO params: tuple of 3 entries (Y, Cb, Cr),
+    # each (types, offsets(4), band_pos) or None
     sao_params: tuple | None = None
     # ALF params: (coeffs (25,12) int32, enable (gy,gx) bool), luma
     alf_params: tuple | None = None
@@ -182,17 +183,21 @@ class SliceHeader:
         if sps.sao:
             bw.write_flag(self.sao_params is not None)
             if self.sao_params is not None:
-                types, offsets, band_pos = self.sao_params
-                gy, gx = types.shape
-                for y in range(gy):
-                    for x in range(gx):
-                        t = int(types[y, x])
-                        bw.write(t, 3)
-                        if t:
-                            for c in range(4):
-                                bw.write_svlc(int(offsets[y, x, c]))
-                        if t == 1:
-                            bw.write(int(band_pos[y, x]), 5)
+                for plane_params in self.sao_params:
+                    bw.write_flag(plane_params is not None)
+                    if plane_params is None:
+                        continue
+                    types, offsets, band_pos = plane_params
+                    gy, gx = types.shape
+                    for y in range(gy):
+                        for x in range(gx):
+                            t = int(types[y, x])
+                            bw.write(t, 3)
+                            if t:
+                                for c in range(4):
+                                    bw.write_svlc(int(offsets[y, x, c]))
+                            if t == 1:
+                                bw.write(int(band_pos[y, x]), 5)
         if sps.alf:
             bw.write_flag(self.alf_params is not None)
             if self.alf_params is not None:
@@ -225,21 +230,32 @@ class SliceHeader:
             if br.read_flag():
                 import numpy as np
                 from .sao import REGION
-                gy = -(-sps.height // REGION)
-                gx = -(-sps.width // REGION)
-                types = np.zeros((gy, gx), dtype=np.int32)
-                offsets = np.zeros((gy, gx, 4), dtype=np.int32)
-                band_pos = np.zeros((gy, gx), dtype=np.int32)
-                for y in range(gy):
-                    for x in range(gx):
-                        t = br.read(3)
-                        types[y, x] = t
-                        if t:
-                            for c in range(4):
-                                offsets[y, x, c] = br.read_svlc()
-                        if t == 1:
-                            band_pos[y, x] = br.read(5)
-                sh.sao_params = (types, offsets, band_pos)
+                from .typedefs import CHROMA_SCALE_X, CHROMA_SCALE_Y
+                plane_dims = [(sps.height, sps.width)]
+                ch = sps.height >> CHROMA_SCALE_Y[sps.chroma_format]
+                cw = sps.width >> CHROMA_SCALE_X[sps.chroma_format]
+                plane_dims += [(ch, cw), (ch, cw)]
+                params = []
+                for (hh, ww) in plane_dims:
+                    if not br.read_flag():
+                        params.append(None)
+                        continue
+                    gy = -(-hh // REGION)
+                    gx = -(-ww // REGION)
+                    types = np.zeros((gy, gx), dtype=np.int32)
+                    offsets = np.zeros((gy, gx, 4), dtype=np.int32)
+                    band_pos = np.zeros((gy, gx), dtype=np.int32)
+                    for y in range(gy):
+                        for x in range(gx):
+                            t = br.read(3)
+                            types[y, x] = t
+                            if t:
+                                for c in range(4):
+                                    offsets[y, x, c] = br.read_svlc()
+                            if t == 1:
+                                band_pos[y, x] = br.read(5)
+                    params.append((types, offsets, band_pos))
+                sh.sao_params = tuple(params)
         if sps.alf:
             if br.read_flag():
                 import numpy as np

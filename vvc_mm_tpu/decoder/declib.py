@@ -103,11 +103,16 @@ class DecLib:
     def _apply_sao(self, recon: dict, sh) -> dict:
         """reference: SAOProcess after deblocking (DecLib executeLoopFilters)."""
         if self.sps.sao and sh.sao_params is not None:
-            types, offsets, band_pos = sh.sao_params
-            out_y = sao.apply_sao(recon["y"], jnp.asarray(types),
-                                  jnp.asarray(offsets), jnp.asarray(band_pos),
-                                  self.sps.bit_depth)
-            recon = dict(y=out_y, u=recon["u"], v=recon["v"])
+            out = dict(recon)
+            for key, plane_params in zip(("y", "u", "v"), sh.sao_params):
+                if plane_params is None:
+                    continue
+                types, offsets, band_pos = plane_params
+                out[key] = sao.apply_sao(recon[key], jnp.asarray(types),
+                                         jnp.asarray(offsets),
+                                         jnp.asarray(band_pos),
+                                         self.sps.bit_depth)
+            recon = out
         if self.sps.alf and sh.alf_params is not None:
             coeffs, enable = sh.alf_params
             cls4 = alf.classify(recon["y"], self.sps.bit_depth)

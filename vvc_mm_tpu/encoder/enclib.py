@@ -164,7 +164,7 @@ class EncLib:
                 recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, cfg.qp,
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
-        recon, sao_params = self._sao_stage(recon, planes[0], cfg.qp)
+        recon, sao_params = self._sao_stage(recon, planes, cfg.qp)
         recon, alf_params = self._alf_stage(recon, planes[0], cfg.qp)
         sh = SliceHeader(poc=poc, slice_type=SliceType.I, qp=cfg.qp,
                          sao_params=sao_params, alf_params=alf_params)
@@ -244,7 +244,7 @@ class EncLib:
                 recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, cfg.qp,
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
-        recon, sao_params = self._sao_stage(recon, planes[0], cfg.qp)
+        recon, sao_params = self._sao_stage(recon, planes, cfg.qp)
         recon, alf_params = self._alf_stage(recon, planes[0], cfg.qp)
         sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=cfg.qp,
                          ref_pocs_l0=[ref_poc], epipole_delta=epipole_delta,
@@ -307,7 +307,7 @@ class EncLib:
                 recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, cfg.qp,
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
-        recon, sao_params = self._sao_stage(recon, planes[0], cfg.qp)
+        recon, sao_params = self._sao_stage(recon, planes, cfg.qp)
         recon, alf_params = self._alf_stage(recon, planes[0], cfg.qp)
         sh = SliceHeader(poc=poc, slice_type=SliceType.B, qp=cfg.qp,
                          temporal_id=tid, ref_pocs_l0=[ref0_poc],
@@ -405,20 +405,29 @@ class EncLib:
                                           self.cfg.bit_depth)
         return res
 
-    def _sao_stage(self, recon: dict, orig_y, qp: int):
-        """Estimate + apply luma SAO after deblocking (reference:
-        EncGOP.cpp:3495 SAOProcess after deblock).  Returns (recon,
-        sao_params-or-None)."""
+    def _sao_stage(self, recon: dict, planes, qp: int):
+        """Estimate + apply SAO on all three planes after deblocking
+        (reference: EncGOP.cpp:3495 SAOProcess after deblock).  Returns
+        (recon, sao_params-or-None)."""
         if not self.cfg.sao:
             return recon, None
         lam = quant.lambda_from_qp(qp, intra=False)
-        types, offsets, band_pos = sao.estimate_sao(
-            jnp.asarray(orig_y), recon["y"], lam, self.cfg.bit_depth)
-        out_y = sao.apply_sao(recon["y"], types, offsets, band_pos,
-                              self.cfg.bit_depth)
-        recon = dict(y=out_y, u=recon["u"], v=recon["v"])
-        return recon, (np.asarray(types), np.asarray(offsets),
-                       np.asarray(band_pos))
+        out = dict(recon)
+        params = []
+        for key, orig in (("y", planes[0]), ("u", planes[1]),
+                          ("v", planes[2])):
+            types, offsets, band_pos = sao.estimate_sao(
+                jnp.asarray(orig), recon[key], lam, self.cfg.bit_depth)
+            tn = np.asarray(types)
+            if not tn.any():
+                params.append(None)
+                continue
+            out[key] = sao.apply_sao(recon[key], types, offsets, band_pos,
+                                     self.cfg.bit_depth)
+            params.append((tn, np.asarray(offsets), np.asarray(band_pos)))
+        if all(p is None for p in params):
+            return recon, None
+        return out, tuple(params)
 
     def _alf_stage(self, recon: dict, orig_y, qp: int):
         """Estimate + apply luma ALF after SAO (reference: EncGOP.cpp:3527
