@@ -23,6 +23,7 @@ def build_parser() -> OptionParser:
     p.add("BitstreamFile", "", "input bitstream")
     p.add("ReconFile", "", "output YUV")
     p.add("OutputBitDepth", 0, "0 = keep internal")
+    p.add("BitStats", False, "per-syntax bit statistics (analyser mode)")
     return p
 
 
@@ -33,7 +34,11 @@ def main(argv: list[str] | None = None) -> int:
     with open(opts["BitstreamFile"], "rb") as f:
         data = f.read()
     t0 = time.time()
-    dec = DecLib()
+    stats = None
+    if opts["BitStats"]:
+        from ..utils.trace import BitStats
+        stats = BitStats()
+    dec = DecLib(stats=stats)
     frames = dec.decode_bytes(data)
     dt = time.time() - t0
     sps = dec.sps
@@ -48,6 +53,8 @@ def main(argv: list[str] | None = None) -> int:
         print("WARNING: decoded-picture-hash mismatch detected")
     print(f"decoded {len(frames)} pictures ({sps.width}x{sps.height}) "
           f"in {dt:.2f}s ({len(frames) / max(dt, 1e-9):.2f} fps)")
+    if stats is not None:
+        print(stats.report())
     if opts["ReconFile"] and frames:
         fmt = VideoFormat(sps.width, sps.height, sps.bit_depth,
                           sps.chroma_format)

@@ -44,7 +44,8 @@ class DecodedFrame:
 class DecLib:
     """reference: DecLib.cpp:3615 decode — NAL loop lives here."""
 
-    def __init__(self) -> None:
+    def __init__(self, stats=None) -> None:
+        self.stats = stats        # utils.trace.BitStats for analyser mode
         self.sps: SPS | None = None
         self.pps: PPS | None = None
         self.frames: list[DecodedFrame] = []
@@ -130,7 +131,8 @@ class DecLib:
         if sh.slice_type == SliceType.I:
             s = sps.intra_block_size
             nby, nbx = sps.height // s, sps.width // s
-            modes, ly, lu, lv = decode_intra_slice(cabac_bytes, nby, nbx, s)
+            modes, ly, lu, lv = decode_intra_slice(cabac_bytes, nby, nbx, s,
+                                                   stats=self.stats)
             coords, valid = wavefront.wavefront_coords(nby, nbx)
             modes_steps = wavefront.grid_to_steps(modes, coords, valid)
             ly_s = wavefront.grid_to_steps(ly, coords, valid)
@@ -174,7 +176,7 @@ class DecLib:
                     MotionModelID.GEODESIC_CAMPOSE)
                 model_idx, mvs, ly, lu, lv = decode_p_slice_mm(
                     cabac_bytes, nby, nbx, s, active, self.mvp_conv,
-                    ep_for_mvp)
+                    ep_for_mvp, stats=self.stats)
                 mvs_stack = np.zeros((len(active),) + mvs.shape,
                                      dtype=np.int64)
                 np.put_along_axis(mvs_stack, model_idx[None, :, :, None]
@@ -186,7 +188,8 @@ class DecLib:
                     jnp.asarray(ref.planes[1]), jnp.asarray(ref.planes[2]),
                     sh.qp, s, sps.bit_depth, epipoles, sps.wrap_around)
             else:
-                mvs, ly, lu, lv = decode_p_slice(cabac_bytes, nby, nbx, s)
+                mvs, ly, lu, lv = decode_p_slice(cabac_bytes, nby, nbx, s,
+                                                 stats=self.stats)
                 recon = inter_frame.reconstruct_p_frame(
                     jnp.asarray(mvs), jnp.asarray(ly), jnp.asarray(lu),
                     jnp.asarray(lv), jnp.asarray(ref.planes[0]),
@@ -214,7 +217,8 @@ class DecLib:
             ref0 = self._ref_by_poc(sh.ref_pocs_l0[0])
             ref1 = self._ref_by_poc(sh.ref_pocs_l1[0])
             mv0, mv1, dirs, ly, lu, lv = decode_b_slice(cabac_bytes, nby,
-                                                        nbx, s)
+                                                        nbx, s,
+                                                        stats=self.stats)
             r0 = tuple(jnp.asarray(p) for p in ref0.planes)
             r1 = tuple(jnp.asarray(p) for p in ref1.planes)
             recon = inter_frame.reconstruct_b_frame(

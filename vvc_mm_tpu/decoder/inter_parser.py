@@ -16,6 +16,19 @@ from ..encoder.inter_coder import (_mm_mvp, inherited_model, mvp_median,
                                    mvp_median_same_model)
 
 
+def _lbl(dec, name: str) -> None:
+    lab = getattr(dec, "label", None)
+    if lab is not None:
+        lab(name)
+
+
+def _make(data: bytes, stats):
+    if stats is not None:
+        from ..utils.trace import StatsBinDecoder
+        return StatsBinDecoder(data, stats)
+    return make_decoder(data)
+
+
 def decode_mvd_comp(dec: BinDecoder, ctx_base: str = "Mvd") -> int:
     if not dec.decode_bin(ctx_id(ctx_base, 0)):
         return 0
@@ -36,11 +49,12 @@ def decode_motion_model(dec: BinDecoder, n_active: int) -> int:
 
 
 def decode_p_slice_mm(data: bytes, nby: int, nbx: int, s: int,
-                      active_models: list[int], conv=None, epipole=None
+                      active_models: list[int], conv=None, epipole=None,
+                      stats=None
                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                  np.ndarray, np.ndarray]:
     """Returns (model_idx, mvs (nby,nbx,2), lev_y, lev_u, lev_v)."""
-    dec = make_decoder(data)
+    dec = _make(data, stats)
     sc = s // 2
     model_idx = np.zeros((nby, nbx), dtype=np.int32)
     models_sel = np.zeros((nby, nbx), dtype=np.int32)
@@ -51,36 +65,40 @@ def decode_p_slice_mm(data: bytes, nby: int, nbx: int, s: int,
     model_to_idx = {m: i for i, m in enumerate(active_models)}
     for by in range(nby):
         for bx in range(nbx):
-            if dec.decode_bin(ctx_id("SkipFlag")):
+            if (_lbl(dec, "skip_flag") or dec.decode_bin(ctx_id("SkipFlag"))):
                 model = inherited_model(models_sel, by, bx)
                 models_sel[by, bx] = model
                 model_idx[by, bx] = model_to_idx[model]
                 mvs[by, bx] = _mm_mvp(mvs, models_sel, by, bx, model, s,
                                       conv, epipole)
                 continue
+            _lbl(dec, "motion_model")
             midx = decode_motion_model(dec, len(active_models))
             model = active_models[midx]
             model_idx[by, bx] = midx
             models_sel[by, bx] = model
+            _lbl(dec, "mvd")
             mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
                            dtype=np.int64)
             pred = _mm_mvp(mvs, models_sel, by, bx, model, s, conv, epipole)
             mvs[by, bx] = pred + mvd
             for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
                                     ("v", lev_v, sc)):
+                _lbl(dec, "cbf")
                 if dec.decode_bin(
                         ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])):
+                    _lbl(dec, "residual_" + comp)
                     lev[by, bx] = coeffs_decode(dec, size, size,
                                                 chroma=(comp != "y"))
     return model_idx, mvs, lev_y, lev_u, lev_v
 
 
-def decode_b_slice(data: bytes, nby: int, nbx: int, s: int
+def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                               np.ndarray, np.ndarray, np.ndarray]:
     """Exact inverse of encoder.inter_coder.encode_b_slice.  Returns
     (mv0, mv1, dirs, lev_y, lev_u, lev_v)."""
-    dec = make_decoder(data)
+    dec = _make(data, stats)
     sc = s // 2
     mv0 = np.zeros((nby, nbx, 2), dtype=np.int64)
     mv1 = np.zeros((nby, nbx, 2), dtype=np.int64)
@@ -94,7 +112,7 @@ def decode_b_slice(data: bytes, nby: int, nbx: int, s: int
             pred1 = mvp_median(mv1, by, bx)
             d_pred = (int(dirs[by, bx - 1]) if bx > 0
                       else int(dirs[by - 1, bx]) if by > 0 else 0)
-            if dec.decode_bin(ctx_id("SkipFlag")):
+            if (_lbl(dec, "skip_flag") or dec.decode_bin(ctx_id("SkipFlag"))):
                 dirs[by, bx] = d_pred
                 mv0[by, bx] = pred0
                 mv1[by, bx] = pred1
@@ -116,18 +134,20 @@ def decode_b_slice(data: bytes, nby: int, nbx: int, s: int
                 mv1[by, bx] = pred1
             for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
                                     ("v", lev_v, sc)):
+                _lbl(dec, "cbf")
                 if dec.decode_bin(
                         ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])):
+                    _lbl(dec, "residual_" + comp)
                     lev[by, bx] = coeffs_decode(dec, size, size,
                                                 chroma=(comp != "y"))
     return mv0, mv1, dirs, lev_y, lev_u, lev_v
 
 
-def decode_p_slice(data: bytes, nby: int, nbx: int, s: int
+def decode_p_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                               np.ndarray]:
     """Returns (mvs (nby,nbx,2) 1/16-pel, lev_y, lev_u, lev_v)."""
-    dec = make_decoder(data)
+    dec = _make(data, stats)
     sc = s // 2
     mvs = np.zeros((nby, nbx, 2), dtype=np.int64)
     lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
@@ -136,16 +156,19 @@ def decode_p_slice(data: bytes, nby: int, nbx: int, s: int
     for by in range(nby):
         for bx in range(nbx):
             pred = mvp_median(mvs, by, bx)
-            if dec.decode_bin(ctx_id("SkipFlag")):
+            if (_lbl(dec, "skip_flag") or dec.decode_bin(ctx_id("SkipFlag"))):
                 mvs[by, bx] = pred
                 continue
+            _lbl(dec, "mvd")
             mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
                            dtype=np.int64)
             mvs[by, bx] = pred + mvd
             for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
                                     ("v", lev_v, sc)):
+                _lbl(dec, "cbf")
                 if dec.decode_bin(
                         ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])):
+                    _lbl(dec, "residual_" + comp)
                     lev[by, bx] = coeffs_decode(dec, size, size,
                                                 chroma=(comp != "y"))
     return mvs, lev_y, lev_u, lev_v

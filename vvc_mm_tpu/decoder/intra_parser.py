@@ -25,11 +25,23 @@ def decode_intra_mode(dec: BinDecoder, left: int, above: int) -> int:
     return rem[dec.decode_bins_ep(6)]
 
 
-def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int
+def _lbl(dec, name: str) -> None:
+    lab = getattr(dec, "label", None)
+    if lab is not None:
+        lab(name)
+
+
+def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                   np.ndarray]:
-    """Returns (modes, lev_y, lev_u, lev_v) dense grids."""
-    dec = make_decoder(data)
+    """Returns (modes, lev_y, lev_u, lev_v) dense grids.  With `stats`
+    (utils.trace.BitStats) the Python spec coder runs with per-syntax
+    accounting (DecoderAnalyserApp analog)."""
+    if stats is not None:
+        from ..utils.trace import StatsBinDecoder
+        dec = StatsBinDecoder(data, stats)
+    else:
+        dec = make_decoder(data)
     sc = s // 2
     modes = np.zeros((nby, nbx), dtype=np.int32)
     lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
@@ -39,11 +51,14 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int
         for bx in range(nbx):
             left = int(modes[by, bx - 1]) if bx > 0 else -1
             above = int(modes[by - 1, bx]) if by > 0 else -1
+            _lbl(dec, "intra_mode")
             modes[by, bx] = decode_intra_mode(dec, left, above)
             for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
                                     ("v", lev_v, sc)):
                 cbf_ctx = ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])
+                _lbl(dec, "cbf")
                 if dec.decode_bin(cbf_ctx):
+                    _lbl(dec, "residual_" + comp)
                     lev[by, bx] = coeffs_decode(dec, size, size,
                                                 chroma=(comp != "y"))
     return modes, lev_y, lev_u, lev_v
