@@ -36,6 +36,9 @@ def build_parser() -> OptionParser:
     p.add("FramesToBeEncoded", 0, "0 = all")
     p.add("FrameSkip", 0, "frames to skip at start")
     p.add("QP", 32, "base quantization parameter")
+    p.add("RateControl", False, "enable lambda-domain rate control")
+    p.add("TargetBitrate", 0, "target bitrate in bps")
+    p.add("FrameRate", 30, "frames per second")
     p.add("IntraPeriod", -1, "IDR period (-1 = only first)")
     p.add("GOPSize", 8, "RA mini-GOP size")
     p.add("DecodingRefreshType", 1, "")
@@ -82,7 +85,10 @@ def main(argv: list[str] | None = None) -> int:
                  wrap_around=opts["WrapAround"],
                  deblocking=opts["Deblocking"], mm=mm,
                  epipoles=list(opts["Epipole"]),
-                 metrics_360=opts["SphereVideo"])
+                 metrics_360=opts["SphereVideo"],
+                 target_bitrate_kbps=(opts["TargetBitrate"] // 1000
+                                      if opts["RateControl"] else 0),
+                 frame_rate=float(opts["FrameRate"]))
 
     fmt = VideoFormat(w, h, opts["InputBitDepth"],
                       {400: ChromaFormat.C400, 420: ChromaFormat.C420,

@@ -56,6 +56,8 @@ class EncCfg:
     picture_hash_sei: bool = True  # decoded-picture-hash SEI (the
                                    # conformance oracle, EncGOP.cpp:4124)
     deblocking: bool = True      # in-loop deblocking filter
+    target_bitrate_kbps: int = 0  # 0 = fixed QP; else lambda-domain RC
+    frame_rate: float = 30.0
     sao: bool = True             # sample adaptive offset (luma)
     alf: bool = True             # adaptive loop filter (luma)
 
@@ -137,14 +139,16 @@ class EncLib:
         pps_nal = NalUnit(NAL_PPS, 0, bw.get_bytes())
         return [sps_nal, pps_nal]
 
-    def encode_intra_frame(self, poc: int, planes: list[np.ndarray]
+    def encode_intra_frame(self, poc: int, planes: list[np.ndarray],
+                           qp: int | None = None
                            ) -> tuple[NalUnit, FrameResult]:
         cfg = self.cfg
+        qp = self.cfg.qp if qp is None else qp
         t0 = time.time()
         s = cfg.intra_block_size
         outs, recon = wavefront.encode_intra_frame(
             jnp.asarray(planes[0]), jnp.asarray(planes[1]),
-            jnp.asarray(planes[2]), cfg.qp, s, cfg.bit_depth)
+            jnp.asarray(planes[2]), qp, s, cfg.bit_depth)
         # narrow dtypes before the device->host hop (levels fit int16,
         # modes uint8) — D2H bandwidth is the scarce resource
         modes_steps = np.asarray(outs[0].astype(jnp.uint8)).astype(np.int32)
@@ -161,12 +165,12 @@ class EncLib:
         if cfg.deblocking:
             bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)
             ry, ru, rv = deblock.deblock_frame(
-                recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, cfg.qp,
+                recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, qp,
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
-        recon, sao_params = self._sao_stage(recon, planes, cfg.qp)
-        recon, alf_params = self._alf_stage(recon, planes[0], cfg.qp)
-        sh = SliceHeader(poc=poc, slice_type=SliceType.I, qp=cfg.qp,
+        recon, sao_params = self._sao_stage(recon, planes, qp)
+        recon, alf_params = self._alf_stage(recon, planes[0], qp)
+        sh = SliceHeader(poc=poc, slice_type=SliceType.I, qp=qp,
                          sao_params=sao_params, alf_params=alf_params)
         bw = BitWriter()
         sh.write(bw, self.sps)
@@ -185,11 +189,13 @@ class EncLib:
         return nal, res
 
     def encode_p_frame(self, poc: int, planes: list[np.ndarray],
-                       ref: list[np.ndarray], ref_poc: int
+                       ref: list[np.ndarray], ref_poc: int,
+                       qp: int | None = None
                        ) -> tuple[NalUnit, FrameResult]:
         """Low-delay P encode against one reference reconstruction
         (reference: EncGOP::compressGOP inter picture path)."""
         cfg = self.cfg
+        qp = self.cfg.qp if qp is None else qp
         t0 = time.time()
         s = cfg.inter_block_size
         epipole_delta = None
@@ -213,7 +219,7 @@ class EncLib:
                     self.reproj, active, jnp.asarray(planes[0]),
                     jnp.asarray(planes[1]), jnp.asarray(planes[2]),
                     jnp.asarray(ref[0]), jnp.asarray(ref[1]),
-                    jnp.asarray(ref[2]), cfg.qp, s, cfg.bit_depth,
+                    jnp.asarray(ref[2]), qp, s, cfg.bit_depth,
                     cfg.search_range, epipoles, cfg.wrap_around)
             ep_for_mvp = (epipoles or {}).get(
                 MotionModelID.GEODESIC_CAMPOSE)
@@ -229,7 +235,7 @@ class EncLib:
             mvs, ly, lu, lv, recon = inter_frame.encode_p_frame(
                 jnp.asarray(planes[0]), jnp.asarray(planes[1]),
                 jnp.asarray(planes[2]), jnp.asarray(ref[0]),
-                jnp.asarray(ref[1]), jnp.asarray(ref[2]), cfg.qp, s,
+                jnp.asarray(ref[1]), jnp.asarray(ref[2]), qp, s,
                 cfg.bit_depth, cfg.search_range, cfg.wrap_around)
             lyh, luh, lvh = (np.asarray(l.astype(jnp.int16))
                              .astype(np.int32) for l in (ly, lu, lv))
@@ -241,12 +247,12 @@ class EncLib:
             bs_v, bs_h = deblock.boundary_strengths_inter(
                 jnp.asarray(mvs, dtype=jnp.int32), has_resid)
             ry, ru, rv = deblock.deblock_frame(
-                recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, cfg.qp,
+                recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, qp,
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
-        recon, sao_params = self._sao_stage(recon, planes, cfg.qp)
-        recon, alf_params = self._alf_stage(recon, planes[0], cfg.qp)
-        sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=cfg.qp,
+        recon, sao_params = self._sao_stage(recon, planes, qp)
+        recon, alf_params = self._alf_stage(recon, planes[0], qp)
+        sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=qp,
                          ref_pocs_l0=[ref_poc], epipole_delta=epipole_delta,
                          sao_params=sao_params, alf_params=alf_params)
         bw = BitWriter()
@@ -267,22 +273,24 @@ class EncLib:
 
     def encode_b_frame(self, poc: int, planes: list[np.ndarray],
                        ref0: list[np.ndarray], ref0_poc: int,
-                       ref1: list[np.ndarray], ref1_poc: int, tid: int = 0
+                       ref1: list[np.ndarray], ref1_poc: int, tid: int = 0,
+                       qp: int | None = None
                        ) -> tuple[NalUnit, FrameResult]:
         """Hierarchical-B encode against past+future references (reference:
         EncGOP compressGOP B pictures; RA GOP table
         cfg/encoder_randomaccess_vtm.cfg:13-33)."""
         cfg = self.cfg
+        qp = self.cfg.qp if qp is None else qp
         t0 = time.time()
         s = cfg.inter_block_size
         r0 = [jnp.asarray(p) for p in ref0]
         r1 = [jnp.asarray(p) for p in ref1]
         oy, ou, ov = (jnp.asarray(p) for p in planes)
         mv0, mv1, dirs = inter_frame.search_b_frame(
-            oy, r0[0], r1[0], cfg.qp, s, cfg.bit_depth, cfg.search_range,
+            oy, r0[0], r1[0], qp, s, cfg.bit_depth, cfg.search_range,
             cfg.wrap_around)
         ly, lu, lv, _ = inter_frame.bpred_and_residual(
-            oy, ou, ov, tuple(r0), tuple(r1), mv0, mv1, dirs, cfg.qp, s,
+            oy, ou, ov, tuple(r0), tuple(r1), mv0, mv1, dirs, qp, s,
             cfg.bit_depth, cfg.wrap_around)
         lyh, luh, lvh = (np.asarray(l.astype(jnp.int16)).astype(np.int32)
                          for l in (ly, lu, lv))
@@ -294,7 +302,7 @@ class EncLib:
         recon = inter_frame.reconstruct_b_frame(
             jnp.asarray(coded0), jnp.asarray(coded1), dirs,
             jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
-            tuple(r0), tuple(r1), cfg.qp, s, cfg.bit_depth, cfg.wrap_around)
+            tuple(r0), tuple(r1), qp, s, cfg.bit_depth, cfg.wrap_around)
         if cfg.deblocking:
             has_resid = (jnp.any(jnp.asarray(ly) != 0, axis=(2, 3))
                          | jnp.any(jnp.asarray(lu) != 0, axis=(2, 3))
@@ -304,12 +312,12 @@ class EncLib:
             bs_v, bs_h = deblock.boundary_strengths_inter(
                 jnp.asarray(sel_mv, dtype=jnp.int32), has_resid)
             ry, ru, rv = deblock.deblock_frame(
-                recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, cfg.qp,
+                recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, qp,
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
-        recon, sao_params = self._sao_stage(recon, planes, cfg.qp)
-        recon, alf_params = self._alf_stage(recon, planes[0], cfg.qp)
-        sh = SliceHeader(poc=poc, slice_type=SliceType.B, qp=cfg.qp,
+        recon, sao_params = self._sao_stage(recon, planes, qp)
+        recon, alf_params = self._alf_stage(recon, planes[0], qp)
+        sh = SliceHeader(poc=poc, slice_type=SliceType.B, qp=qp,
                          temporal_id=tid, ref_pocs_l0=[ref0_poc],
                          ref_pocs_l1=[ref1_poc], sao_params=sao_params,
                          alf_params=alf_params)
@@ -353,12 +361,31 @@ class EncLib:
             pos = end
         return order
 
+    def _make_rc(self):
+        """reference: RateCtrl.h EncRCSeq init from target bitrate."""
+        if self.cfg.target_bitrate_kbps <= 0:
+            return None
+        from .rate_ctrl import RateControl
+        return RateControl(self.cfg.target_bitrate_kbps * 1000.0,
+                           self.cfg.frame_rate, self.cfg.width,
+                           self.cfg.height)
+
     def encode_sequence(self, frames: list[list[np.ndarray]]) -> bytes:
         """Encode a frame list -> Annex-B bytes (AI / LDP / RA GOP)."""
         nalus = self.encode_headers()
+        rc = self._make_rc()
+
+        def rc_qp(slice_type, tid=0):
+            return rc.pick_qp(slice_type, tid) if rc else None
+
+        def rc_upd(res):
+            if rc:
+                rc.update(res.bits)
+
         if self.cfg.gop == "RA" and len(frames) > 1:
             dpb: dict[int, list[np.ndarray]] = {}
-            nal, res = self.encode_intra_frame(0, frames[0])
+            nal, res = self.encode_intra_frame(0, frames[0], qp=rc_qp("I"))
+            rc_upd(res)
             nalus.append(nal)
             if self.cfg.picture_hash_sei:
                 nalus.append(self._hash_sei(0, res.recon))
@@ -367,11 +394,13 @@ class EncLib:
                     len(frames), self.cfg.gop_size):
                 if r1 < 0:
                     nal, res = self.encode_p_frame(poc, frames[poc],
-                                                   dpb[r0], r0)
+                                                   dpb[r0], r0,
+                                                   qp=rc_qp("P"))
                 else:
                     nal, res = self.encode_b_frame(poc, frames[poc],
                                                    dpb[r0], r0, dpb[r1], r1,
-                                                   tid)
+                                                   tid, qp=rc_qp("B", tid))
+                rc_upd(res)
                 dpb[poc] = res.recon
                 nalus.append(nal)
                 if self.cfg.picture_hash_sei:
@@ -385,10 +414,12 @@ class EncLib:
                         or (self.cfg.intra_period > 0
                             and poc % self.cfg.intra_period == 0))
             if is_intra:
-                nal, res = self.encode_intra_frame(poc, planes)
+                nal, res = self.encode_intra_frame(poc, planes,
+                                                   qp=rc_qp("I"))
             else:
                 nal, res = self.encode_p_frame(poc, planes, last_rec,
-                                               last_poc)
+                                               last_poc, qp=rc_qp("P"))
+            rc_upd(res)
             last_rec, last_poc = res.recon, poc
             nalus.append(nal)
             if self.cfg.picture_hash_sei:
