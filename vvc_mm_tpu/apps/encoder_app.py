@@ -48,6 +48,8 @@ def build_parser() -> OptionParser:
     p.add("WrapAround", False, "ERP horizontal wrap-around")
     p.add("Deblocking", True, "in-loop deblocking")
     p.add("SphereVideo", False, "enable 360 metrics")
+    p.add("TemporalFilter", False, "MCTF GOP-based pre-filter "
+          "(reference: --TemporalFilter, EncTemporalFilter)")
     # multi-model motion (reference: EncAppCfg.cpp:1013-1020)
     p.add("MPA", False, "motion-plane-adaptive models")
     p.add("3DT", False, "3-D translational model")
@@ -86,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
                  deblocking=opts["Deblocking"], mm=mm,
                  epipoles=list(opts["Epipole"]),
                  metrics_360=opts["SphereVideo"],
+                 mctf=opts["TemporalFilter"],
                  target_bitrate_kbps=(opts["TargetBitrate"] // 1000
                                       if opts["RateControl"] else 0),
                  frame_rate=float(opts["FrameRate"]))

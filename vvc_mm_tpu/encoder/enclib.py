@@ -60,6 +60,8 @@ class EncCfg:
     frame_rate: float = 30.0
     sao: bool = True             # sample adaptive offset (luma)
     alf: bool = True             # adaptive loop filter (luma)
+    mctf: bool = False           # GOP-based temporal pre-filter (reference:
+                                 # EncTemporalFilter, EncApp.cpp:1547-1551)
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -372,6 +374,13 @@ class EncLib:
 
     def encode_sequence(self, frames: list[list[np.ndarray]]) -> bytes:
         """Encode a frame list -> Annex-B bytes (AI / LDP / RA GOP)."""
+        if self.cfg.mctf and len(frames) > 1:
+            # MCTF pre-filter on RA anchors before any encoding (reference:
+            # EncApp.cpp:1547-1551 -> EncTemporalFilter::filter)
+            from .mctf import prefilter_sequence
+            frames = prefilter_sequence(frames, self.cfg.qp,
+                                        self.cfg.bit_depth,
+                                        period=max(self.cfg.gop_size, 1))
         nalus = self.encode_headers()
         rc = self._make_rc()
 
