@@ -45,6 +45,8 @@ def build_parser() -> OptionParser:
     p.add("Profile", "main", "")
     p.add("GOP", "RA", "AI | LDP | RA")
     p.add("SearchRange", 24, "ME search range")
+    p.add("CTUSize", 16, "inter top block size (quadtree root)")
+    p.add("QTDepth", 0, "inter quadtree split depth (0 = fixed grid)")
     p.add("WrapAround", False, "ERP horizontal wrap-around")
     p.add("Deblocking", True, "in-loop deblocking")
     p.add("SphereVideo", False, "enable 360 metrics")
@@ -84,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
                  qp=opts["QP"], gop=opts["GOP"],
                  intra_period=max(opts["IntraPeriod"], 0),
                  gop_size=opts["GOPSize"], search_range=opts["SearchRange"],
+                 inter_block_size=opts["CTUSize"], qt_depth=opts["QTDepth"],
                  wrap_around=opts["WrapAround"],
                  deblocking=opts["Deblocking"], mm=mm,
                  epipoles=list(opts["Epipole"]),

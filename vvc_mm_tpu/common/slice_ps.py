@@ -71,6 +71,10 @@ class SPS:
     intra_block_size: int = 8
     inter_block_size: int = 16
     max_num_ref: int = 4
+    inter_qt_depth: int = 0       # quadtree split depth below the top size
+                                  # inter_block_size: 0 = fixed grid; d > 0
+                                  # allows leaves down to size >> d (QTMT
+                                  # analog, UnitPartitioner.h:56-64)
     wrap_around: bool = False     # ERP horizontal wrap (pps in VVC; SPS here)
     deblocking: bool = True       # in-loop deblocking enable
     sao: bool = True              # sample adaptive offset enable
@@ -86,6 +90,7 @@ class SPS:
         bw.write_uvlc(self.intra_block_size.bit_length() - 1)
         bw.write_uvlc(self.inter_block_size.bit_length() - 1)
         bw.write_uvlc(self.max_num_ref)
+        bw.write_uvlc(self.inter_qt_depth)
         bw.write_flag(self.wrap_around)
         bw.write_flag(self.deblocking)
         bw.write_flag(self.sao)
@@ -116,6 +121,7 @@ class SPS:
         sps.intra_block_size = 1 << br.read_uvlc()
         sps.inter_block_size = 1 << br.read_uvlc()
         sps.max_num_ref = br.read_uvlc()
+        sps.inter_qt_depth = br.read_uvlc()
         sps.wrap_around = br.read_flag()
         sps.deblocking = br.read_flag()
         sps.sao = br.read_flag()

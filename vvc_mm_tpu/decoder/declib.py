@@ -23,7 +23,8 @@ from ..common.slice_ps import PPS, SPS, SliceHeader
 from ..common.typedefs import MotionModelID, SliceType
 from ..lib360.projection import make_projection
 from .intra_parser import decode_intra_slice
-from .inter_parser import decode_b_slice, decode_p_slice, decode_p_slice_mm
+from .inter_parser import (decode_b_slice, decode_p_slice, decode_p_slice_mm,
+                           decode_p_slice_qt)
 
 
 @dataclass
@@ -187,6 +188,32 @@ class DecLib:
                     jnp.asarray(lv), jnp.asarray(ref.planes[0]),
                     jnp.asarray(ref.planes[1]), jnp.asarray(ref.planes[2]),
                     sh.qp, s, sps.bit_depth, epipoles, sps.wrap_around)
+            elif sps.inter_qt_depth > 0:
+                from ..common import qtree
+                mv_unit, levels, has_resid_u, leaf_id_u = decode_p_slice_qt(
+                    cabac_bytes, sps.height, sps.width, s,
+                    sps.inter_qt_depth, stats=self.stats)
+                levels_j = [tuple(jnp.asarray(l) for l in trio)
+                            for trio in levels]
+                recon = qtree.reconstruct_qt(
+                    jnp.asarray(mv_unit), levels_j,
+                    jnp.asarray(ref.planes[0]), jnp.asarray(ref.planes[1]),
+                    jnp.asarray(ref.planes[2]), sh.qp, s,
+                    sps.inter_qt_depth, sps.bit_depth, sps.wrap_around)
+                if sps.deblocking:
+                    bs_v, bs_h = qtree.qt_boundary_strengths(
+                        jnp.asarray(mv_unit), jnp.asarray(has_resid_u),
+                        jnp.asarray(leaf_id_u))
+                    ry, ru, rv = deblock.deblock_frame(
+                        recon["y"], recon["u"], recon["v"], bs_v, bs_h,
+                        s >> sps.inter_qt_depth, sh.qp, sps.bit_depth)
+                    recon = dict(y=ry, u=ru, v=rv)
+                recon = self._apply_sao(recon, sh)
+                self.frames.append(DecodedFrame(
+                    poc=sh.poc,
+                    planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
+                            np.asarray(recon["v"])]))
+                return
             else:
                 mvs, ly, lu, lv = decode_p_slice(cabac_bytes, nby, nbx, s,
                                                  stats=self.stats)

@@ -13,7 +13,7 @@ from ..utils.native import coeffs_decode, make_decoder
 from ..common.contexts import ctx_id
 from ..common.residual_coding import decode_coeffs
 from ..encoder.inter_coder import (_mm_mvp, inherited_model, mvp_median,
-                                   mvp_median_same_model)
+                                   mvp_median_same_model, mvp_unit_grid)
 
 
 def _lbl(dec, name: str) -> None:
@@ -91,6 +91,69 @@ def decode_p_slice_mm(data: bytes, nby: int, nbx: int, s: int,
                     lev[by, bx] = coeffs_decode(dec, size, size,
                                                 chroma=(comp != "y"))
     return model_idx, mvs, lev_y, lev_u, lev_v
+
+
+def decode_p_slice_qt(data: bytes, h: int, w: int, top: int, depth: int,
+                      stats=None):
+    """Exact inverse of encoder.inter_coder.encode_p_slice_qt.  Returns
+    (mv_unit (nuy,nux,2), levels [per size (ly,lu,lv)], has_resid_unit,
+    leaf_id_unit) matching qtree.encode_p_frame_qt's resolved outputs."""
+    dec = _make(data, stats)
+    u = top >> depth
+    nuy, nux = h // u, w // u
+    nty, ntx = h // top, w // top
+    sizes = [top >> d for d in range(depth + 1)]
+    levels = []
+    for s in sizes:
+        ny, nx = h // s, w // s
+        levels.append((np.zeros((ny, nx, s, s), dtype=np.int32),
+                       np.zeros((ny, nx, s // 2, s // 2), dtype=np.int32),
+                       np.zeros((ny, nx, s // 2, s // 2), dtype=np.int32)))
+    coded = np.zeros((nuy, nux, 2), dtype=np.int64)
+    avail = np.zeros((nuy, nux), dtype=bool)
+    has_resid = np.zeros((nuy, nux), dtype=bool)
+    leaf_id = np.zeros((nuy, nux), dtype=np.int32)
+
+    def parse_leaf(d, by, bx):
+        s = sizes[d]
+        k = s // u
+        uy, ux = by * k, bx * k
+        pred = mvp_unit_grid(coded, avail, uy, ux, k)
+        _lbl(dec, "skip_flag")
+        if dec.decode_bin(ctx_id("SkipFlag")):
+            mv = pred
+        else:
+            _lbl(dec, "mvd")
+            mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
+                           dtype=np.int64)
+            mv = pred + mvd
+            hr = False
+            for ci, lev in enumerate(levels[d]):
+                _lbl(dec, "cbf")
+                if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
+                    _lbl(dec, "residual_" + "yuv"[ci])
+                    sz = s if ci == 0 else s // 2
+                    lev[by, bx] = coeffs_decode(dec, sz, sz,
+                                                chroma=(ci != 0))
+                    hr = True
+            has_resid[uy:uy + k, ux:ux + k] = hr
+        coded[uy:uy + k, ux:ux + k] = mv
+        avail[uy:uy + k, ux:ux + k] = True
+        leaf_id[uy:uy + k, ux:ux + k] = uy * nux + ux
+
+    def parse_node(d, by, bx):
+        if d < depth:
+            _lbl(dec, "split_flag")
+            if dec.decode_bin(ctx_id("SplitFlag", min(d, 8))):
+                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    parse_node(d + 1, 2 * by + dy, 2 * bx + dx)
+                return
+        parse_leaf(d, by, bx)
+
+    for by in range(nty):
+        for bx in range(ntx):
+            parse_node(0, by, bx)
+    return coded, levels, has_resid, leaf_id
 
 
 def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None

@@ -26,7 +26,8 @@ from ..common.slice_ps import MMConfig, PPS, SPS, SliceHeader
 from ..common.typedefs import MotionModelID, SliceType
 from ..lib360.projection import make_projection
 from .intra_coder import encode_intra_slice
-from .inter_coder import encode_b_slice, encode_p_slice, encode_p_slice_mm
+from .inter_coder import (encode_b_slice, encode_p_slice, encode_p_slice_mm,
+                          encode_p_slice_qt)
 
 
 @dataclass
@@ -46,6 +47,8 @@ class EncCfg:
     gop_size: int = 8            # RA mini-GOP (reference:
                                  # cfg/encoder_randomaccess_vtm.cfg GOP table)
     search_range: int = 24
+    qt_depth: int = 0            # inter quadtree depth (0 = fixed grid;
+                                 # QTMT analog — common/qtree.py)
     # multi-model motion tools (reference: EncAppCfg.cpp:1013-1020
     # --MPA/--3DT/--TAN/--ROT/--GED/--GEDA/--MMMVP/--Epipole)
     mm: MMConfig = field(default_factory=MMConfig)
@@ -69,7 +72,8 @@ class EncCfg:
                    intra_block_size=self.intra_block_size,
                    inter_block_size=self.inter_block_size,
                    wrap_around=self.wrap_around, deblocking=self.deblocking,
-                   sao=self.sao, alf=self.alf, mm=self.mm)
+                   sao=self.sao, alf=self.alf, mm=self.mm,
+                   inter_qt_depth=self.qt_depth)
 
 
 @dataclass
@@ -233,6 +237,33 @@ class EncLib:
             mvs = jnp.take_along_axis(
                 mvs_stack, model_idx[None, :, :, None].astype(jnp.int32),
                 axis=0)[0]
+        elif cfg.qt_depth > 0:
+            # quadtree partitioned P encode (QTMT analog, common/qtree.py)
+            from ..common import qtree
+            qt = qtree.encode_p_frame_qt(
+                jnp.asarray(planes[0]), jnp.asarray(planes[1]),
+                jnp.asarray(planes[2]), jnp.asarray(ref[0]),
+                jnp.asarray(ref[1]), jnp.asarray(ref[2]), qp, s,
+                cfg.qt_depth, cfg.bit_depth, cfg.search_range,
+                cfg.wrap_around)
+            splits = [np.asarray(x) for x in qt["splits"]]
+            mvs_h = [np.asarray(m) for m in qt["mvs"]]
+            levels_h = [tuple(np.asarray(l.astype(jnp.int16))
+                              .astype(np.int32) for l in trio)
+                        for trio in qt["levels"]]
+            payload = encode_p_slice_qt(splits, mvs_h, levels_h, s,
+                                        cfg.qt_depth)
+            recon = qt["recon"]
+            if cfg.deblocking:
+                bs_v, bs_h = qtree.qt_boundary_strengths(
+                    qt["mv_unit"], qt["has_resid_unit"],
+                    qt["leaf_id_unit"])
+                ry, ru, rv = deblock.deblock_frame(
+                    recon["y"], recon["u"], recon["v"], bs_v, bs_h,
+                    s >> cfg.qt_depth, qp, cfg.bit_depth)
+                recon = dict(y=ry, u=ru, v=rv)
+            return self._finish_p_frame(poc, planes, recon, payload,
+                                        ref_poc, qp, None, t0)
         else:
             mvs, ly, lu, lv, recon = inter_frame.encode_p_frame(
                 jnp.asarray(planes[0]), jnp.asarray(planes[1]),
@@ -252,6 +283,31 @@ class EncLib:
                 recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, qp,
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
+        recon, sao_params = self._sao_stage(recon, planes, qp)
+        recon, alf_params = self._alf_stage(recon, planes[0], qp)
+        sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=qp,
+                         ref_pocs_l0=[ref_poc], epipole_delta=epipole_delta,
+                         sao_params=sao_params, alf_params=alf_params)
+        bw = BitWriter()
+        sh.write(bw, self.sps)
+        bw.write_bytes(payload)
+        nal = NalUnit(NAL_TRAIL, 0, bw.get_bytes())
+        rec = [np.asarray(recon["y"]), np.asarray(recon["u"]),
+               np.asarray(recon["v"])]
+        res = FrameResult(
+            poc=poc, bits=len(nal.payload) * 8,
+            psnr_y=psnr(planes[0], rec[0], cfg.bit_depth),
+            psnr_u=psnr(planes[1], rec[1], cfg.bit_depth),
+            psnr_v=psnr(planes[2], rec[2], cfg.bit_depth),
+            recon=rec, seconds=time.time() - t0)
+        self._finish_frame(res, planes)
+        self.results.append(res)
+        return nal, res
+
+    def _finish_p_frame(self, poc, planes, recon, payload, ref_poc, qp,
+                        epipole_delta, t0):
+        """Shared P-frame tail: SAO -> ALF -> slice header -> NAL -> stats."""
+        cfg = self.cfg
         recon, sao_params = self._sao_stage(recon, planes, qp)
         recon, alf_params = self._alf_stage(recon, planes[0], qp)
         sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=qp,

@@ -189,6 +189,85 @@ def encode_p_slice_mm(model_idx: np.ndarray, active_models: list[int],
     return enc.finish()
 
 
+def mvp_unit_grid(coded: np.ndarray, avail: np.ndarray, uy: int, ux: int,
+                  k: int) -> np.ndarray:
+    """Median MVP for a k x k-unit leaf over the causally-coded unit grid
+    (shared enc/dec; reference analog: PU::fillMvpCand spatial candidates,
+    UnitTools.cpp:2172)."""
+    nuy, nux = avail.shape
+    cand = []
+    for (y, x) in ((uy, ux - 1), (uy - 1, ux), (uy - 1, ux + k),
+                   (uy - 1, ux - 1)):
+        if 0 <= y < nuy and 0 <= x < nux and avail[y, x]:
+            cand.append(coded[y, x])
+        if len(cand) == 3:
+            break
+    if not cand:
+        return np.zeros(2, dtype=np.int64)
+    if len(cand) == 1:
+        return cand[0]
+    c = np.stack(cand[:3])
+    if len(c) == 2:
+        return (c[0] + c[1] + 1) >> 1
+    return np.median(c, axis=0).astype(np.int64)
+
+
+def _code_leaf_qt(enc, mv, lev_y, lev_u, lev_v, coded, avail, uy, ux,
+                  k) -> None:
+    """One quadtree leaf: skip / mvd / cbf / coeffs; updates the coded
+    unit grid + availability mask."""
+    pred = mvp_unit_grid(coded, avail, uy, ux, k)
+    mvd = np.asarray(mv, dtype=np.int64) - pred
+    no_resid = (not np.any(lev_y != 0) and not np.any(lev_u != 0)
+                and not np.any(lev_v != 0))
+    skip = no_resid and mvd[0] == 0 and mvd[1] == 0
+    enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+    if not skip:
+        encode_mvd_comp(enc, int(mvd[0]))
+        encode_mvd_comp(enc, int(mvd[1]))
+        for comp, lev in (("y", lev_y), ("u", lev_u), ("v", lev_v)):
+            cbf = bool(np.any(lev != 0))
+            enc.encode_bin(int(cbf),
+                           ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp]))
+            if cbf:
+                coeffs_encode(enc, lev, chroma=(comp != "y"))
+    coded[uy:uy + k, ux:ux + k] = mv
+    avail[uy:uy + k, ux:ux + k] = True
+
+
+def encode_p_slice_qt(splits, mvs, levels, top: int, depth: int) -> bytes:
+    """Quadtree P-slice entropy coding (reference: CABACWriter
+    coding_tree + inter CU syntax).  Nodes traverse z-order within each
+    top-level block, raster over top blocks; the coded unit-grid MV field
+    evolves exactly as the decoder will rebuild it.
+
+    Args: outputs of qtree.encode_p_frame_qt (host numpy views)."""
+    enc = make_encoder()
+    u = top >> depth
+    nty, ntx = np.asarray(splits[0]).shape if depth else mvs[0].shape[:2]
+    nuy, nux = mvs[depth].shape[:2] if depth else mvs[0].shape[:2]
+    coded = np.zeros((nuy, nux, 2), dtype=np.int64)
+    avail = np.zeros((nuy, nux), dtype=bool)
+
+    def code_node(d, by, bx):
+        if d < depth:
+            sp = bool(splits[d][by, bx])
+            enc.encode_bin(int(sp), ctx_id("SplitFlag", min(d, 8)))
+            if sp:
+                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    code_node(d + 1, 2 * by + dy, 2 * bx + dx)
+                return
+        k = (top >> d) // u
+        _code_leaf_qt(enc, mvs[d][by, bx], levels[d][0][by, bx],
+                      levels[d][1][by, bx], levels[d][2][by, bx],
+                      coded, avail, by * k, bx * k, k)
+
+    for by in range(nty):
+        for bx in range(ntx):
+            code_node(0, by, bx)
+    return enc.finish()
+
+
 def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
                    lev_y: np.ndarray, lev_u: np.ndarray, lev_v: np.ndarray
                    ) -> tuple[bytes, np.ndarray, np.ndarray]:
