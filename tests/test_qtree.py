@@ -79,6 +79,28 @@ def test_qt_roundtrip_bitexact(rng):
             np.testing.assert_array_equal(p, q)
 
 
+def test_qt_ra_gop_roundtrip_bitexact(rng):
+    """RA hierarchical-B with quadtree partitioning decodes bit-exactly."""
+    h, w = 64, 64
+    wide = rng.integers(0, 256, size=(h + 32, w + 32)).astype(np.int32)
+    frames = []
+    for t in range(5):
+        y = wide[t:t + h, 3 * t:3 * t + w].astype(np.int32)
+        u = (y[::2, ::2] // 2).astype(np.int32)
+        frames.append([y, u, u.copy()])
+    cfg = EncCfg(width=w, height=h, qp=34, gop="RA", gop_size=4,
+                 inter_block_size=32, qt_depth=2)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    dec = DecLib()
+    out = dec.decode_bytes(stream)
+    assert len(out) == 5
+    assert all(v == "OK" for v in dec.hash_status.values())
+    for r, d in zip(sorted(enc.results, key=lambda x: x.poc), out):
+        for p, q in zip(r.recon, d.planes):
+            np.testing.assert_array_equal(p, q)
+
+
 def test_qt_beats_fixed_grid_rd(rng):
     """On content with mixed motion granularity the quadtree should not
     lose to the fixed 16-grid in BD terms (bits at similar PSNR)."""

@@ -28,8 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import interp, quant, transforms
-from .inter_frame import (MC_MARGIN, _block_coords, _from_blocks,
-                          _residual_pass, _to_blocks, mc_predict, pad_ref)
+from .inter_frame import (MC_MARGIN, _block_coords, _combine_bi,
+                          _from_blocks, _mc_planes_internal, _residual_pass,
+                          _to_blocks, mc_predict, pad_ref)
 from ..encoder import me as me_mod
 
 
@@ -152,16 +153,28 @@ def encode_p_frame_qt(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
         per_cost.append(ssd + jnp.float32(lam) * bits)
         parent_mv = mv
 
-    # bottom-up tree resolve: min(cost of keeping the node, cost of its
-    # four children) — the batched analog of EncCu::xCheckModeSplit
+    splits, leaf = _resolve_tree(per_cost, lam, depth)
+    masked_levels, has_resid_unit, leaf_id_unit = _mask_and_locate(
+        per_lev, leaf, sizes, u)
+    mv_unit = _field_to_unit(per_mv, leaf, sizes, u)
+
+    recon = reconstruct_qt(mv_unit, masked_levels, ref_y, ref_u, ref_v, qp,
+                           top, depth, bit_depth, wrap_around)
+    return dict(splits=splits, mvs=per_mv, levels=masked_levels, leaf=leaf,
+                mv_unit=mv_unit, recon=recon,
+                has_resid_unit=has_resid_unit, leaf_id_unit=leaf_id_unit)
+
+
+def _resolve_tree(per_cost, lam, depth: int):
+    """Bottom-up tree resolve: min(cost of keeping a node, cost of its four
+    children) — the batched analog of EncCu::xCheckModeSplit — followed by
+    the top-down leaf-mask derivation."""
     splits = [None] * depth
     best = per_cost[depth]
     for d in range(depth - 1, -1, -1):
         agg = _sum2x2(best) + jnp.float32(lam)        # +1 split-flag bit
         splits[d] = agg < per_cost[d]
         best = jnp.where(splits[d], agg, per_cost[d])
-
-    # top-down leaf masks
     leaf = []
     alive = jnp.ones(per_cost[0].shape, dtype=bool)
     for d in range(depth):
@@ -170,36 +183,167 @@ def encode_p_frame_qt(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
         leaf.append(alive & ~sp)
         alive = _up2(sp)
     leaf.append(alive)
+    return splits, leaf
 
-    # resolve to the unit grid
-    mv_unit = per_mv[depth]
-    has_resid_unit = jnp.zeros(per_cost[depth].shape, dtype=bool)
-    leaf_id_unit = jnp.zeros(per_cost[depth].shape, dtype=jnp.int32)
-    nux = per_cost[depth].shape[1]
+
+def _field_to_unit(fields, leaf, sizes, u: int):
+    """Resolve a per-size per-block field (trailing dims broadcast) onto
+    the unit grid via the leaf masks."""
+    out = fields[-1]
+    extra = out.ndim - 2
+    for d, s in enumerate(sizes[:-1]):
+        f = s // u
+        lm = _up2(leaf[d], f)
+        lm = lm.reshape(lm.shape + (1,) * extra)
+        out = jnp.where(lm, _up2(fields[d], f), out)
+    return out
+
+
+def _mask_and_locate(per_lev, leaf, sizes, u: int):
+    """Zero levels off-leaf; derive unit-granularity has-residual and
+    leaf-id (top-left unit index) grids for deblocking."""
+    nuy = leaf[-1].shape[0]
+    nux = leaf[-1].shape[1]
+    has_resid_unit = jnp.zeros((nuy, nux), dtype=bool)
+    leaf_id_unit = jnp.zeros((nuy, nux), dtype=jnp.int32)
     masked_levels = []
     for d, s in enumerate(sizes):
         f = s // u
         lmask = leaf[d]
         ml = tuple(lev * lmask[:, :, None, None] for lev in per_lev[d])
         masked_levels.append(ml)
-        hr = (jnp.any(ml[0] != 0, axis=(2, 3))
-              | jnp.any(ml[1] != 0, axis=(2, 3))
-              | jnp.any(ml[2] != 0, axis=(2, 3)))
+        hr = jnp.zeros(lmask.shape, dtype=bool)
+        for lev in ml:
+            hr = hr | jnp.any(lev != 0, axis=(2, 3))
         lm_u = _up2(lmask, f)
         has_resid_unit = has_resid_unit | (lm_u & _up2(hr, f))
-        if d < depth:
-            mv_unit = jnp.where(lm_u[:, :, None], _up2(per_mv[d], f),
-                                mv_unit)
-        nby = per_cost[d].shape[0]
-        by = jnp.arange(nby, dtype=jnp.int32)[:, None] * f
-        bx = jnp.arange(per_cost[d].shape[1], dtype=jnp.int32)[None, :] * f
-        tl_id = by * nux + bx
-        leaf_id_unit = jnp.where(lm_u, _up2(tl_id, f), leaf_id_unit)
+        by = jnp.arange(lmask.shape[0], dtype=jnp.int32)[:, None] * f
+        bx = jnp.arange(lmask.shape[1], dtype=jnp.int32)[None, :] * f
+        leaf_id_unit = jnp.where(lm_u, _up2(by * nux + bx, f), leaf_id_unit)
+    return masked_levels, has_resid_unit, leaf_id_unit
 
-    recon = reconstruct_qt(mv_unit, masked_levels, ref_y, ref_u, ref_v, qp,
-                           top, depth, bit_depth, wrap_around)
-    return dict(splits=splits, mvs=per_mv, levels=masked_levels, leaf=leaf,
-                mv_unit=mv_unit, recon=recon,
+
+@functools.partial(jax.jit, static_argnames=("qp", "top", "depth",
+                                             "bit_depth", "wrap_around"))
+def reconstruct_qt_b(mv0_unit, mv1_unit, dirs_unit, levels, ref0, ref1,
+                     qp: int, top: int, depth: int, bit_depth: int,
+                     wrap_around: bool):
+    """Shared B reconstruction at unit granularity: per-unit uni/bi combine
+    (dirs 0=L0, 1=L1, 2=BI) + per-size residual sum."""
+    u = top >> depth
+    h, w = ref0[0].shape
+    nuy, nux = h // u, w // u
+    i0 = _mc_planes_internal(*ref0, mv0_unit, u, bit_depth, wrap_around)
+    i1 = _mc_planes_internal(*ref1, mv1_unit, u, bit_depth, wrap_around)
+    pred_y = _combine_bi(i0[0], i1[0], dirs_unit, nuy, nux, bit_depth)
+    pred_u = _combine_bi(i0[1], i1[1], dirs_unit, nuy, nux, bit_depth)
+    pred_v = _combine_bi(i0[2], i1[2], dirs_unit, nuy, nux, bit_depth)
+
+    def resid_plane(idx, size_list, hh, ww):
+        total = jnp.zeros((hh, ww), dtype=jnp.int32)
+        for trio, s in zip(levels, size_list):
+            lev = trio[idx]
+            log2s = s.bit_length() - 1
+            dq = quant.dequantize(lev.reshape(-1, s, s), qp, log2s, log2s,
+                                  bit_depth)
+            r = transforms.inverse_transform(dq, bit_depth=bit_depth)
+            total = total + _from_blocks(r, hh // s, ww // s)
+        return total
+
+    sizes = node_sizes(top, depth)
+    mx = (1 << bit_depth) - 1
+    return dict(
+        y=jnp.clip(pred_y + resid_plane(0, sizes, h, w), 0, mx),
+        u=jnp.clip(pred_u + resid_plane(1, [s // 2 for s in sizes],
+                                        h // 2, w // 2), 0, mx),
+        v=jnp.clip(pred_v + resid_plane(2, [s // 2 for s in sizes],
+                                        h // 2, w // 2), 0, mx))
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "top", "depth",
+                                             "bit_depth", "search_range",
+                                             "wrap_around"))
+def encode_b_frame_qt(orig_y, orig_u, orig_v, ref0, ref1, qp: int,
+                      top: int = 32, depth: int = 2, bit_depth: int = 8,
+                      search_range: int = 24, wrap_around: bool = False):
+    """Batched quadtree B encode: per-size per-list ME + uni/bi direction
+    decision, then the same lattice RD resolve as the P path (reference:
+    InterSearch::predInterSearch L0/L1/bi over the EncCu QTMT recursion).
+    """
+    sizes = node_sizes(top, depth)
+    u = sizes[-1]
+    lam = quant.lambda_from_qp(qp, intra=False)
+    lam16 = int(lam ** 0.5 * 16)
+    mv_bits = int(lam ** 0.5 * 8)
+    r0_pad = pad_ref(ref0[0], MC_MARGIN, wrap_around)
+    r1_pad = pad_ref(ref1[0], MC_MARGIN, wrap_around)
+
+    per_mv0, per_mv1, per_dirs, per_lev, per_cost = [], [], [], [], []
+    parents = (None, None)
+    for s in sizes:
+        h, w = orig_y.shape
+        nby, nbx = h // s, w // s
+        yb, xb = _block_coords(nby, nbx, s)
+        mvs, sads, ipreds = [], [], []
+        for rp in (r0_pad, r1_pad):
+            mv_i, _ = me_mod.hierarchical_search(orig_y, rp, s,
+                                                 search_range, MC_MARGIN,
+                                                 lam16)
+            mv, sad = me_mod.fractional_refine(orig_y, rp, mv_i, s,
+                                               MC_MARGIN, bit_depth)
+            mvs.append(mv)
+            sads.append(sad)
+            ipreds.append(interp.mc_luma(rp, mv.reshape(-1, 2), yb, xb,
+                                         s, s, MC_MARGIN, bit_depth))
+        ob = _to_blocks(orig_y, s)
+        bi_pix = interp.finalize_bi(ipreds[0], ipreds[1], bit_depth)
+        sad_bi = jnp.sum(jnp.abs(bi_pix - ob), axis=(1, 2)
+                         ).reshape(nby, nbx)
+        dirs = jnp.argmin(jnp.stack([sads[0], sads[1], sad_bi + mv_bits]),
+                          axis=0).astype(jnp.int32)
+
+        i0 = _mc_planes_internal(*ref0, mvs[0], s, bit_depth, wrap_around)
+        i1 = _mc_planes_internal(*ref1, mvs[1], s, bit_depth, wrap_around)
+        pred_y = _combine_bi(i0[0], i1[0], dirs, nby, nbx, bit_depth)
+        pred_u = _combine_bi(i0[1], i1[1], dirs, nby, nbx, bit_depth)
+        pred_v = _combine_bi(i0[2], i1[2], dirs, nby, nbx, bit_depth)
+        ly, rec_y = _residual_pass(orig_y, pred_y, s, qp, bit_depth)
+        lu, rec_u = _residual_pass(orig_u, pred_u, s // 2, qp, bit_depth)
+        lv, rec_v = _residual_pass(orig_v, pred_v, s // 2, qp, bit_depth)
+
+        def bsum(x, size):
+            hh, ww = x.shape
+            return x.reshape(hh // size, size, ww // size, size
+                             ).sum(axis=(1, 3))
+        ssd = (bsum((orig_y - rec_y) ** 2, s)
+               + bsum((orig_u - rec_u) ** 2, s // 2)
+               + bsum((orig_v - rec_v) ** 2, s // 2)).astype(jnp.float32)
+        bits = (_coeff_bits_est(ly) + _coeff_bits_est(lu)
+                + _coeff_bits_est(lv) + 8.0)          # skip/dir/cbf bins
+        for li, mv in enumerate(mvs):
+            pg = (jnp.zeros_like(mv) if parents[li] is None
+                  else _up2(parents[li]))
+            used = (dirs != 1) if li == 0 else (dirs != 0)
+            bits = bits + jnp.where(used, _mv_bits_est(mv, pg), 0.0)
+        per_mv0.append(mvs[0])
+        per_mv1.append(mvs[1])
+        per_dirs.append(dirs)
+        per_lev.append((ly, lu, lv))
+        per_cost.append(ssd + jnp.float32(lam) * bits)
+        parents = (mvs[0], mvs[1])
+
+    splits, leaf = _resolve_tree(per_cost, lam, depth)
+    masked_levels, has_resid_unit, leaf_id_unit = _mask_and_locate(
+        per_lev, leaf, sizes, u)
+    mv0_unit = _field_to_unit(per_mv0, leaf, sizes, u)
+    mv1_unit = _field_to_unit(per_mv1, leaf, sizes, u)
+    dirs_unit = _field_to_unit(per_dirs, leaf, sizes, u)
+    recon = reconstruct_qt_b(mv0_unit, mv1_unit, dirs_unit, masked_levels,
+                             ref0, ref1, qp, top, depth, bit_depth,
+                             wrap_around)
+    return dict(splits=splits, mv0=per_mv0, mv1=per_mv1, dirs=per_dirs,
+                levels=masked_levels, leaf=leaf, mv0_unit=mv0_unit,
+                mv1_unit=mv1_unit, dirs_unit=dirs_unit, recon=recon,
                 has_resid_unit=has_resid_unit, leaf_id_unit=leaf_id_unit)
 
 

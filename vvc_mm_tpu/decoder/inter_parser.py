@@ -156,6 +156,88 @@ def decode_p_slice_qt(data: bytes, h: int, w: int, top: int, depth: int,
     return coded, levels, has_resid, leaf_id
 
 
+def decode_b_slice_qt(data: bytes, h: int, w: int, top: int, depth: int,
+                      stats=None):
+    """Exact inverse of encoder.inter_coder.encode_b_slice_qt.  Returns
+    (mv0_unit, mv1_unit, dirs_unit, levels, has_resid_unit, leaf_id_unit).
+    """
+    dec = _make(data, stats)
+    u = top >> depth
+    nuy, nux = h // u, w // u
+    nty, ntx = h // top, w // top
+    sizes = [top >> d for d in range(depth + 1)]
+    levels = []
+    for s in sizes:
+        ny, nx = h // s, w // s
+        levels.append((np.zeros((ny, nx, s, s), dtype=np.int32),
+                       np.zeros((ny, nx, s // 2, s // 2), dtype=np.int32),
+                       np.zeros((ny, nx, s // 2, s // 2), dtype=np.int32)))
+    coded0 = np.zeros((nuy, nux, 2), dtype=np.int64)
+    coded1 = np.zeros((nuy, nux, 2), dtype=np.int64)
+    dirs_u = np.zeros((nuy, nux), dtype=np.int32)
+    avail = np.zeros((nuy, nux), dtype=bool)
+    has_resid = np.zeros((nuy, nux), dtype=bool)
+    leaf_id = np.zeros((nuy, nux), dtype=np.int32)
+
+    def parse_leaf(d, by, bx):
+        s = sizes[d]
+        k = s // u
+        uy, ux = by * k, bx * k
+        pred0 = mvp_unit_grid(coded0, avail, uy, ux, k)
+        pred1 = mvp_unit_grid(coded1, avail, uy, ux, k)
+        d_pred = (int(dirs_u[uy, ux - 1]) if ux > 0 and avail[uy, ux - 1]
+                  else int(dirs_u[uy - 1, ux])
+                  if uy > 0 and avail[uy - 1, ux] else 0)
+        _lbl(dec, "skip_flag")
+        if dec.decode_bin(ctx_id("SkipFlag")):
+            dv, mv0, mv1 = d_pred, pred0, pred1
+        else:
+            if dec.decode_bin(ctx_id("InterDir", 0)):
+                dv = 2
+            else:
+                dv = dec.decode_bin(ctx_id("InterDir", 1))
+            if dv != 1:
+                mv0 = pred0 + np.array([decode_mvd_comp(dec),
+                                        decode_mvd_comp(dec)],
+                                       dtype=np.int64)
+            else:
+                mv0 = pred0
+            if dv != 0:
+                mv1 = pred1 + np.array([decode_mvd_comp(dec),
+                                        decode_mvd_comp(dec)],
+                                       dtype=np.int64)
+            else:
+                mv1 = pred1
+            hr = False
+            for ci, lev in enumerate(levels[d]):
+                _lbl(dec, "cbf")
+                if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
+                    sz = s if ci == 0 else s // 2
+                    lev[by, bx] = coeffs_decode(dec, sz, sz,
+                                                chroma=(ci != 0))
+                    hr = True
+            has_resid[uy:uy + k, ux:ux + k] = hr
+        coded0[uy:uy + k, ux:ux + k] = mv0
+        coded1[uy:uy + k, ux:ux + k] = mv1
+        dirs_u[uy:uy + k, ux:ux + k] = dv
+        avail[uy:uy + k, ux:ux + k] = True
+        leaf_id[uy:uy + k, ux:ux + k] = uy * nux + ux
+
+    def parse_node(d, by, bx):
+        if d < depth:
+            _lbl(dec, "split_flag")
+            if dec.decode_bin(ctx_id("SplitFlag", min(d, 8))):
+                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    parse_node(d + 1, 2 * by + dy, 2 * bx + dx)
+                return
+        parse_leaf(d, by, bx)
+
+    for by in range(nty):
+        for bx in range(ntx):
+            parse_node(0, by, bx)
+    return coded0, coded1, dirs_u, levels, has_resid, leaf_id
+
+
 def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                               np.ndarray, np.ndarray, np.ndarray]:

@@ -306,17 +306,26 @@ class EncLib:
 
     def _finish_p_frame(self, poc, planes, recon, payload, ref_poc, qp,
                         epipole_delta, t0):
-        """Shared P-frame tail: SAO -> ALF -> slice header -> NAL -> stats."""
+        return self._finish_slice(poc, planes, recon, payload, qp, t0,
+                                  SliceType.P, [ref_poc], [],
+                                  epipole_delta, 0)
+
+    def _finish_slice(self, poc, planes, recon, payload, qp, t0, slice_type,
+                      ref_pocs_l0, ref_pocs_l1, epipole_delta, tid):
+        """Shared inter-frame tail: SAO -> ALF -> slice header -> NAL ->
+        stats (reference: EncGOP compressGOP tail per picture)."""
         cfg = self.cfg
         recon, sao_params = self._sao_stage(recon, planes, qp)
         recon, alf_params = self._alf_stage(recon, planes[0], qp)
-        sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=qp,
-                         ref_pocs_l0=[ref_poc], epipole_delta=epipole_delta,
+        sh = SliceHeader(poc=poc, slice_type=slice_type, qp=qp,
+                         temporal_id=tid, ref_pocs_l0=ref_pocs_l0,
+                         ref_pocs_l1=ref_pocs_l1,
+                         epipole_delta=epipole_delta,
                          sao_params=sao_params, alf_params=alf_params)
         bw = BitWriter()
         sh.write(bw, self.sps)
         bw.write_bytes(payload)
-        nal = NalUnit(NAL_TRAIL, 0, bw.get_bytes())
+        nal = NalUnit(NAL_TRAIL, tid, bw.get_bytes())
         rec = [np.asarray(recon["y"]), np.asarray(recon["u"]),
                np.asarray(recon["v"])]
         res = FrameResult(
@@ -344,6 +353,34 @@ class EncLib:
         r0 = [jnp.asarray(p) for p in ref0]
         r1 = [jnp.asarray(p) for p in ref1]
         oy, ou, ov = (jnp.asarray(p) for p in planes)
+        if cfg.qt_depth > 0:
+            from ..common import qtree
+            from .inter_coder import encode_b_slice_qt
+            qt = qtree.encode_b_frame_qt(
+                oy, ou, ov, tuple(r0), tuple(r1), qp, s, cfg.qt_depth,
+                cfg.bit_depth, cfg.search_range, cfg.wrap_around)
+            splits = [np.asarray(x) for x in qt["splits"]]
+            mv0s = [np.asarray(m) for m in qt["mv0"]]
+            mv1s = [np.asarray(m) for m in qt["mv1"]]
+            dirss = [np.asarray(d) for d in qt["dirs"]]
+            levels_h = [tuple(np.asarray(l.astype(jnp.int16))
+                              .astype(np.int32) for l in trio)
+                        for trio in qt["levels"]]
+            payload = encode_b_slice_qt(splits, mv0s, mv1s, dirss,
+                                        levels_h, s, cfg.qt_depth)
+            recon = qt["recon"]
+            if cfg.deblocking:
+                sel_mv = jnp.where(qt["dirs_unit"][..., None] == 1,
+                                   qt["mv1_unit"], qt["mv0_unit"])
+                bs_v, bs_h = qtree.qt_boundary_strengths(
+                    sel_mv, qt["has_resid_unit"], qt["leaf_id_unit"])
+                ry, ru, rv = deblock.deblock_frame(
+                    recon["y"], recon["u"], recon["v"], bs_v, bs_h,
+                    s >> cfg.qt_depth, qp, cfg.bit_depth)
+                recon = dict(y=ry, u=ru, v=rv)
+            return self._finish_slice(poc, planes, recon, payload, qp, t0,
+                                      SliceType.B, [ref0_poc], [ref1_poc],
+                                      None, tid)
         mv0, mv1, dirs = inter_frame.search_b_frame(
             oy, r0[0], r1[0], qp, s, cfg.bit_depth, cfg.search_range,
             cfg.wrap_around)

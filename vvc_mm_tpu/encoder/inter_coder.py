@@ -268,6 +268,84 @@ def encode_p_slice_qt(splits, mvs, levels, top: int, depth: int) -> bytes:
     return enc.finish()
 
 
+def encode_b_slice_qt(splits, mv0s, mv1s, dirss, levels, top: int,
+                      depth: int) -> bytes:
+    """Quadtree B-slice entropy coding: tree + per-leaf inter_dir / mvd per
+    used list / residual.  Unused-list unit cells take their MVP so both
+    sides evolve the same grids."""
+    enc = make_encoder()
+    u = top >> depth
+    nty, ntx = (np.asarray(splits[0]).shape if depth
+                else dirss[0].shape[:2])
+    nuy, nux = dirss[depth].shape if depth else dirss[0].shape
+    coded0 = np.zeros((nuy, nux, 2), dtype=np.int64)
+    coded1 = np.zeros((nuy, nux, 2), dtype=np.int64)
+    dirs_u = np.zeros((nuy, nux), dtype=np.int32)
+    avail = np.zeros((nuy, nux), dtype=bool)
+
+    def code_leaf(d, by, bx):
+        s = top >> d
+        k = s // u
+        uy, ux = by * k, bx * k
+        dv = int(dirss[d][by, bx])
+        mv0 = np.asarray(mv0s[d][by, bx], dtype=np.int64)
+        mv1 = np.asarray(mv1s[d][by, bx], dtype=np.int64)
+        pred0 = mvp_unit_grid(coded0, avail, uy, ux, k)
+        pred1 = mvp_unit_grid(coded1, avail, uy, ux, k)
+        if dv == 0:
+            mv1 = pred1
+        elif dv == 1:
+            mv0 = pred0
+        mvd0, mvd1 = mv0 - pred0, mv1 - pred1
+        lev = (levels[d][0][by, bx], levels[d][1][by, bx],
+               levels[d][2][by, bx])
+        no_resid = all(not np.any(l != 0) for l in lev)
+        d_pred = (int(dirs_u[uy, ux - 1]) if ux > 0 and avail[uy, ux - 1]
+                  else int(dirs_u[uy - 1, ux])
+                  if uy > 0 and avail[uy - 1, ux] else 0)
+        used_zero = (((dv != 1) <= (mvd0 == 0).all())
+                     and ((dv != 0) <= (mvd1 == 0).all()))
+        skip = no_resid and dv == d_pred and used_zero
+        enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+        if skip:
+            dv = d_pred
+            mv0, mv1 = pred0, pred1
+        else:
+            enc.encode_bin(int(dv == 2), ctx_id("InterDir", 0))
+            if dv != 2:
+                enc.encode_bin(dv, ctx_id("InterDir", 1))
+            if dv != 1:
+                encode_mvd_comp(enc, int(mvd0[0]))
+                encode_mvd_comp(enc, int(mvd0[1]))
+            if dv != 0:
+                encode_mvd_comp(enc, int(mvd1[0]))
+                encode_mvd_comp(enc, int(mvd1[1]))
+            for ci, l in enumerate(lev):
+                cbf = bool(np.any(l != 0))
+                enc.encode_bin(int(cbf), ctx_id("QtCbf", (0, 4, 5)[ci]))
+                if cbf:
+                    coeffs_encode(enc, l, chroma=(ci != 0))
+        coded0[uy:uy + k, ux:ux + k] = mv0
+        coded1[uy:uy + k, ux:ux + k] = mv1
+        dirs_u[uy:uy + k, ux:ux + k] = dv
+        avail[uy:uy + k, ux:ux + k] = True
+
+    def code_node(d, by, bx):
+        if d < depth:
+            sp = bool(splits[d][by, bx])
+            enc.encode_bin(int(sp), ctx_id("SplitFlag", min(d, 8)))
+            if sp:
+                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    code_node(d + 1, 2 * by + dy, 2 * bx + dx)
+                return
+        code_leaf(d, by, bx)
+
+    for by in range(nty):
+        for bx in range(ntx):
+            code_node(0, by, bx)
+    return enc.finish()
+
+
 def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
                    lev_y: np.ndarray, lev_u: np.ndarray, lev_v: np.ndarray
                    ) -> tuple[bytes, np.ndarray, np.ndarray]:
