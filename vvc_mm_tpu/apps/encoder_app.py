@@ -47,6 +47,7 @@ def build_parser() -> OptionParser:
     p.add("SearchRange", 24, "ME search range")
     p.add("CTUSize", 16, "inter top block size (quadtree root)")
     p.add("QTDepth", 0, "inter quadtree split depth (0 = fixed grid)")
+    p.add("Affine", False, "4-param affine motion (classic fixed grid)")
     p.add("WrapAround", False, "ERP horizontal wrap-around")
     p.add("Deblocking", True, "in-loop deblocking")
     p.add("SphereVideo", False, "enable 360 metrics")
@@ -87,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
                  intra_period=max(opts["IntraPeriod"], 0),
                  gop_size=opts["GOPSize"], search_range=opts["SearchRange"],
                  inter_block_size=opts["CTUSize"], qt_depth=opts["QTDepth"],
+                 affine=opts["Affine"],
                  wrap_around=opts["WrapAround"],
                  deblocking=opts["Deblocking"], mm=mm,
                  epipoles=list(opts["Epipole"]),

@@ -75,6 +75,8 @@ class SPS:
                                   # inter_block_size: 0 = fixed grid; d > 0
                                   # allows leaves down to size >> d (QTMT
                                   # analog, UnitPartitioner.h:56-64)
+    affine: bool = False          # 4-param affine motion (CLASSIC only;
+                                  # reference: sps_affine_enabled_flag)
     wrap_around: bool = False     # ERP horizontal wrap (pps in VVC; SPS here)
     deblocking: bool = True       # in-loop deblocking enable
     sao: bool = True              # sample adaptive offset enable
@@ -91,6 +93,7 @@ class SPS:
         bw.write_uvlc(self.inter_block_size.bit_length() - 1)
         bw.write_uvlc(self.max_num_ref)
         bw.write_uvlc(self.inter_qt_depth)
+        bw.write_flag(self.affine)
         bw.write_flag(self.wrap_around)
         bw.write_flag(self.deblocking)
         bw.write_flag(self.sao)
@@ -122,6 +125,7 @@ class SPS:
         sps.inter_block_size = 1 << br.read_uvlc()
         sps.max_num_ref = br.read_uvlc()
         sps.inter_qt_depth = br.read_uvlc()
+        sps.affine = br.read_flag()
         sps.wrap_around = br.read_flag()
         sps.deblocking = br.read_flag()
         sps.sao = br.read_flag()

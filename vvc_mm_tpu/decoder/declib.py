@@ -214,6 +214,17 @@ class DecLib:
                     planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
                             np.asarray(recon["v"])]))
                 return
+            elif sps.affine:
+                from ..common import affine as affine_mod
+                from .inter_parser import decode_p_slice_affine
+                mvs, aff, dmv, ly, lu, lv = decode_p_slice_affine(
+                    cabac_bytes, nby, nbx, s, stats=self.stats)
+                recon = affine_mod.reconstruct_p_frame_affine(
+                    jnp.asarray(mvs), jnp.asarray(aff), jnp.asarray(dmv),
+                    jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
+                    jnp.asarray(ref.planes[0]), jnp.asarray(ref.planes[1]),
+                    jnp.asarray(ref.planes[2]), sh.qp, s, sps.bit_depth,
+                    sps.wrap_around)
             else:
                 mvs, ly, lu, lv = decode_p_slice(cabac_bytes, nby, nbx, s,
                                                  stats=self.stats)

@@ -93,6 +93,45 @@ def decode_p_slice_mm(data: bytes, nby: int, nbx: int, s: int,
     return model_idx, mvs, lev_y, lev_u, lev_v
 
 
+def decode_p_slice_affine(data: bytes, nby: int, nbx: int, s: int,
+                          stats=None):
+    """Exact inverse of encoder.inter_coder.encode_p_slice_affine.
+    Returns (mvs, aff, dmv, lev_y, lev_u, lev_v)."""
+    dec = _make(data, stats)
+    sc = s // 2
+    mvs = np.zeros((nby, nbx, 2), dtype=np.int64)
+    aff = np.zeros((nby, nbx), dtype=bool)
+    dmv = np.zeros((nby, nbx, 2), dtype=np.int64)
+    lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
+    lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    for by in range(nby):
+        for bx in range(nbx):
+            pred = mvp_median(mvs, by, bx)
+            _lbl(dec, "skip_flag")
+            if dec.decode_bin(ctx_id("SkipFlag")):
+                mvs[by, bx] = pred
+                continue
+            _lbl(dec, "affine_flag")
+            a = bool(dec.decode_bin(ctx_id("AffineFlag", 0)))
+            aff[by, bx] = a
+            _lbl(dec, "mvd")
+            mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
+                           dtype=np.int64)
+            mvs[by, bx] = pred + mvd
+            if a:
+                dmv[by, bx] = [decode_mvd_comp(dec), decode_mvd_comp(dec)]
+            for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
+                                    ("v", lev_v, sc)):
+                _lbl(dec, "cbf")
+                if dec.decode_bin(
+                        ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])):
+                    _lbl(dec, "residual_" + comp)
+                    lev[by, bx] = coeffs_decode(dec, size, size,
+                                                chroma=(comp != "y"))
+    return mvs, aff, dmv, lev_y, lev_u, lev_v
+
+
 def decode_p_slice_qt(data: bytes, h: int, w: int, top: int, depth: int,
                       stats=None):
     """Exact inverse of encoder.inter_coder.encode_p_slice_qt.  Returns

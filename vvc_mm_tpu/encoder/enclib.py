@@ -49,6 +49,8 @@ class EncCfg:
     search_range: int = 24
     qt_depth: int = 0            # inter quadtree depth (0 = fixed grid;
                                  # QTMT analog — common/qtree.py)
+    affine: bool = False         # per-block 4-param affine motion
+                                 # (common/affine.py; CLASSIC fixed grid)
     # multi-model motion tools (reference: EncAppCfg.cpp:1013-1020
     # --MPA/--3DT/--TAN/--ROT/--GED/--GEDA/--MMMVP/--Epipole)
     mm: MMConfig = field(default_factory=MMConfig)
@@ -73,7 +75,7 @@ class EncCfg:
                    inter_block_size=self.inter_block_size,
                    wrap_around=self.wrap_around, deblocking=self.deblocking,
                    sao=self.sao, alf=self.alf, mm=self.mm,
-                   inter_qt_depth=self.qt_depth)
+                   inter_qt_depth=self.qt_depth, affine=self.affine)
 
 
 @dataclass
@@ -264,6 +266,20 @@ class EncLib:
                 recon = dict(y=ry, u=ru, v=rv)
             return self._finish_p_frame(poc, planes, recon, payload,
                                         ref_poc, qp, None, t0)
+        elif cfg.affine:
+            # per-block translational/affine decision (common/affine.py)
+            from ..common import affine as affine_mod
+            from .inter_coder import encode_p_slice_affine
+            mvs, aff, dmv, ly, lu, lv, recon = \
+                affine_mod.encode_p_frame_affine(
+                    jnp.asarray(planes[0]), jnp.asarray(planes[1]),
+                    jnp.asarray(planes[2]), jnp.asarray(ref[0]),
+                    jnp.asarray(ref[1]), jnp.asarray(ref[2]), qp, s,
+                    cfg.bit_depth, cfg.search_range, cfg.wrap_around)
+            lyh, luh, lvh = (np.asarray(l.astype(jnp.int16))
+                             .astype(np.int32) for l in (ly, lu, lv))
+            payload = encode_p_slice_affine(np.asarray(mvs), np.asarray(aff),
+                                            np.asarray(dmv), lyh, luh, lvh)
         else:
             mvs, ly, lu, lv, recon = inter_frame.encode_p_frame(
                 jnp.asarray(planes[0]), jnp.asarray(planes[1]),

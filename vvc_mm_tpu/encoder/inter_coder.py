@@ -189,6 +189,43 @@ def encode_p_slice_mm(model_idx: np.ndarray, active_models: list[int],
     return enc.finish()
 
 
+def encode_p_slice_affine(mvs: np.ndarray, aff: np.ndarray,
+                          dmv: np.ndarray, lev_y: np.ndarray,
+                          lev_u: np.ndarray, lev_v: np.ndarray) -> bytes:
+    """P-slice with per-block affine flags (reference: CABACWriter
+    affine_flag after the skip/merge syntax, CABACWriter.cpp:1774 region).
+    mvs holds the TL CPMV for affine blocks; dmv the extra (TR-TL) pair."""
+    enc = make_encoder()
+    nby, nbx = mvs.shape[:2]
+    mvs = mvs.astype(np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            mv = mvs[by, bx]
+            pred = mvp_median(mvs, by, bx)
+            mvd = mv - pred
+            levels = (lev_y[by, bx], lev_u[by, bx], lev_v[by, bx])
+            no_resid = all(not np.any(l != 0) for l in levels)
+            a = bool(aff[by, bx])
+            skip = (no_resid and mvd[0] == 0 and mvd[1] == 0 and not a)
+            enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+            if skip:
+                continue
+            enc.encode_bin(int(a), ctx_id("AffineFlag", 0))
+            encode_mvd_comp(enc, int(mvd[0]))
+            encode_mvd_comp(enc, int(mvd[1]))
+            if a:
+                encode_mvd_comp(enc, int(dmv[by, bx, 0]))
+                encode_mvd_comp(enc, int(dmv[by, bx, 1]))
+            for comp, lev in (("y", levels[0]), ("u", levels[1]),
+                              ("v", levels[2])):
+                cbf = bool(np.any(lev != 0))
+                enc.encode_bin(int(cbf),
+                               ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp]))
+                if cbf:
+                    coeffs_encode(enc, lev, chroma=(comp != "y"))
+    return enc.finish()
+
+
 def mvp_unit_grid(coded: np.ndarray, avail: np.ndarray, uy: int, ux: int,
                   k: int) -> np.ndarray:
     """Median MVP for a k x k-unit leaf over the causally-coded unit grid
