@@ -59,7 +59,7 @@ def main(argv: list[str] | None = None) -> int:
         fmt = VideoFormat(sps.width, sps.height, sps.bit_depth,
                           sps.chroma_format)
         wr = YuvWriter(opts["ReconFile"], fmt)
-        for fr in frames:
+        for fr in dec.output_frames():    # LMCS inverse-mapped if active
             wr.write_frame(fr.planes)
         wr.close()
     return 0

@@ -48,6 +48,7 @@ def build_parser() -> OptionParser:
     p.add("CTUSize", 16, "inter top block size (quadtree root)")
     p.add("QTDepth", 0, "inter quadtree split depth (0 = fixed grid)")
     p.add("Affine", False, "4-param affine motion (classic fixed grid)")
+    p.add("LMCS", False, "luma mapping with reshaper (LMCS analog)")
     p.add("WrapAround", False, "ERP horizontal wrap-around")
     p.add("Deblocking", True, "in-loop deblocking")
     p.add("SphereVideo", False, "enable 360 metrics")
@@ -93,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
                  deblocking=opts["Deblocking"], mm=mm,
                  epipoles=list(opts["Epipole"]),
                  metrics_360=opts["SphereVideo"],
-                 mctf=opts["TemporalFilter"],
+                 mctf=opts["TemporalFilter"], lmcs=opts["LMCS"],
                  target_bitrate_kbps=(opts["TargetBitrate"] // 1000
                                       if opts["RateControl"] else 0),
                  frame_rate=float(opts["FrameRate"]))
@@ -138,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
     if opts["ReconFile"]:
         wr = YuvWriter(opts["ReconFile"], fmt)
         for r in enc.results:
-            wr.write_frame(r.recon)
+            wr.write_frame(r.output)      # display domain (LMCS inverse)
         wr.close()
     return 0
 

@@ -81,6 +81,8 @@ class SPS:
     deblocking: bool = True       # in-loop deblocking enable
     sao: bool = True              # sample adaptive offset enable
     alf: bool = True              # adaptive loop filter enable
+    lmcs: bool = False            # luma mapping (reshaper) enable
+    lmcs_cw: tuple = ()           # 16 signaled codeword counts
     mm: MMConfig = field(default_factory=MMConfig)
 
     def write(self, bw: BitWriter) -> None:
@@ -98,6 +100,10 @@ class SPS:
         bw.write_flag(self.deblocking)
         bw.write_flag(self.sao)
         bw.write_flag(self.alf)
+        bw.write_flag(self.lmcs)
+        if self.lmcs:
+            for c in self.lmcs_cw:
+                bw.write_uvlc(int(c))
         mm = self.mm
         bw.write_flag(mm.any_enabled())
         if mm.any_enabled():
@@ -130,6 +136,9 @@ class SPS:
         sps.deblocking = br.read_flag()
         sps.sao = br.read_flag()
         sps.alf = br.read_flag()
+        sps.lmcs = br.read_flag()
+        if sps.lmcs:
+            sps.lmcs_cw = tuple(br.read_uvlc() for _ in range(16))
         if br.read_flag():
             mm = sps.mm
             mm.mpa, mm.t3d, mm.tan, mm.rot, mm.ged, mm.geda = (

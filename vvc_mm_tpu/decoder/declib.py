@@ -60,6 +60,12 @@ class DecLib:
         """reference: DecLib.cpp:1904 xActivateParameterSets — builds the
         decoder-side MVReprojection from SPS (DecLib.cpp:2039)."""
         self.sps = sps
+        if sps.lmcs:
+            from ..common import reshape
+            self._inv_lut = reshape.build_inv_lut(
+                np.asarray(sps.lmcs_cw, dtype=np.int32), sps.bit_depth)
+        else:
+            self._inv_lut = None
         if sps.mm.any_enabled():
             proj = make_projection(int(sps.mm.projection), sps.width,
                                    sps.height)
@@ -85,6 +91,16 @@ class DecLib:
                 self._decode_slice(nalu.payload)
         self.frames.sort(key=lambda f: f.poc)
         return self.frames
+
+    def output_frames(self) -> list[DecodedFrame]:
+        """Display-domain pictures: under LMCS the DPB holds mapped
+        reconstructions; inverse-map luma at output time (reference:
+        Reshape inverse LUT applied at picture output)."""
+        if getattr(self, "_inv_lut", None) is None:
+            return self.frames
+        return [DecodedFrame(f.poc, [self._inv_lut[f.planes[0]],
+                                     f.planes[1], f.planes[2]])
+                for f in self.frames]
 
 
     def _check_hash_sei(self, payload: bytes) -> None:

@@ -67,6 +67,8 @@ class EncCfg:
     alf: bool = True             # adaptive loop filter (luma)
     mctf: bool = False           # GOP-based temporal pre-filter (reference:
                                  # EncTemporalFilter, EncApp.cpp:1547-1551)
+    lmcs: bool = False           # luma mapping / reshaper (reference:
+                                 # Reshape.{cpp,h}, EncReshape)
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -85,9 +87,16 @@ class FrameResult:
     psnr_y: float
     psnr_u: float
     psnr_v: float
-    recon: list[np.ndarray]
+    recon: list[np.ndarray]           # internal domain (mapped under LMCS)
     seconds: float = 0.0
     metrics_360: dict | None = None   # WS-PSNR/S-PSNR-NN/CPP-PSNR (luma)
+    recon_out: list[np.ndarray] | None = None  # display domain (LMCS
+                                               # inverse-mapped); None ->
+                                               # same as recon
+
+    @property
+    def output(self) -> list[np.ndarray]:
+        return self.recon_out if self.recon_out is not None else self.recon
 
 
 class EncLib:
@@ -483,6 +492,17 @@ class EncLib:
 
     def encode_sequence(self, frames: list[list[np.ndarray]]) -> bytes:
         """Encode a frame list -> Annex-B bytes (AI / LDP / RA GOP)."""
+        originals = frames
+        if self.cfg.lmcs:
+            # LMCS: forward-map luma once; the whole pipeline (incl. the
+            # picture hash) runs in the mapped domain (common/reshape.py)
+            from ..common import reshape
+            cw = reshape.estimate_codewords(frames[0][0], self.cfg.bit_depth)
+            self.sps.lmcs_cw = tuple(int(c) for c in cw)
+            self.sps.lmcs = True
+            self._fwd_lut = reshape.build_fwd_lut(cw, self.cfg.bit_depth)
+            self._inv_lut = reshape.build_inv_lut(cw, self.cfg.bit_depth)
+            frames = [[self._fwd_lut[f[0]], f[1], f[2]] for f in frames]
         if self.cfg.mctf and len(frames) > 1:
             # MCTF pre-filter on RA anchors before any encoding (reference:
             # EncApp.cpp:1547-1551 -> EncTemporalFilter::filter)
@@ -524,6 +544,7 @@ class EncLib:
                 if self.cfg.picture_hash_sei:
                     nalus.append(self._hash_sei(poc, res.recon))
             self.results.sort(key=lambda r: r.poc)
+            self._lmcs_outputs(originals)
             return write_annexb(nalus)
         last_rec: list[np.ndarray] | None = None
         last_poc = -1
@@ -542,7 +563,20 @@ class EncLib:
             nalus.append(nal)
             if self.cfg.picture_hash_sei:
                 nalus.append(self._hash_sei(poc, res.recon))
+        self._lmcs_outputs(originals)
         return write_annexb(nalus)
+
+    def _lmcs_outputs(self, originals) -> None:
+        """Inverse-map reconstructions to the display domain and re-score
+        PSNR against the true originals (reference: the encoder reports
+        PSNR on the inverse-reshaped picture, EncGOP xCalculateAddPSNR)."""
+        if not self.cfg.lmcs:
+            return
+        for res in self.results:
+            out_y = self._inv_lut[res.recon[0]]
+            res.recon_out = [out_y, res.recon[1], res.recon[2]]
+            res.psnr_y = psnr(originals[res.poc][0], out_y,
+                              self.cfg.bit_depth)
 
     def _finish_frame(self, res: FrameResult, orig: list[np.ndarray]
                       ) -> FrameResult:
