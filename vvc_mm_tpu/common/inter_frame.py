@@ -131,6 +131,15 @@ def _mc_planes_internal(ref_y, ref_u, ref_v, mvs, s: int, bit_depth: int,
     return py, pu, pv          # block-batched (B, s, s) internal precision
 
 
+def _luma_combine(int0, int1, dirs, nby, nbx, bit_depth, bdof: bool):
+    """Luma uni/bi combine, optionally BDOF-refined (luma only, reference:
+    BDOF applies to luma bi blocks; common/bdof.py)."""
+    if bdof:
+        from .bdof import combine_bi_bdof
+        return combine_bi_bdof(int0, int1, dirs, nby, nbx, bit_depth)
+    return _combine_bi(int0, int1, dirs, nby, nbx, bit_depth)
+
+
 def _combine_bi(int0, int1, dirs, nby, nbx, bit_depth):
     """Per-block uni/bi finalize: dirs (nby, nbx) 0=L0, 1=L1, 2=BI."""
     d = dirs.reshape(-1)[:, None, None]
@@ -142,10 +151,10 @@ def _combine_bi(int0, int1, dirs, nby, nbx, bit_depth):
 
 
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
-                                             "wrap_around"))
+                                             "wrap_around", "bdof"))
 def bpred_and_residual(orig_y, orig_u, orig_v, ref0, ref1, mv0, mv1, dirs,
                        qp: int, block_size: int, bit_depth: int,
-                       wrap_around: bool):
+                       wrap_around: bool, bdof: bool = False):
     """Shared B prediction+residual path (encoder passes orig; decoder uses
     reconstruct_b_frame below)."""
     s = block_size
@@ -153,7 +162,7 @@ def bpred_and_residual(orig_y, orig_u, orig_v, ref0, ref1, mv0, mv1, dirs,
     nby, nbx = h // s, w // s
     i0 = _mc_planes_internal(*ref0, mv0, s, bit_depth, wrap_around)
     i1 = _mc_planes_internal(*ref1, mv1, s, bit_depth, wrap_around)
-    pred_y = _combine_bi(i0[0], i1[0], dirs, nby, nbx, bit_depth)
+    pred_y = _luma_combine(i0[0], i1[0], dirs, nby, nbx, bit_depth, bdof)
     pred_u = _combine_bi(i0[1], i1[1], dirs, nby, nbx, bit_depth)
     pred_v = _combine_bi(i0[2], i1[2], dirs, nby, nbx, bit_depth)
     lev_y, rec_y = _residual_pass(orig_y, pred_y, s, qp, bit_depth)
@@ -205,10 +214,11 @@ def search_b_frame(orig_y, ref0_y, ref1_y, qp: int, block_size: int,
 
 
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
-                                             "wrap_around"))
+                                             "wrap_around", "bdof"))
 def reconstruct_b_frame(mv0, mv1, dirs, lev_y, lev_u, lev_v,
                         ref0, ref1, qp: int, block_size: int,
-                        bit_depth: int = 8, wrap_around: bool = False):
+                        bit_depth: int = 8, wrap_around: bool = False,
+                        bdof: bool = False):
     """Decoder-side B reconstruction (shared with encoder recon)."""
     s = block_size
     sc = s // 2
@@ -216,7 +226,7 @@ def reconstruct_b_frame(mv0, mv1, dirs, lev_y, lev_u, lev_v,
     nby, nbx = h // s, w // s
     i0 = _mc_planes_internal(*ref0, mv0, s, bit_depth, wrap_around)
     i1 = _mc_planes_internal(*ref1, mv1, s, bit_depth, wrap_around)
-    pred_y = _combine_bi(i0[0], i1[0], dirs, nby, nbx, bit_depth)
+    pred_y = _luma_combine(i0[0], i1[0], dirs, nby, nbx, bit_depth, bdof)
     pred_u = _combine_bi(i0[1], i1[1], dirs, nby, nbx, bit_depth)
     pred_v = _combine_bi(i0[2], i1[2], dirs, nby, nbx, bit_depth)
 

@@ -81,6 +81,7 @@ class SPS:
     deblocking: bool = True       # in-loop deblocking enable
     sao: bool = True              # sample adaptive offset enable
     alf: bool = True              # adaptive loop filter enable
+    bdof: bool = False            # bi-directional optical flow (B slices)
     lmcs: bool = False            # luma mapping (reshaper) enable
     lmcs_cw: tuple = ()           # 16 signaled codeword counts
     mm: MMConfig = field(default_factory=MMConfig)
@@ -100,6 +101,7 @@ class SPS:
         bw.write_flag(self.deblocking)
         bw.write_flag(self.sao)
         bw.write_flag(self.alf)
+        bw.write_flag(self.bdof)
         bw.write_flag(self.lmcs)
         if self.lmcs:
             for c in self.lmcs_cw:
@@ -136,6 +138,7 @@ class SPS:
         sps.deblocking = br.read_flag()
         sps.sao = br.read_flag()
         sps.alf = br.read_flag()
+        sps.bdof = br.read_flag()
         sps.lmcs = br.read_flag()
         if sps.lmcs:
             sps.lmcs_cw = tuple(br.read_uvlc() for _ in range(16))

@@ -69,6 +69,8 @@ class EncCfg:
                                  # EncTemporalFilter, EncApp.cpp:1547-1551)
     lmcs: bool = False           # luma mapping / reshaper (reference:
                                  # Reshape.{cpp,h}, EncReshape)
+    bdof: bool = False           # bi-directional optical flow refinement
+                                 # of bi-predicted blocks (common/bdof.py)
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -77,7 +79,8 @@ class EncCfg:
                    inter_block_size=self.inter_block_size,
                    wrap_around=self.wrap_around, deblocking=self.deblocking,
                    sao=self.sao, alf=self.alf, mm=self.mm,
-                   inter_qt_depth=self.qt_depth, affine=self.affine)
+                   inter_qt_depth=self.qt_depth, affine=self.affine,
+                   bdof=self.bdof)
 
 
 @dataclass
@@ -383,7 +386,8 @@ class EncLib:
             from .inter_coder import encode_b_slice_qt
             qt = qtree.encode_b_frame_qt(
                 oy, ou, ov, tuple(r0), tuple(r1), qp, s, cfg.qt_depth,
-                cfg.bit_depth, cfg.search_range, cfg.wrap_around)
+                cfg.bit_depth, cfg.search_range, cfg.wrap_around,
+                cfg.bdof)
             splits = [np.asarray(x) for x in qt["splits"]]
             mv0s = [np.asarray(m) for m in qt["mv0"]]
             mv1s = [np.asarray(m) for m in qt["mv1"]]
@@ -411,7 +415,7 @@ class EncLib:
             cfg.wrap_around)
         ly, lu, lv, _ = inter_frame.bpred_and_residual(
             oy, ou, ov, tuple(r0), tuple(r1), mv0, mv1, dirs, qp, s,
-            cfg.bit_depth, cfg.wrap_around)
+            cfg.bit_depth, cfg.wrap_around, cfg.bdof)
         lyh, luh, lvh = (np.asarray(l.astype(jnp.int16)).astype(np.int32)
                          for l in (ly, lu, lv))
         payload, coded0, coded1 = encode_b_slice(
@@ -422,7 +426,8 @@ class EncLib:
         recon = inter_frame.reconstruct_b_frame(
             jnp.asarray(coded0), jnp.asarray(coded1), dirs,
             jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
-            tuple(r0), tuple(r1), qp, s, cfg.bit_depth, cfg.wrap_around)
+            tuple(r0), tuple(r1), qp, s, cfg.bit_depth, cfg.wrap_around,
+            cfg.bdof)
         if cfg.deblocking:
             has_resid = (jnp.any(jnp.asarray(ly) != 0, axis=(2, 3))
                          | jnp.any(jnp.asarray(lu) != 0, axis=(2, 3))
