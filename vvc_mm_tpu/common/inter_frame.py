@@ -151,15 +151,22 @@ def _combine_bi(int0, int1, dirs, nby, nbx, bit_depth):
 
 
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
-                                             "wrap_around", "bdof"))
+                                             "wrap_around", "bdof",
+                                             "dmvr"))
 def bpred_and_residual(orig_y, orig_u, orig_v, ref0, ref1, mv0, mv1, dirs,
                        qp: int, block_size: int, bit_depth: int,
-                       wrap_around: bool, bdof: bool = False):
+                       wrap_around: bool, bdof: bool = False,
+                       dmvr: bool = False):
     """Shared B prediction+residual path (encoder passes orig; decoder uses
     reconstruct_b_frame below)."""
     s = block_size
     h, w = orig_y.shape
     nby, nbx = h // s, w // s
+    if dmvr:
+        from .dmvr import dmvr_refine
+        mv0, mv1 = dmvr_refine(pad_ref(ref0[0], MC_MARGIN, wrap_around),
+                               pad_ref(ref1[0], MC_MARGIN, wrap_around),
+                               mv0, mv1, dirs, s, MC_MARGIN)
     i0 = _mc_planes_internal(*ref0, mv0, s, bit_depth, wrap_around)
     i1 = _mc_planes_internal(*ref1, mv1, s, bit_depth, wrap_around)
     pred_y = _luma_combine(i0[0], i1[0], dirs, nby, nbx, bit_depth, bdof)
@@ -214,16 +221,22 @@ def search_b_frame(orig_y, ref0_y, ref1_y, qp: int, block_size: int,
 
 
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
-                                             "wrap_around", "bdof"))
+                                             "wrap_around", "bdof",
+                                             "dmvr"))
 def reconstruct_b_frame(mv0, mv1, dirs, lev_y, lev_u, lev_v,
                         ref0, ref1, qp: int, block_size: int,
                         bit_depth: int = 8, wrap_around: bool = False,
-                        bdof: bool = False):
+                        bdof: bool = False, dmvr: bool = False):
     """Decoder-side B reconstruction (shared with encoder recon)."""
     s = block_size
     sc = s // 2
     h, w = ref0[0].shape
     nby, nbx = h // s, w // s
+    if dmvr:
+        from .dmvr import dmvr_refine
+        mv0, mv1 = dmvr_refine(pad_ref(ref0[0], MC_MARGIN, wrap_around),
+                               pad_ref(ref1[0], MC_MARGIN, wrap_around),
+                               mv0, mv1, dirs, s, MC_MARGIN)
     i0 = _mc_planes_internal(*ref0, mv0, s, bit_depth, wrap_around)
     i1 = _mc_planes_internal(*ref1, mv1, s, bit_depth, wrap_around)
     pred_y = _luma_combine(i0[0], i1[0], dirs, nby, nbx, bit_depth, bdof)

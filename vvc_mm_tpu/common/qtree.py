@@ -225,16 +225,26 @@ def _mask_and_locate(per_lev, leaf, sizes, u: int):
 
 @functools.partial(jax.jit, static_argnames=("qp", "top", "depth",
                                              "bit_depth", "wrap_around",
-                                             "bdof"))
+                                             "bdof", "dmvr"))
 def reconstruct_qt_b(mv0_unit, mv1_unit, dirs_unit, levels, ref0, ref1,
                      qp: int, top: int, depth: int, bit_depth: int,
-                     wrap_around: bool, bdof: bool = False):
+                     wrap_around: bool, bdof: bool = False,
+                     dmvr: bool = False):
     """Shared B reconstruction at unit granularity: per-unit uni/bi combine
     (dirs 0=L0, 1=L1, 2=BI) + per-size residual sum."""
     u = top >> depth
     h, w = ref0[0].shape
     nuy, nux = h // u, w // u
     from .inter_frame import _luma_combine
+    if dmvr:
+        # refinement at unit granularity over the resolved fields — merged
+        # leaves refine coherently because all their units share one MV
+        # pair (and the reference refines DMVR per 16x16 subblock anyway)
+        from .dmvr import dmvr_refine
+        mv0_unit, mv1_unit = dmvr_refine(
+            pad_ref(ref0[0], MC_MARGIN, wrap_around),
+            pad_ref(ref1[0], MC_MARGIN, wrap_around),
+            mv0_unit, mv1_unit, dirs_unit, u, MC_MARGIN)
     i0 = _mc_planes_internal(*ref0, mv0_unit, u, bit_depth, wrap_around)
     i1 = _mc_planes_internal(*ref1, mv1_unit, u, bit_depth, wrap_around)
     pred_y = _luma_combine(i0[0], i1[0], dirs_unit, nuy, nux, bit_depth,
@@ -265,11 +275,12 @@ def reconstruct_qt_b(mv0_unit, mv1_unit, dirs_unit, levels, ref0, ref1,
 
 @functools.partial(jax.jit, static_argnames=("qp", "top", "depth",
                                              "bit_depth", "search_range",
-                                             "wrap_around", "bdof"))
+                                             "wrap_around", "bdof",
+                                             "dmvr"))
 def encode_b_frame_qt(orig_y, orig_u, orig_v, ref0, ref1, qp: int,
                       top: int = 32, depth: int = 2, bit_depth: int = 8,
                       search_range: int = 24, wrap_around: bool = False,
-                      bdof: bool = False):
+                      bdof: bool = False, dmvr: bool = False):
     """Batched quadtree B encode: per-size per-list ME + uni/bi direction
     decision, then the same lattice RD resolve as the P path (reference:
     InterSearch::predInterSearch L0/L1/bi over the EncCu QTMT recursion).
@@ -344,7 +355,7 @@ def encode_b_frame_qt(orig_y, orig_u, orig_v, ref0, ref1, qp: int,
     dirs_unit = _field_to_unit(per_dirs, leaf, sizes, u)
     recon = reconstruct_qt_b(mv0_unit, mv1_unit, dirs_unit, masked_levels,
                              ref0, ref1, qp, top, depth, bit_depth,
-                             wrap_around, bdof)
+                             wrap_around, bdof, dmvr)
     return dict(splits=splits, mv0=per_mv0, mv1=per_mv1, dirs=per_dirs,
                 levels=masked_levels, leaf=leaf, mv0_unit=mv0_unit,
                 mv1_unit=mv1_unit, dirs_unit=dirs_unit, recon=recon,

@@ -82,6 +82,7 @@ class SPS:
     sao: bool = True              # sample adaptive offset enable
     alf: bool = True              # adaptive loop filter enable
     bdof: bool = False            # bi-directional optical flow (B slices)
+    dmvr: bool = False            # decoder-side MV refinement (B slices)
     lmcs: bool = False            # luma mapping (reshaper) enable
     lmcs_cw: tuple = ()           # 16 signaled codeword counts
     mm: MMConfig = field(default_factory=MMConfig)
@@ -102,6 +103,7 @@ class SPS:
         bw.write_flag(self.sao)
         bw.write_flag(self.alf)
         bw.write_flag(self.bdof)
+        bw.write_flag(self.dmvr)
         bw.write_flag(self.lmcs)
         if self.lmcs:
             for c in self.lmcs_cw:
@@ -139,6 +141,7 @@ class SPS:
         sps.sao = br.read_flag()
         sps.alf = br.read_flag()
         sps.bdof = br.read_flag()
+        sps.dmvr = br.read_flag()
         sps.lmcs = br.read_flag()
         if sps.lmcs:
             sps.lmcs_cw = tuple(br.read_uvlc() for _ in range(16))

@@ -285,7 +285,7 @@ class DecLib:
                     jnp.asarray(mv0_u), jnp.asarray(mv1_u),
                     jnp.asarray(dirs_u), levels_j, r0, r1, sh.qp, s,
                     sps.inter_qt_depth, sps.bit_depth, sps.wrap_around,
-                    sps.bdof)
+                    sps.bdof, sps.dmvr)
                 if sps.deblocking:
                     sel_mv = np.where(dirs_u[..., None] == 1, mv1_u, mv0_u)
                     bs_v, bs_h = qtree.qt_boundary_strengths(
@@ -310,7 +310,7 @@ class DecLib:
                 jnp.asarray(mv0), jnp.asarray(mv1), jnp.asarray(dirs),
                 jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
                 r0, r1, sh.qp, s, sps.bit_depth, sps.wrap_around,
-                sps.bdof)
+                sps.bdof, sps.dmvr)
             if sps.deblocking:
                 has_resid = (np.any(ly != 0, axis=(2, 3))
                              | np.any(lu != 0, axis=(2, 3))

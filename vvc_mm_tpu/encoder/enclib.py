@@ -71,6 +71,8 @@ class EncCfg:
                                  # Reshape.{cpp,h}, EncReshape)
     bdof: bool = False           # bi-directional optical flow refinement
                                  # of bi-predicted blocks (common/bdof.py)
+    dmvr: bool = False           # decoder-side MV refinement by bilateral
+                                 # matching (common/dmvr.py)
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -80,7 +82,7 @@ class EncCfg:
                    wrap_around=self.wrap_around, deblocking=self.deblocking,
                    sao=self.sao, alf=self.alf, mm=self.mm,
                    inter_qt_depth=self.qt_depth, affine=self.affine,
-                   bdof=self.bdof)
+                   bdof=self.bdof, dmvr=self.dmvr)
 
 
 @dataclass
@@ -387,7 +389,7 @@ class EncLib:
             qt = qtree.encode_b_frame_qt(
                 oy, ou, ov, tuple(r0), tuple(r1), qp, s, cfg.qt_depth,
                 cfg.bit_depth, cfg.search_range, cfg.wrap_around,
-                cfg.bdof)
+                cfg.bdof, cfg.dmvr)
             splits = [np.asarray(x) for x in qt["splits"]]
             mv0s = [np.asarray(m) for m in qt["mv0"]]
             mv1s = [np.asarray(m) for m in qt["mv1"]]
@@ -415,7 +417,7 @@ class EncLib:
             cfg.wrap_around)
         ly, lu, lv, _ = inter_frame.bpred_and_residual(
             oy, ou, ov, tuple(r0), tuple(r1), mv0, mv1, dirs, qp, s,
-            cfg.bit_depth, cfg.wrap_around, cfg.bdof)
+            cfg.bit_depth, cfg.wrap_around, cfg.bdof, cfg.dmvr)
         lyh, luh, lvh = (np.asarray(l.astype(jnp.int16)).astype(np.int32)
                          for l in (ly, lu, lv))
         payload, coded0, coded1 = encode_b_slice(
@@ -427,7 +429,7 @@ class EncLib:
             jnp.asarray(coded0), jnp.asarray(coded1), dirs,
             jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
             tuple(r0), tuple(r1), qp, s, cfg.bit_depth, cfg.wrap_around,
-            cfg.bdof)
+            cfg.bdof, cfg.dmvr)
         if cfg.deblocking:
             has_resid = (jnp.any(jnp.asarray(ly) != 0, axis=(2, 3))
                          | jnp.any(jnp.asarray(lu) != 0, axis=(2, 3))
