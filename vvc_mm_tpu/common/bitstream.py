@@ -161,6 +161,8 @@ class NalUnit:
     nal_type: int
     temporal_id: int
     payload: bytes      # RBSP (pre emulation prevention)
+    layer_id: int = 0   # nuh_layer_id analog (multi-layer streams,
+                        # reference: StreamMergeApp assigns these)
 
 
 def write_annexb(nalus: list[NalUnit]) -> bytes:
@@ -169,7 +171,7 @@ def write_annexb(nalus: list[NalUnit]) -> bytes:
     for nalu in nalus:
         out += START_CODE
         # header: forbidden_zero(1) reserved(1) layer_id(6) | type(5) tid+1(3)
-        out.append(0)
+        out.append(nalu.layer_id & 0x3F)
         out.append(((nalu.nal_type & 0x1F) << 3) | ((nalu.temporal_id + 1) & 7))
         # rbsp-stop byte: payloads may legally end in 0x00 (alignment or
         # range-coder output), which would be eaten by start-code zero
@@ -198,8 +200,9 @@ def read_annexb(data: bytes) -> list[NalUnit]:
         hdr1 = data[s + 1]
         nal_type = (hdr1 >> 3) & 0x1F
         tid = (hdr1 & 7) - 1
+        layer_id = data[s] & 0x3F
         payload = remove_emulation_prevention(data[s + 2:end])
         # strip the rbsp-stop byte (see write_annexb)
         assert payload and payload[-1] == 0x80, "missing rbsp stop byte"
-        nalus.append(NalUnit(nal_type, tid, payload[:-1]))
+        nalus.append(NalUnit(nal_type, tid, payload[:-1], layer_id))
     return nalus

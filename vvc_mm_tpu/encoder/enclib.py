@@ -133,7 +133,8 @@ class EncLib:
         else:
             self.mvp_conv = None
 
-    def _hash_sei(self, poc: int, recon: list[np.ndarray]) -> NalUnit:
+    def _hash_sei(self, poc: int, recon: list[np.ndarray],
+                  tid: int = 0) -> NalUnit:
         """Decoded-picture-hash SEI (reference: EncGOP.cpp:4124-4127,
         SEIEncoder::initDecodedPictureHashSEI — MD5 of the final
         reconstruction, verified by the decoder)."""
@@ -150,7 +151,9 @@ class EncLib:
         for b in m.digest():
             bw.write(b, 8)
         bw.align()
-        return NalUnit(NAL_SEI, 0, bw.get_bytes())
+        # the SEI rides its picture's temporal id so temporal extraction
+        # (apps/bitstream_extractor.py) drops them together
+        return NalUnit(NAL_SEI, tid, bw.get_bytes())
 
     def encode_headers(self) -> list[NalUnit]:
         bw = BitWriter()
@@ -549,7 +552,9 @@ class EncLib:
                 dpb[poc] = res.recon
                 nalus.append(nal)
                 if self.cfg.picture_hash_sei:
-                    nalus.append(self._hash_sei(poc, res.recon))
+                    nalus.append(self._hash_sei(poc, res.recon,
+                                                max(tid, 0) if r1 >= 0
+                                                else 0))
             self.results.sort(key=lambda r: r.poc)
             self._lmcs_outputs(originals)
             return write_annexb(nalus)
