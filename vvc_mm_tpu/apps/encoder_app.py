@@ -51,6 +51,7 @@ def build_parser() -> OptionParser:
     p.add("LMCS", False, "luma mapping with reshaper (LMCS analog)")
     p.add("BDOF", False, "bi-directional optical flow (BIO)")
     p.add("DMVR", False, "decoder-side motion vector refinement")
+    p.add("DepQuant", False, "dependent quantization (trellis, DQ)")
     p.add("WrapAround", False, "ERP horizontal wrap-around")
     p.add("Deblocking", True, "in-loop deblocking")
     p.add("SphereVideo", False, "enable 360 metrics")
@@ -98,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
                  metrics_360=opts["SphereVideo"],
                  mctf=opts["TemporalFilter"], lmcs=opts["LMCS"],
                  bdof=opts["BDOF"], dmvr=opts["DMVR"],
+                 dep_quant=opts["DepQuant"],
                  target_bitrate_kbps=(opts["TargetBitrate"] // 1000
                                       if opts["RateControl"] else 0),
                  frame_rate=float(opts["FrameRate"]))

@@ -85,6 +85,8 @@ class SPS:
     dmvr: bool = False            # decoder-side MV refinement (B slices)
     lmcs: bool = False            # luma mapping (reshaper) enable
     lmcs_cw: tuple = ()           # 16 signaled codeword counts
+    dep_quant: bool = False       # dependent quantization (reference:
+                                  # sps_dep_quant_enabled_flag, DepQuant.cpp)
     mm: MMConfig = field(default_factory=MMConfig)
 
     def write(self, bw: BitWriter) -> None:
@@ -108,6 +110,7 @@ class SPS:
         if self.lmcs:
             for c in self.lmcs_cw:
                 bw.write_uvlc(int(c))
+        bw.write_flag(self.dep_quant)
         mm = self.mm
         bw.write_flag(mm.any_enabled())
         if mm.any_enabled():
@@ -145,6 +148,7 @@ class SPS:
         sps.lmcs = br.read_flag()
         if sps.lmcs:
             sps.lmcs_cw = tuple(br.read_uvlc() for _ in range(16))
+        sps.dep_quant = br.read_flag()
         if br.read_flag():
             mm = sps.mm
             mm.mpa, mm.t3d, mm.tan, mm.rot, mm.ged, mm.geda = (

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import intra, quant, transforms
+from . import depquant, intra, quant, transforms
 from .rdcost import satd as satd_fn
 
 MARGIN = 64            # intra buffer margin (>= 2*S + slack)
@@ -135,33 +135,44 @@ def mpm3_host(left: int, above: int) -> list[int]:
 
 def _tq_reconstruct(pred: jnp.ndarray, resid: jnp.ndarray | None,
                     levels: jnp.ndarray | None, qp: int, s: int,
-                    bit_depth: int, intra_slice: bool, luma: bool = True
-                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                    bit_depth: int, intra_slice: bool, luma: bool = True,
+                    dep: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Shared transform/quant/reconstruct: encoder passes resid (levels
     computed), decoder passes levels.  Returns (levels, recon_block).
 
     Implicit MTS: small luma intra blocks (4..16) use DST-7 in both
     directions (reference: TrQuant.cpp:619 getTrTypes implicit-MTS rule —
-    DST7 matches the intra residual's growing-from-the-reference shape)."""
+    DST7 matches the intra residual's growing-from-the-reference shape).
+
+    dep=True switches to dependent quantization (trellis encoder + state-
+    machine dequant, common/depquant.py; reference: DepQuant.cpp)."""
     log2s = s.bit_length() - 1
     tr = (transforms.rom.DST7 if (intra_slice and luma and 4 <= s <= 16)
           else transforms.rom.DCT2)
     if levels is None:
         coeff = transforms.forward_transform(resid, tr, tr,
                                              bit_depth=bit_depth)
-        levels = quant.quantize(coeff, qp, log2s, log2s, bit_depth,
-                                intra=intra_slice)
-    dq = quant.dequantize(levels, qp, log2s, log2s, bit_depth)
+        if dep:
+            levels = depquant.quantize_dep(coeff, qp, log2s, log2s,
+                                           bit_depth)
+        else:
+            levels = quant.quantize(coeff, qp, log2s, log2s, bit_depth,
+                                    intra=intra_slice)
+    if dep:
+        dq = depquant.dequantize_dep(levels, qp, log2s, log2s, bit_depth)
+    else:
+        dq = quant.dequantize(levels, qp, log2s, log2s, bit_depth)
     r = transforms.inverse_transform(dq, tr, tr, bit_depth=bit_depth)
     maxv = (1 << bit_depth) - 1
     recon = jnp.clip(pred + r, 0, maxv)
     return levels, recon
 
 
-@functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth"))
+@functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth",
+                                             "dep_quant"))
 def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                        orig_v: jnp.ndarray, qp: int, block_size: int = 8,
-                       bit_depth: int = 8):
+                       bit_depth: int = 8, dep_quant: bool = False):
     """Closed-loop wavefront intra encode of one frame.
 
     Returns dict with per-block modes (nby, nbx), levels for Y/U/V, and the
@@ -216,7 +227,7 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
         pred = jnp.take_along_axis(pall, mode[:, None, None, None],
                                    axis=1)[:, 0]
         lev_y, rec = _tq_reconstruct(pred, ob - pred, None, qp, s,
-                                     bit_depth, True)
+                                     bit_depth, True, dep=dep_quant)
         ry = _scatter_blocks(ry, y0, x0, rec)
         # invalid lanes target the never-read pad cell (0,0) so scatter
         # duplicates stay deterministic
@@ -233,7 +244,8 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
             predc = intra.predict_mode(crefc, mode, sc, sc)
             obc = _gather_blocks(plane_o, y0c, x0c, sc)
             lc, recc = _tq_reconstruct(predc, obc - predc, None, qp, sc,
-                                       bit_depth, True, luma=False)
+                                       bit_depth, True, luma=False,
+                                       dep=dep_quant)
             lev_c.append(lc)
             if plane_r is ru:
                 ru_new = _scatter_blocks(ru, y0c, x0c, recc)
@@ -252,11 +264,11 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth",
-                                             "height", "width"))
+                                             "height", "width", "dep_quant"))
 def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                        lev_u: jnp.ndarray, lev_v: jnp.ndarray,
                        qp: int, height: int, width: int, block_size: int = 8,
-                       bit_depth: int = 8):
+                       bit_depth: int = 8, dep_quant: bool = False):
     """Wavefront intra decode: same scan as the encoder with parsed
     modes/levels; identical reconstruction math -> bit-exact recon."""
     s = block_size
@@ -284,7 +296,8 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
 
         cref = _gather_cref(ry, y0, x0, s)
         pred = intra.predict_mode(cref, mode, s, s)
-        _, rec = _tq_reconstruct(pred, None, ly, qp, s, bit_depth, True)
+        _, rec = _tq_reconstruct(pred, None, ly, qp, s, bit_depth, True,
+                                 dep=dep_quant)
         ry = _scatter_blocks(ry, y0, x0, rec)
 
         for lev, which in ((lu, "u"), (lv, "v")):
@@ -292,7 +305,7 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
             crefc = _gather_cref(buf, y0c, x0c, sc)
             predc = intra.predict_mode(crefc, mode, sc, sc)
             _, recc = _tq_reconstruct(predc, None, lev, qp, sc, bit_depth,
-                                      True, luma=False)
+                                      True, luma=False, dep=dep_quant)
             if which == "u":
                 ru = _scatter_blocks(ru, y0c, x0c, recc)
             else:

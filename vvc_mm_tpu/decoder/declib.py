@@ -158,7 +158,8 @@ class DecLib:
             recon = wavefront.decode_intra_frame(
                 jnp.asarray(modes_steps), jnp.asarray(ly_s),
                 jnp.asarray(lu_s), jnp.asarray(lv_s), sh.qp,
-                sps.height, sps.width, s, sps.bit_depth)
+                sps.height, sps.width, s, sps.bit_depth,
+                dep_quant=sps.dep_quant)
             if sps.deblocking:
                 # reference: DecLib.cpp:669 executeLoopFilters
                 bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)

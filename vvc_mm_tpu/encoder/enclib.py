@@ -73,6 +73,9 @@ class EncCfg:
                                  # of bi-predicted blocks (common/bdof.py)
     dmvr: bool = False           # decoder-side MV refinement by bilateral
                                  # matching (common/dmvr.py)
+    dep_quant: bool = False      # dependent quantization trellis
+                                 # (common/depquant.py; reference:
+                                 # DepQuant.cpp, --DepQuant)
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -82,7 +85,8 @@ class EncCfg:
                    wrap_around=self.wrap_around, deblocking=self.deblocking,
                    sao=self.sao, alf=self.alf, mm=self.mm,
                    inter_qt_depth=self.qt_depth, affine=self.affine,
-                   bdof=self.bdof, dmvr=self.dmvr)
+                   bdof=self.bdof, dmvr=self.dmvr,
+                   dep_quant=self.dep_quant)
 
 
 @dataclass
@@ -173,7 +177,8 @@ class EncLib:
         s = cfg.intra_block_size
         outs, recon = wavefront.encode_intra_frame(
             jnp.asarray(planes[0]), jnp.asarray(planes[1]),
-            jnp.asarray(planes[2]), qp, s, cfg.bit_depth)
+            jnp.asarray(planes[2]), qp, s, cfg.bit_depth,
+            dep_quant=cfg.dep_quant)
         # narrow dtypes before the device->host hop (levels fit int16,
         # modes uint8) — D2H bandwidth is the scarce resource
         modes_steps = np.asarray(outs[0].astype(jnp.uint8)).astype(np.int32)
