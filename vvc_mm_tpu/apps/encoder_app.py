@@ -52,6 +52,7 @@ def build_parser() -> OptionParser:
     p.add("BDOF", False, "bi-directional optical flow (BIO)")
     p.add("DMVR", False, "decoder-side motion vector refinement")
     p.add("DepQuant", False, "dependent quantization (trellis, DQ)")
+    p.add("CCLM", False, "cross-component linear-model chroma prediction")
     p.add("WrapAround", False, "ERP horizontal wrap-around")
     p.add("Deblocking", True, "in-loop deblocking")
     p.add("SphereVideo", False, "enable 360 metrics")
@@ -99,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
                  metrics_360=opts["SphereVideo"],
                  mctf=opts["TemporalFilter"], lmcs=opts["LMCS"],
                  bdof=opts["BDOF"], dmvr=opts["DMVR"],
-                 dep_quant=opts["DepQuant"],
+                 dep_quant=opts["DepQuant"], cclm=opts["CCLM"],
                  target_bitrate_kbps=(opts["TargetBitrate"] // 1000
                                       if opts["RateControl"] else 0),
                  frame_rate=float(opts["FrameRate"]))

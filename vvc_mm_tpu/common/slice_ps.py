@@ -87,6 +87,9 @@ class SPS:
     lmcs_cw: tuple = ()           # 16 signaled codeword counts
     dep_quant: bool = False       # dependent quantization (reference:
                                   # sps_dep_quant_enabled_flag, DepQuant.cpp)
+    cclm: bool = False            # cross-component linear-model chroma
+                                  # (reference: sps_cclm_enabled_flag,
+                                  # IntraPrediction.cpp:267)
     mm: MMConfig = field(default_factory=MMConfig)
 
     def write(self, bw: BitWriter) -> None:
@@ -111,6 +114,7 @@ class SPS:
             for c in self.lmcs_cw:
                 bw.write_uvlc(int(c))
         bw.write_flag(self.dep_quant)
+        bw.write_flag(self.cclm)
         mm = self.mm
         bw.write_flag(mm.any_enabled())
         if mm.any_enabled():
@@ -149,6 +153,7 @@ class SPS:
         if sps.lmcs:
             sps.lmcs_cw = tuple(br.read_uvlc() for _ in range(16))
         sps.dep_quant = br.read_flag()
+        sps.cclm = br.read_flag()
         if br.read_flag():
             mm = sps.mm
             mm.mpa, mm.t3d, mm.tan, mm.rot, mm.ged, mm.geda = (

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import depquant, intra, quant, transforms
+from . import cclm, depquant, intra, quant, transforms
 from .rdcost import satd as satd_fn
 
 MARGIN = 64            # intra buffer margin (>= 2*S + slack)
@@ -85,6 +85,38 @@ def _gather_blocks(buf: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
     def one(y, x):
         return jax.lax.dynamic_slice(buf, (y, x), (s, s))
     return jax.vmap(one)(y0, x0)
+
+
+def _gather_rect(buf: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
+                 h: int, w: int) -> jnp.ndarray:
+    def one(y, x):
+        return jax.lax.dynamic_slice(buf, (y, x), (h, w))
+    return jax.vmap(one)(y0, x0)
+
+
+def _cclm_luma_ctx(ry: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
+                   s: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Downsampled luma block + downsampled luma border (top|left) for the
+    CCLM model (reference: IntraPrediction.cpp xGetLumaRecPixels)."""
+    lblk = _gather_blocks(ry, y0, x0, s)
+    dsl = cclm.downsample_luma(lblk)
+    top2 = _gather_rect(ry, y0 - 2, x0, 2, s)          # (B, 2, s)
+    left2 = _gather_rect(ry, y0, x0 - 2, s, 2)         # (B, s, 2)
+    dsl_top = (top2[:, 0, 0::2] + top2[:, 0, 1::2]
+               + top2[:, 1, 0::2] + top2[:, 1, 1::2] + 2) >> 2
+    dsl_left = (left2[:, 0::2, 0] + left2[:, 1::2, 0]
+                + left2[:, 0::2, 1] + left2[:, 1::2, 1] + 2) >> 2
+    return dsl, jnp.concatenate([dsl_top, dsl_left], 1)
+
+
+def _cclm_pred(plane_r: jnp.ndarray, y0c: jnp.ndarray, x0c: jnp.ndarray,
+               sc: int, dsl: jnp.ndarray, border_l: jnp.ndarray,
+               bit_depth: int) -> jnp.ndarray:
+    ctop = _gather_rect(plane_r, y0c - 1, x0c, 1, sc)[:, 0, :]
+    cleft = _gather_rect(plane_r, y0c, x0c - 1, sc, 1)[:, :, 0]
+    border_c = jnp.concatenate([ctop, cleft], 1)
+    a, b = cclm.cclm_params(border_l, border_c)
+    return cclm.cclm_predict(dsl, a, b, bit_depth)
 
 
 def _scatter_blocks(buf: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
@@ -169,10 +201,11 @@ def _tq_reconstruct(pred: jnp.ndarray, resid: jnp.ndarray | None,
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth",
-                                             "dep_quant"))
+                                             "dep_quant", "use_cclm"))
 def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                        orig_v: jnp.ndarray, qp: int, block_size: int = 8,
-                       bit_depth: int = 8, dep_quant: bool = False):
+                       bit_depth: int = 8, dep_quant: bool = False,
+                       use_cclm: bool = False):
     """Closed-loop wavefront intra encode of one frame.
 
     Returns dict with per-block modes (nby, nbx), levels for Y/U/V, and the
@@ -236,23 +269,40 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
         mode_map = mode_map.at[my, mx].set(
             jnp.where(vld, mode, mode_map[my, mx]))
 
-        # ---- chroma (derived mode) ----
-        lev_c = []
-        ru_new, rv_new = ru, rv
+        # ---- chroma: derived luma mode vs CCLM (RD pick, 1 signaled bit) --
+        if use_cclm:
+            dsl, border_l = _cclm_luma_ctx(ry, y0, x0, s)
+        preds, obcs = [], []
         for plane_o, plane_r in ((ou, ru), (ov, rv)):
             crefc = _gather_cref(plane_r, y0c, x0c, sc)
             predc = intra.predict_mode(crefc, mode, sc, sc)
             obc = _gather_blocks(plane_o, y0c, x0c, sc)
-            lc, recc = _tq_reconstruct(predc, obc - predc, None, qp, sc,
+            predlm = (_cclm_pred(plane_r, y0c, x0c, sc, dsl, border_l,
+                                 bit_depth) if use_cclm else predc)
+            preds.append((predc, predlm))
+            obcs.append(obc)
+        if use_cclm:
+            ssd_d = sum(((o - p[0]) ** 2).sum((1, 2))
+                        for o, p in zip(obcs, preds))
+            ssd_l = sum(((o - p[1]) ** 2).sum((1, 2))
+                        for o, p in zip(obcs, preds))
+            lm_flag = (ssd_l < ssd_d).astype(jnp.int32)
+        else:
+            lm_flag = jnp.zeros(y0.shape, jnp.int32)
+        lev_c = []
+        ru_new, rv_new = ru, rv
+        for i, ((predc, predlm), obc) in enumerate(zip(preds, obcs)):
+            predsel = jnp.where(lm_flag[:, None, None] > 0, predlm, predc)
+            lc, recc = _tq_reconstruct(predsel, obc - predsel, None, qp, sc,
                                        bit_depth, True, luma=False,
                                        dep=dep_quant)
             lev_c.append(lc)
-            if plane_r is ru:
+            if i == 0:
                 ru_new = _scatter_blocks(ru, y0c, x0c, recc)
             else:
                 rv_new = _scatter_blocks(rv, y0c, x0c, recc)
         return ((ry, ru_new, rv_new, mode_map),
-                (mode, lev_y, lev_c[0], lev_c[1]))
+                (mode, lm_flag, lev_y, lev_c[0], lev_c[1]))
 
     (ry, ru, rv, _), outs = jax.lax.scan(
         step, (ry, ru, rv, mode_map), (coords, valid))
@@ -264,11 +314,14 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth",
-                                             "height", "width", "dep_quant"))
+                                             "height", "width", "dep_quant",
+                                             "use_cclm"))
 def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                        lev_u: jnp.ndarray, lev_v: jnp.ndarray,
                        qp: int, height: int, width: int, block_size: int = 8,
-                       bit_depth: int = 8, dep_quant: bool = False):
+                       bit_depth: int = 8, dep_quant: bool = False,
+                       use_cclm: bool = False,
+                       cclm_steps: jnp.ndarray | None = None):
     """Wavefront intra decode: same scan as the encoder with parsed
     modes/levels; identical reconstruction math -> bit-exact recon."""
     s = block_size
@@ -285,9 +338,12 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                   dtype=jnp.int32)
     rv = jnp.full_like(ru, mid)
 
+    if cclm_steps is None:
+        cclm_steps = jnp.zeros(modes_steps.shape, jnp.int32)
+
     def step(state, xs):
         ry, ru, rv = state
-        cds, vld, mode, ly, lu, lv = xs
+        cds, vld, mode, lmflag, ly, lu, lv = xs
         by, bx = cds[:, 0], cds[:, 1]
         y0 = jnp.where(vld, MARGIN + by * s, ry.shape[0] - s - 4)
         x0 = jnp.where(vld, MARGIN + bx * s, ry.shape[1] - s - 4)
@@ -300,10 +356,16 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                                  dep=dep_quant)
         ry = _scatter_blocks(ry, y0, x0, rec)
 
+        if use_cclm:
+            dsl, border_l = _cclm_luma_ctx(ry, y0, x0, s)
         for lev, which in ((lu, "u"), (lv, "v")):
             buf = ru if which == "u" else rv
             crefc = _gather_cref(buf, y0c, x0c, sc)
             predc = intra.predict_mode(crefc, mode, sc, sc)
+            if use_cclm:
+                predlm = _cclm_pred(buf, y0c, x0c, sc, dsl, border_l,
+                                    bit_depth)
+                predc = jnp.where(lmflag[:, None, None] > 0, predlm, predc)
             _, recc = _tq_reconstruct(predc, None, lev, qp, sc, bit_depth,
                                       True, luma=False, dep=dep_quant)
             if which == "u":
@@ -314,7 +376,7 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
 
     (ry, ru, rv), _ = jax.lax.scan(
         step, (ry, ru, rv),
-        (coords, valid, modes_steps, lev_y, lev_u, lev_v))
+        (coords, valid, modes_steps, cclm_steps, lev_y, lev_u, lev_v))
     return dict(
         y=jax.lax.dynamic_slice(ry, (MARGIN, MARGIN), (h, w)),
         u=jax.lax.dynamic_slice(ru, (MARGIN, MARGIN), (h // 2, w // 2)),

@@ -148,10 +148,11 @@ class DecLib:
         if sh.slice_type == SliceType.I:
             s = sps.intra_block_size
             nby, nbx = sps.height // s, sps.width // s
-            modes, ly, lu, lv = decode_intra_slice(cabac_bytes, nby, nbx, s,
-                                                   stats=self.stats)
+            modes, lm, ly, lu, lv = decode_intra_slice(
+                cabac_bytes, nby, nbx, s, stats=self.stats, cclm=sps.cclm)
             coords, valid = wavefront.wavefront_coords(nby, nbx)
             modes_steps = wavefront.grid_to_steps(modes, coords, valid)
+            lm_steps = wavefront.grid_to_steps(lm, coords, valid)
             ly_s = wavefront.grid_to_steps(ly, coords, valid)
             lu_s = wavefront.grid_to_steps(lu, coords, valid)
             lv_s = wavefront.grid_to_steps(lv, coords, valid)
@@ -159,7 +160,8 @@ class DecLib:
                 jnp.asarray(modes_steps), jnp.asarray(ly_s),
                 jnp.asarray(lu_s), jnp.asarray(lv_s), sh.qp,
                 sps.height, sps.width, s, sps.bit_depth,
-                dep_quant=sps.dep_quant)
+                dep_quant=sps.dep_quant, use_cclm=sps.cclm,
+                cclm_steps=jnp.asarray(lm_steps))
             if sps.deblocking:
                 # reference: DecLib.cpp:669 executeLoopFilters
                 bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)

@@ -31,12 +31,13 @@ def _lbl(dec, name: str) -> None:
         lab(name)
 
 
-def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
+def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
+                       cclm: bool = False
                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
-                                  np.ndarray]:
-    """Returns (modes, lev_y, lev_u, lev_v) dense grids.  With `stats`
-    (utils.trace.BitStats) the Python spec coder runs with per-syntax
-    accounting (DecoderAnalyserApp analog)."""
+                                  np.ndarray, np.ndarray]:
+    """Returns (modes, cclm_flags, lev_y, lev_u, lev_v) dense grids.  With
+    `stats` (utils.trace.BitStats) the Python spec coder runs with
+    per-syntax accounting (DecoderAnalyserApp analog)."""
     if stats is not None:
         from ..utils.trace import StatsBinDecoder
         dec = StatsBinDecoder(data, stats)
@@ -44,6 +45,7 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
         dec = make_decoder(data)
     sc = s // 2
     modes = np.zeros((nby, nbx), dtype=np.int32)
+    lm = np.zeros((nby, nbx), dtype=np.int32)
     lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
     lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
     lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
@@ -53,6 +55,9 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
             above = int(modes[by - 1, bx]) if by > 0 else -1
             _lbl(dec, "intra_mode")
             modes[by, bx] = decode_intra_mode(dec, left, above)
+            if cclm:
+                _lbl(dec, "cclm_flag")
+                lm[by, bx] = dec.decode_bin(ctx_id("IntraChromaPredMode"))
             for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
                                     ("v", lev_v, sc)):
                 cbf_ctx = ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])
@@ -61,4 +66,4 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
                     _lbl(dec, "residual_" + comp)
                     lev[by, bx] = coeffs_decode(dec, size, size,
                                                 chroma=(comp != "y"))
-    return modes, lev_y, lev_u, lev_v
+    return modes, lm, lev_y, lev_u, lev_v

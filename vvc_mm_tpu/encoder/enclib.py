@@ -76,6 +76,8 @@ class EncCfg:
     dep_quant: bool = False      # dependent quantization trellis
                                  # (common/depquant.py; reference:
                                  # DepQuant.cpp, --DepQuant)
+    cclm: bool = False           # chroma-from-luma linear model
+                                 # (common/cclm.py; reference: --CCLM)
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -86,7 +88,7 @@ class EncCfg:
                    sao=self.sao, alf=self.alf, mm=self.mm,
                    inter_qt_depth=self.qt_depth, affine=self.affine,
                    bdof=self.bdof, dmvr=self.dmvr,
-                   dep_quant=self.dep_quant)
+                   dep_quant=self.dep_quant, cclm=self.cclm)
 
 
 @dataclass
@@ -178,20 +180,23 @@ class EncLib:
         outs, recon = wavefront.encode_intra_frame(
             jnp.asarray(planes[0]), jnp.asarray(planes[1]),
             jnp.asarray(planes[2]), qp, s, cfg.bit_depth,
-            dep_quant=cfg.dep_quant)
+            dep_quant=cfg.dep_quant, use_cclm=cfg.cclm)
         # narrow dtypes before the device->host hop (levels fit int16,
         # modes uint8) — D2H bandwidth is the scarce resource
         modes_steps = np.asarray(outs[0].astype(jnp.uint8)).astype(np.int32)
+        lm_steps = np.asarray(outs[1].astype(jnp.uint8)).astype(np.int32)
         ly, lu, lv = (np.asarray(o.astype(jnp.int16)).astype(np.int32)
-                      for o in outs[1:])
+                      for o in outs[2:])
         nby, nbx = cfg.height // s, cfg.width // s
         coords, valid = wavefront.wavefront_coords(nby, nbx)
         modes = wavefront.steps_to_grid(modes_steps, coords, valid)
+        lm = wavefront.steps_to_grid(lm_steps, coords, valid)
         ly = wavefront.steps_to_grid(ly, coords, valid)
         lu = wavefront.steps_to_grid(lu, coords, valid)
         lv = wavefront.steps_to_grid(lv, coords, valid)
 
-        payload = encode_intra_slice(modes, ly, lu, lv)
+        payload = encode_intra_slice(modes, ly, lu, lv,
+                                     cclm=lm if cfg.cclm else None)
         if cfg.deblocking:
             bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)
             ry, ru, rv = deblock.deblock_frame(

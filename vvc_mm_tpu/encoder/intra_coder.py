@@ -32,8 +32,11 @@ def encode_intra_mode(enc: BinEncoder, mode: int, left: int, above: int
 
 
 def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
-                       lev_u: np.ndarray, lev_v: np.ndarray) -> bytes:
-    """modes (nby, nbx); lev_* (nby, nbx, s, s).  Raster block order."""
+                       lev_u: np.ndarray, lev_v: np.ndarray,
+                       cclm: np.ndarray | None = None) -> bytes:
+    """modes (nby, nbx); lev_* (nby, nbx, s, s).  Raster block order.
+    cclm: optional (nby, nbx) chroma-LM flags (SPS-gated; reference:
+    CABACWriter intra_chroma_pred_mode LM branch)."""
     enc = make_encoder()
     nby, nbx = modes.shape
     for by in range(nby):
@@ -41,6 +44,9 @@ def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
             left = int(modes[by, bx - 1]) if bx > 0 else -1
             above = int(modes[by - 1, bx]) if by > 0 else -1
             encode_intra_mode(enc, int(modes[by, bx]), left, above)
+            if cclm is not None:
+                enc.encode_bin(int(cclm[by, bx] != 0),
+                               ctx_id("IntraChromaPredMode"))
             for comp, lev in (("y", lev_y), ("u", lev_u), ("v", lev_v)):
                 blk = lev[by, bx]
                 cbf = bool(np.any(blk != 0))
