@@ -79,3 +79,38 @@ def test_cclm_helps_correlated_content():
     sb, sl = base.summary(), lm.summary()
     gain = (sl["psnr_u"] + sl["psnr_v"]) - (sb["psnr_u"] + sb["psnr_v"])
     assert sl["bits"] < sb["bits"] or gain > 0.2, (sb, sl)
+
+
+def test_allintra_mip_roundtrip_bitexact():
+    """MIP + CCLM + DepQuant together: encode -> decode bit-exact."""
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 2)
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=30,
+                 intra_block_size=8, cclm=True, mip=True, dep_quant=True)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    assert len(out) == len(frames)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
+def test_mip_predicts_smooth_gradient():
+    """MIP's soft directional smoothers fit smooth ramps tightly."""
+    from vvc_mm_tpu.common import mip as mip_mod
+    s = 8
+    # synthetic reference vector for a diagonal ramp block
+    yy, xx = np.mgrid[-1:2 * s, -1:2 * s]
+    plane = (10 + 3 * xx + 2 * yy).astype(np.int32)
+    left = plane[1:2 * s + 1, 0][::-1]
+    top = plane[0, :]
+    cref = jnp.asarray(np.concatenate([left, top])[None].repeat(2, 0))
+    pall = np.asarray(mip_mod.predict_mip_all(cref, s))
+    target = (10 + 3 * np.arange(1, s + 1)[None, :]
+              + 2 * np.arange(1, s + 1)[:, None])
+    best = min(np.abs(pall[0, m] - target).mean()
+               for m in range(pall.shape[1]))
+    # must clearly beat a flat DC predictor at the boundary mean
+    bdry = np.concatenate([left[:s], top[1:s + 1]])
+    dc_err = np.abs(bdry.mean() - target).mean()
+    assert best < dc_err * 0.95 and best < 20.0

@@ -90,6 +90,9 @@ class SPS:
     cclm: bool = False            # cross-component linear-model chroma
                                   # (reference: sps_cclm_enabled_flag,
                                   # IntraPrediction.cpp:267)
+    mip: bool = False             # matrix intra prediction (reference:
+                                  # sps_mip_enabled_flag,
+                                  # MatrixIntraPrediction.cpp)
     mm: MMConfig = field(default_factory=MMConfig)
 
     def write(self, bw: BitWriter) -> None:
@@ -115,6 +118,7 @@ class SPS:
                 bw.write_uvlc(int(c))
         bw.write_flag(self.dep_quant)
         bw.write_flag(self.cclm)
+        bw.write_flag(self.mip)
         mm = self.mm
         bw.write_flag(mm.any_enabled())
         if mm.any_enabled():
@@ -154,6 +158,7 @@ class SPS:
             sps.lmcs_cw = tuple(br.read_uvlc() for _ in range(16))
         sps.dep_quant = br.read_flag()
         sps.cclm = br.read_flag()
+        sps.mip = br.read_flag()
         if br.read_flag():
             mm = sps.mm
             mm.mpa, mm.t3d, mm.tan, mm.rot, mm.ged, mm.geda = (

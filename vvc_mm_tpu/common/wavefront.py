@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import cclm, depquant, intra, quant, transforms
+from . import cclm, depquant, intra, mip, quant, transforms
 from .rdcost import satd as satd_fn
 
 MARGIN = 64            # intra buffer margin (>= 2*S + slack)
@@ -201,11 +201,12 @@ def _tq_reconstruct(pred: jnp.ndarray, resid: jnp.ndarray | None,
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth",
-                                             "dep_quant", "use_cclm"))
+                                             "dep_quant", "use_cclm",
+                                             "use_mip"))
 def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                        orig_v: jnp.ndarray, qp: int, block_size: int = 8,
                        bit_depth: int = 8, dep_quant: bool = False,
-                       use_cclm: bool = False):
+                       use_cclm: bool = False, use_mip: bool = False):
     """Closed-loop wavefront intra encode of one frame.
 
     Returns dict with per-block modes (nby, nbx), levels for Y/U/V, and the
@@ -230,7 +231,8 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
     rv = jnp.full_like(ov, mid)
     mode_map = jnp.full((nby + 1, nbx + 1), -1, dtype=jnp.int32)
 
-    modes_grid = jnp.arange(67, dtype=jnp.int32)
+    n_modes = 67 + (mip.N_MIP_MODES if use_mip else 0)
+    modes_grid = jnp.arange(n_modes, dtype=jnp.int32)
 
     def step(state, xs):
         ry, ru, rv, mode_map = state
@@ -247,14 +249,21 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
         # ---- luma decision ----
         cref = _gather_cref(ry, y0, x0, s)
         pall = intra.predict_all_modes(cref, s, s)          # (B,67,s,s)
+        if use_mip:
+            # matrix modes join the candidate tensor (indices 67..)
+            pall = jnp.concatenate(
+                [pall, mip.predict_mip_all(cref, s, bit_depth)], 1)
         ob = _gather_blocks(oy, y0, x0, s)
-        dist = satd_fn(pall, ob[:, None]).astype(jnp.float32)  # (B,67)
+        dist = satd_fn(pall, ob[:, None]).astype(jnp.float32)  # (B,modes)
         lm = mode_map[1 + by, bx]       # left neighbor (by, bx-1) -> idx bx
         am = mode_map[by, 1 + bx]       # above neighbor
         mpm = _mpm3(lm, am)                                  # (B,3)
         bits = jnp.where(modes_grid[None, :] == mpm[:, 0:1], 2.0,
                  jnp.where(modes_grid[None, :] == mpm[:, 1:2], 3.0,
                    jnp.where(modes_grid[None, :] == mpm[:, 2:3], 3.0, 7.0)))
+        if use_mip:
+            # mip_flag(1) + fixed 3-bit mode index
+            bits = jnp.where(modes_grid[None, :] >= 67, 5.0, bits)
         cost = dist + lam_satd * bits
         mode = jnp.argmin(cost, axis=1).astype(jnp.int32)
         pred = jnp.take_along_axis(pall, mode[:, None, None, None],
@@ -266,8 +275,11 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
         # duplicates stay deterministic
         my = jnp.where(vld, 1 + by, 0)
         mx = jnp.where(vld, 1 + bx, 0)
+        # MIP blocks act as planar (0) for neighbor MPM / derived chroma
+        # (reference: UnitTools getIntraDirLuma MIP -> PLANAR mapping)
+        nb_mode = jnp.where(mode >= 67, 0, mode)
         mode_map = mode_map.at[my, mx].set(
-            jnp.where(vld, mode, mode_map[my, mx]))
+            jnp.where(vld, nb_mode, mode_map[my, mx]))
 
         # ---- chroma: derived luma mode vs CCLM (RD pick, 1 signaled bit) --
         if use_cclm:
@@ -275,7 +287,7 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
         preds, obcs = [], []
         for plane_o, plane_r in ((ou, ru), (ov, rv)):
             crefc = _gather_cref(plane_r, y0c, x0c, sc)
-            predc = intra.predict_mode(crefc, mode, sc, sc)
+            predc = intra.predict_mode(crefc, nb_mode, sc, sc)
             obc = _gather_blocks(plane_o, y0c, x0c, sc)
             predlm = (_cclm_pred(plane_r, y0c, x0c, sc, dsl, border_l,
                                  bit_depth) if use_cclm else predc)
@@ -315,13 +327,14 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth",
                                              "height", "width", "dep_quant",
-                                             "use_cclm"))
+                                             "use_cclm", "use_mip"))
 def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                        lev_u: jnp.ndarray, lev_v: jnp.ndarray,
                        qp: int, height: int, width: int, block_size: int = 8,
                        bit_depth: int = 8, dep_quant: bool = False,
                        use_cclm: bool = False,
-                       cclm_steps: jnp.ndarray | None = None):
+                       cclm_steps: jnp.ndarray | None = None,
+                       use_mip: bool = False):
     """Wavefront intra decode: same scan as the encoder with parsed
     modes/levels; identical reconstruction math -> bit-exact recon."""
     s = block_size
@@ -351,7 +364,13 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
         x0c = jnp.where(vld, MARGIN + bx * sc, ru.shape[1] - sc - 4)
 
         cref = _gather_cref(ry, y0, x0, s)
-        pred = intra.predict_mode(cref, mode, s, s)
+        nb_mode = jnp.where(mode >= 67, 0, mode)
+        pred = intra.predict_mode(cref, nb_mode, s, s)
+        if use_mip:
+            pmip = mip.predict_mip_mode(
+                cref, jnp.clip(mode - 67, 0, mip.N_MIP_MODES - 1), s,
+                bit_depth)
+            pred = jnp.where((mode >= 67)[:, None, None], pmip, pred)
         _, rec = _tq_reconstruct(pred, None, ly, qp, s, bit_depth, True,
                                  dep=dep_quant)
         ry = _scatter_blocks(ry, y0, x0, rec)
@@ -361,7 +380,7 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
         for lev, which in ((lu, "u"), (lv, "v")):
             buf = ru if which == "u" else rv
             crefc = _gather_cref(buf, y0c, x0c, sc)
-            predc = intra.predict_mode(crefc, mode, sc, sc)
+            predc = intra.predict_mode(crefc, nb_mode, sc, sc)
             if use_cclm:
                 predlm = _cclm_pred(buf, y0c, x0c, sc, dsl, border_l,
                                     bit_depth)

@@ -149,7 +149,8 @@ class DecLib:
             s = sps.intra_block_size
             nby, nbx = sps.height // s, sps.width // s
             modes, lm, ly, lu, lv = decode_intra_slice(
-                cabac_bytes, nby, nbx, s, stats=self.stats, cclm=sps.cclm)
+                cabac_bytes, nby, nbx, s, stats=self.stats, cclm=sps.cclm,
+                mip=sps.mip)
             coords, valid = wavefront.wavefront_coords(nby, nbx)
             modes_steps = wavefront.grid_to_steps(modes, coords, valid)
             lm_steps = wavefront.grid_to_steps(lm, coords, valid)
@@ -161,7 +162,7 @@ class DecLib:
                 jnp.asarray(lu_s), jnp.asarray(lv_s), sh.qp,
                 sps.height, sps.width, s, sps.bit_depth,
                 dep_quant=sps.dep_quant, use_cclm=sps.cclm,
-                cclm_steps=jnp.asarray(lm_steps))
+                cclm_steps=jnp.asarray(lm_steps), use_mip=sps.mip)
             if sps.deblocking:
                 # reference: DecLib.cpp:669 executeLoopFilters
                 bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)

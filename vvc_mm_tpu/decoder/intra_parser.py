@@ -31,8 +31,13 @@ def _lbl(dec, name: str) -> None:
         lab(name)
 
 
+def _nb(m: int) -> int:
+    """MIP neighbors act as planar for MPM (UnitTools getIntraDirLuma)."""
+    return 0 if m >= 67 else m
+
+
 def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
-                       cclm: bool = False
+                       cclm: bool = False, mip: bool = False
                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                   np.ndarray, np.ndarray]:
     """Returns (modes, cclm_flags, lev_y, lev_u, lev_v) dense grids.  With
@@ -51,10 +56,17 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
     lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
     for by in range(nby):
         for bx in range(nbx):
-            left = int(modes[by, bx - 1]) if bx > 0 else -1
-            above = int(modes[by - 1, bx]) if by > 0 else -1
+            left = _nb(int(modes[by, bx - 1])) if bx > 0 else -1
+            above = _nb(int(modes[by - 1, bx])) if by > 0 else -1
             _lbl(dec, "intra_mode")
-            modes[by, bx] = decode_intra_mode(dec, left, above)
+            is_mip = False
+            if mip:
+                _lbl(dec, "mip_flag")
+                is_mip = bool(dec.decode_bin(ctx_id("MipFlag")))
+            if is_mip:
+                modes[by, bx] = 67 + dec.decode_bins_ep(3)
+            else:
+                modes[by, bx] = decode_intra_mode(dec, left, above)
             if cclm:
                 _lbl(dec, "cclm_flag")
                 lm[by, bx] = dec.decode_bin(ctx_id("IntraChromaPredMode"))

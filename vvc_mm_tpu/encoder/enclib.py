@@ -78,6 +78,8 @@ class EncCfg:
                                  # DepQuant.cpp, --DepQuant)
     cclm: bool = False           # chroma-from-luma linear model
                                  # (common/cclm.py; reference: --CCLM)
+    mip: bool = False            # matrix intra prediction
+                                 # (common/mip.py; reference: --MIP)
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -88,7 +90,7 @@ class EncCfg:
                    sao=self.sao, alf=self.alf, mm=self.mm,
                    inter_qt_depth=self.qt_depth, affine=self.affine,
                    bdof=self.bdof, dmvr=self.dmvr,
-                   dep_quant=self.dep_quant, cclm=self.cclm)
+                   dep_quant=self.dep_quant, cclm=self.cclm, mip=self.mip)
 
 
 @dataclass
@@ -180,7 +182,8 @@ class EncLib:
         outs, recon = wavefront.encode_intra_frame(
             jnp.asarray(planes[0]), jnp.asarray(planes[1]),
             jnp.asarray(planes[2]), qp, s, cfg.bit_depth,
-            dep_quant=cfg.dep_quant, use_cclm=cfg.cclm)
+            dep_quant=cfg.dep_quant, use_cclm=cfg.cclm,
+            use_mip=cfg.mip)
         # narrow dtypes before the device->host hop (levels fit int16,
         # modes uint8) — D2H bandwidth is the scarce resource
         modes_steps = np.asarray(outs[0].astype(jnp.uint8)).astype(np.int32)
@@ -196,7 +199,8 @@ class EncLib:
         lv = wavefront.steps_to_grid(lv, coords, valid)
 
         payload = encode_intra_slice(modes, ly, lu, lv,
-                                     cclm=lm if cfg.cclm else None)
+                                     cclm=lm if cfg.cclm else None,
+                                     mip=cfg.mip)
         if cfg.deblocking:
             bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)
             ry, ru, rv = deblock.deblock_frame(

@@ -31,19 +31,33 @@ def encode_intra_mode(enc: BinEncoder, mode: int, left: int, above: int
         enc.encode_bins_ep(rem.index(mode), 6)
 
 
+def _nb(m: int) -> int:
+    """Neighbor mode for MPM purposes: MIP acts as planar (reference:
+    UnitTools getIntraDirLuma MIP->PLANAR mapping)."""
+    return 0 if m >= 67 else m
+
+
 def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
                        lev_u: np.ndarray, lev_v: np.ndarray,
-                       cclm: np.ndarray | None = None) -> bytes:
+                       cclm: np.ndarray | None = None,
+                       mip: bool = False) -> bytes:
     """modes (nby, nbx); lev_* (nby, nbx, s, s).  Raster block order.
     cclm: optional (nby, nbx) chroma-LM flags (SPS-gated; reference:
-    CABACWriter intra_chroma_pred_mode LM branch)."""
+    CABACWriter intra_chroma_pred_mode LM branch).  mip: SPS MIP enable —
+    writes intra_mip_flag + 3-bit mode (CABACWriter mip_flag)."""
     enc = make_encoder()
     nby, nbx = modes.shape
     for by in range(nby):
         for bx in range(nbx):
-            left = int(modes[by, bx - 1]) if bx > 0 else -1
-            above = int(modes[by - 1, bx]) if by > 0 else -1
-            encode_intra_mode(enc, int(modes[by, bx]), left, above)
+            left = _nb(int(modes[by, bx - 1])) if bx > 0 else -1
+            above = _nb(int(modes[by - 1, bx])) if by > 0 else -1
+            mode = int(modes[by, bx])
+            if mip:
+                enc.encode_bin(int(mode >= 67), ctx_id("MipFlag"))
+            if mode >= 67:
+                enc.encode_bins_ep(mode - 67, 3)
+            else:
+                encode_intra_mode(enc, mode, left, above)
             if cclm is not None:
                 enc.encode_bin(int(cclm[by, bx] != 0),
                                ctx_id("IntraChromaPredMode"))
