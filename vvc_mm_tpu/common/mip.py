@@ -28,11 +28,16 @@ SHIFT = 6             # weight fixed-point (VVC MIP: 6-bit weights)
 
 @functools.lru_cache(maxsize=None)
 def _matrices(red: int) -> np.ndarray:
-    """(modes, red*red, 2*RED_BDRY) int32 weight matrices, rows ~ sum 64.
+    """(modes, red*red, 2*RED_BDRY) int32 weight matrices (6-bit fixed pt).
 
-    Row construction: interior pixel p at (y, x) in the red x red grid sees
-    boundary sample j (top row then left column) with weight
-    exp(-d/sigma), d = anisotropic distance stretched along the mode angle.
+    Two families (both deterministic; the reference's trained MipData.h
+    matrices mix the same two behaviors — smoothing and extrapolation):
+      modes 0-3: anisotropic inverse-distance smoothers at 4 angles —
+        positive interpolating weights (soft directional predictors);
+      modes 4-7: least-squares *plane extrapolators* — pixel (y,x) =
+        a + b*y + c*x fitted to the boundary (full / y-only / x-only /
+        half-blended), whose weights go negative, so ramps extrapolate
+        exactly where the smoothers would regress to the mean.
     """
     n = 2 * RED_BDRY
     out = np.zeros((N_MIP_MODES, red * red, n), np.float64)
@@ -44,16 +49,27 @@ def _matrices(red: int) -> np.ndarray:
     ])                                                        # (n, 2)
     yy, xx = np.mgrid[0:red, 0:red]
     ppos = np.stack([yy.ravel() + 0.5, xx.ravel() + 0.5], 1)  # (red², 2)
-    for k in range(N_MIP_MODES):
-        th = k * np.pi / N_MIP_MODES
+    for k in range(4):
+        th = k * np.pi / 4
         c, s = np.cos(th), np.sin(th)
         d = ppos[:, None, :] - bpos[None, :, :]               # (red², n, 2)
         along = d[..., 0] * s + d[..., 1] * c                 # stretched
         across = -d[..., 0] * c + d[..., 1] * s
-        dist = np.sqrt(0.3 * along ** 2 + 3.0 * across ** 2)
-        w = np.exp(-dist / (0.45 * red))
+        dist = np.sqrt(0.1 * along ** 2 + 5.0 * across ** 2)
+        w = np.exp(-dist / (0.5 * red))
         w /= w.sum(1, keepdims=True)
         out[k] = w
+    # plane extrapolators: pinv maps boundary -> (a, b, c)
+    A = np.stack([np.ones(n), bpos[:, 0], bpos[:, 1]], 1)     # (n, 3)
+    pinv = np.linalg.pinv(A)                                  # (3, n)
+    basis = np.stack([np.ones(red * red), ppos[:, 0], ppos[:, 1]], 1)
+    full = basis @ pinv                                       # (red², n)
+    ysel = basis @ (np.diag([1.0, 1.0, 0.0]) @ pinv)
+    xsel = basis @ (np.diag([1.0, 0.0, 1.0]) @ pinv)
+    out[4] = full
+    out[5] = ysel
+    out[6] = xsel
+    out[7] = 0.5 * full + 0.5 * out[0]
     return np.round(out * (1 << SHIFT)).astype(np.int32)
 
 
