@@ -93,6 +93,8 @@ class SPS:
     mip: bool = False             # matrix intra prediction (reference:
                                   # sps_mip_enabled_flag,
                                   # MatrixIntraPrediction.cpp)
+    lfnst: bool = False           # secondary transform (reference:
+                                  # sps_lfnst_enabled_flag, TrQuant.cpp:238)
     mm: MMConfig = field(default_factory=MMConfig)
 
     def write(self, bw: BitWriter) -> None:
@@ -119,6 +121,7 @@ class SPS:
         bw.write_flag(self.dep_quant)
         bw.write_flag(self.cclm)
         bw.write_flag(self.mip)
+        bw.write_flag(self.lfnst)
         mm = self.mm
         bw.write_flag(mm.any_enabled())
         if mm.any_enabled():
@@ -159,6 +162,7 @@ class SPS:
         sps.dep_quant = br.read_flag()
         sps.cclm = br.read_flag()
         sps.mip = br.read_flag()
+        sps.lfnst = br.read_flag()
         if br.read_flag():
             mm = sps.mm
             mm.mpa, mm.t3d, mm.tan, mm.rot, mm.ged, mm.geda = (

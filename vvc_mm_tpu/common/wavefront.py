@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import cclm, depquant, intra, mip, quant, transforms
+from . import cclm, depquant, intra, lfnst, mip, quant, transforms
 from .rdcost import satd as satd_fn
 
 MARGIN = 64            # intra buffer margin (>= 2*S + slack)
@@ -200,13 +200,88 @@ def _tq_reconstruct(pred: jnp.ndarray, resid: jnp.ndarray | None,
     return levels, recon
 
 
+def _quant_pair(coeff, levels, qp, log2s, bit_depth, intra_slice, dep):
+    """quantize (if levels is None) + dequantize with or without DQ."""
+    if levels is None:
+        if dep:
+            levels = depquant.quantize_dep(coeff, qp, log2s, log2s,
+                                           bit_depth)
+        else:
+            levels = quant.quantize(coeff, qp, log2s, log2s, bit_depth,
+                                    intra=intra_slice)
+    if dep:
+        dq = depquant.dequantize_dep(levels, qp, log2s, log2s, bit_depth)
+    else:
+        dq = quant.dequantize(levels, qp, log2s, log2s, bit_depth)
+    return levels, dq
+
+
+def _rate_est(lev: jnp.ndarray) -> jnp.ndarray:
+    """Cheap bits estimate of a level tensor (encoder decision only)."""
+    a = jnp.abs(lev).astype(jnp.float32)
+    return jnp.where(lev != 0, 2.0 + 2.0 * jnp.log2(a + 1.0),
+                     0.3).sum((-2, -1))
+
+
+def _tq_lfnst_encode(pred: jnp.ndarray, resid: jnp.ndarray,
+                     mode: jnp.ndarray, qp: int, s: int, bit_depth: int,
+                     dep: bool):
+    """Luma TQ with per-block LFNST index RD choice (reference: IntraSearch
+    LFNST loop; TrQuant.cpp:238/262).  Returns (levels, recon, lfnst_idx)."""
+    log2s = s.bit_length() - 1
+    tr = transforms.rom.DST7 if 4 <= s <= 16 else transforms.rom.DCT2
+    coeff = transforms.forward_transform(resid, tr, tr, bit_depth=bit_depth)
+    cls = lfnst.mode_class(mode)
+    lam = quant.lambda_from_qp(qp, intra=True)
+    maxv = (1 << bit_depth) - 1
+    levs, recs, costs = [], [], []
+    for idx in range(lfnst.N_LFNST_CAND + 1):
+        c = lfnst.forward(coeff, cls, idx) if idx > 0 else coeff
+        lev, dq = _quant_pair(c, None, qp, log2s, bit_depth, True, dep)
+        d2 = lfnst.inverse(dq, cls, idx) if idx > 0 else dq
+        r = transforms.inverse_transform(d2, tr, tr, bit_depth=bit_depth)
+        rec = jnp.clip(pred + r, 0, maxv)
+        ssd = ((rec - (pred + resid)) ** 2).sum((1, 2)).astype(jnp.float32)
+        bits = _rate_est(lev) + (2.0 if idx > 0 else 1.0)
+        levs.append(lev)
+        recs.append(rec)
+        costs.append(ssd + lam * bits)
+    cost = jnp.stack(costs, 1)                          # (B, 3)
+    pick = jnp.argmin(cost, 1).astype(jnp.int32)
+    lev = jnp.take_along_axis(jnp.stack(levs, 1),
+                              pick[:, None, None, None], 1)[:, 0]
+    rec = jnp.take_along_axis(jnp.stack(recs, 1),
+                              pick[:, None, None, None], 1)[:, 0]
+    # cbf==0 -> the index is not signaled; recon is pred either way
+    cbf = (lev != 0).any((1, 2))
+    pick = jnp.where(cbf, pick, 0)
+    return lev, rec, pick
+
+
+def _tq_lfnst_decode(pred: jnp.ndarray, levels: jnp.ndarray,
+                     mode: jnp.ndarray, idx: jnp.ndarray, qp: int, s: int,
+                     bit_depth: int, dep: bool) -> jnp.ndarray:
+    """Decoder-side luma reconstruction with per-block LFNST index."""
+    log2s = s.bit_length() - 1
+    tr = transforms.rom.DST7 if 4 <= s <= 16 else transforms.rom.DCT2
+    cls = lfnst.mode_class(mode)
+    _, dq = _quant_pair(None, levels, qp, log2s, bit_depth, True, dep)
+    d2 = dq
+    for k in range(1, lfnst.N_LFNST_CAND + 1):
+        dk = lfnst.inverse(dq, cls, k)
+        d2 = jnp.where((idx == k)[:, None, None], dk, d2)
+    r = transforms.inverse_transform(d2, tr, tr, bit_depth=bit_depth)
+    return jnp.clip(pred + r, 0, (1 << bit_depth) - 1)
+
+
 @functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth",
                                              "dep_quant", "use_cclm",
-                                             "use_mip"))
+                                             "use_mip", "use_lfnst"))
 def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                        orig_v: jnp.ndarray, qp: int, block_size: int = 8,
                        bit_depth: int = 8, dep_quant: bool = False,
-                       use_cclm: bool = False, use_mip: bool = False):
+                       use_cclm: bool = False, use_mip: bool = False,
+                       use_lfnst: bool = False):
     """Closed-loop wavefront intra encode of one frame.
 
     Returns dict with per-block modes (nby, nbx), levels for Y/U/V, and the
@@ -268,8 +343,13 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
         mode = jnp.argmin(cost, axis=1).astype(jnp.int32)
         pred = jnp.take_along_axis(pall, mode[:, None, None, None],
                                    axis=1)[:, 0]
-        lev_y, rec = _tq_reconstruct(pred, ob - pred, None, qp, s,
-                                     bit_depth, True, dep=dep_quant)
+        if use_lfnst:
+            lev_y, rec, lfnst_idx = _tq_lfnst_encode(
+                pred, ob - pred, mode, qp, s, bit_depth, dep_quant)
+        else:
+            lev_y, rec = _tq_reconstruct(pred, ob - pred, None, qp, s,
+                                         bit_depth, True, dep=dep_quant)
+            lfnst_idx = jnp.zeros(y0.shape, jnp.int32)
         ry = _scatter_blocks(ry, y0, x0, rec)
         # invalid lanes target the never-read pad cell (0,0) so scatter
         # duplicates stay deterministic
@@ -314,7 +394,7 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
             else:
                 rv_new = _scatter_blocks(rv, y0c, x0c, recc)
         return ((ry, ru_new, rv_new, mode_map),
-                (mode, lm_flag, lev_y, lev_c[0], lev_c[1]))
+                (mode, lm_flag, lfnst_idx, lev_y, lev_c[0], lev_c[1]))
 
     (ry, ru, rv, _), outs = jax.lax.scan(
         step, (ry, ru, rv, mode_map), (coords, valid))
@@ -327,14 +407,16 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth",
                                              "height", "width", "dep_quant",
-                                             "use_cclm", "use_mip"))
+                                             "use_cclm", "use_mip",
+                                             "use_lfnst"))
 def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                        lev_u: jnp.ndarray, lev_v: jnp.ndarray,
                        qp: int, height: int, width: int, block_size: int = 8,
                        bit_depth: int = 8, dep_quant: bool = False,
                        use_cclm: bool = False,
                        cclm_steps: jnp.ndarray | None = None,
-                       use_mip: bool = False):
+                       use_mip: bool = False, use_lfnst: bool = False,
+                       lfnst_steps: jnp.ndarray | None = None):
     """Wavefront intra decode: same scan as the encoder with parsed
     modes/levels; identical reconstruction math -> bit-exact recon."""
     s = block_size
@@ -353,10 +435,12 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
 
     if cclm_steps is None:
         cclm_steps = jnp.zeros(modes_steps.shape, jnp.int32)
+    if lfnst_steps is None:
+        lfnst_steps = jnp.zeros(modes_steps.shape, jnp.int32)
 
     def step(state, xs):
         ry, ru, rv = state
-        cds, vld, mode, lmflag, ly, lu, lv = xs
+        cds, vld, mode, lmflag, lfidx, ly, lu, lv = xs
         by, bx = cds[:, 0], cds[:, 1]
         y0 = jnp.where(vld, MARGIN + by * s, ry.shape[0] - s - 4)
         x0 = jnp.where(vld, MARGIN + bx * s, ry.shape[1] - s - 4)
@@ -371,8 +455,12 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                 cref, jnp.clip(mode - 67, 0, mip.N_MIP_MODES - 1), s,
                 bit_depth)
             pred = jnp.where((mode >= 67)[:, None, None], pmip, pred)
-        _, rec = _tq_reconstruct(pred, None, ly, qp, s, bit_depth, True,
-                                 dep=dep_quant)
+        if use_lfnst:
+            rec = _tq_lfnst_decode(pred, ly, mode, lfidx, qp, s, bit_depth,
+                                   dep_quant)
+        else:
+            _, rec = _tq_reconstruct(pred, None, ly, qp, s, bit_depth, True,
+                                     dep=dep_quant)
         ry = _scatter_blocks(ry, y0, x0, rec)
 
         if use_cclm:
@@ -395,7 +483,8 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
 
     (ry, ru, rv), _ = jax.lax.scan(
         step, (ry, ru, rv),
-        (coords, valid, modes_steps, cclm_steps, lev_y, lev_u, lev_v))
+        (coords, valid, modes_steps, cclm_steps, lfnst_steps,
+         lev_y, lev_u, lev_v))
     return dict(
         y=jax.lax.dynamic_slice(ry, (MARGIN, MARGIN), (h, w)),
         u=jax.lax.dynamic_slice(ru, (MARGIN, MARGIN), (h // 2, w // 2)),

@@ -148,12 +148,13 @@ class DecLib:
         if sh.slice_type == SliceType.I:
             s = sps.intra_block_size
             nby, nbx = sps.height // s, sps.width // s
-            modes, lm, ly, lu, lv = decode_intra_slice(
+            modes, lm, lf, ly, lu, lv = decode_intra_slice(
                 cabac_bytes, nby, nbx, s, stats=self.stats, cclm=sps.cclm,
-                mip=sps.mip)
+                mip=sps.mip, lfnst=sps.lfnst)
             coords, valid = wavefront.wavefront_coords(nby, nbx)
             modes_steps = wavefront.grid_to_steps(modes, coords, valid)
             lm_steps = wavefront.grid_to_steps(lm, coords, valid)
+            lf_steps = wavefront.grid_to_steps(lf, coords, valid)
             ly_s = wavefront.grid_to_steps(ly, coords, valid)
             lu_s = wavefront.grid_to_steps(lu, coords, valid)
             lv_s = wavefront.grid_to_steps(lv, coords, valid)
@@ -162,7 +163,8 @@ class DecLib:
                 jnp.asarray(lu_s), jnp.asarray(lv_s), sh.qp,
                 sps.height, sps.width, s, sps.bit_depth,
                 dep_quant=sps.dep_quant, use_cclm=sps.cclm,
-                cclm_steps=jnp.asarray(lm_steps), use_mip=sps.mip)
+                cclm_steps=jnp.asarray(lm_steps), use_mip=sps.mip,
+                use_lfnst=sps.lfnst, lfnst_steps=jnp.asarray(lf_steps))
             if sps.deblocking:
                 # reference: DecLib.cpp:669 executeLoopFilters
                 bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)

@@ -37,9 +37,10 @@ def _nb(m: int) -> int:
 
 
 def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
-                       cclm: bool = False, mip: bool = False
+                       cclm: bool = False, mip: bool = False,
+                       lfnst: bool = False
                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
-                                  np.ndarray, np.ndarray]:
+                                  np.ndarray, np.ndarray, np.ndarray]:
     """Returns (modes, cclm_flags, lev_y, lev_u, lev_v) dense grids.  With
     `stats` (utils.trace.BitStats) the Python spec coder runs with
     per-syntax accounting (DecoderAnalyserApp analog)."""
@@ -51,6 +52,7 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
     sc = s // 2
     modes = np.zeros((nby, nbx), dtype=np.int32)
     lm = np.zeros((nby, nbx), dtype=np.int32)
+    lf = np.zeros((nby, nbx), dtype=np.int32)
     lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
     lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
     lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
@@ -74,8 +76,13 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
                                     ("v", lev_v, sc)):
                 cbf_ctx = ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])
                 _lbl(dec, "cbf")
-                if dec.decode_bin(cbf_ctx):
+                cbf = bool(dec.decode_bin(cbf_ctx))
+                if cbf:
                     _lbl(dec, "residual_" + comp)
                     lev[by, bx] = coeffs_decode(dec, size, size,
                                                 chroma=(comp != "y"))
-    return modes, lm, lev_y, lev_u, lev_v
+                if comp == "y" and lfnst and cbf:
+                    _lbl(dec, "lfnst_idx")
+                    if dec.decode_bin(ctx_id("LFNSTIdx", 0)):
+                        lf[by, bx] = 1 + dec.decode_bin(ctx_id("LFNSTIdx", 1))
+    return modes, lm, lf, lev_y, lev_u, lev_v

@@ -80,6 +80,8 @@ class EncCfg:
                                  # (common/cclm.py; reference: --CCLM)
     mip: bool = False            # matrix intra prediction
                                  # (common/mip.py; reference: --MIP)
+    lfnst: bool = False          # low-frequency non-separable secondary
+                                 # transform (common/lfnst.py; --LFNST)
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -90,7 +92,8 @@ class EncCfg:
                    sao=self.sao, alf=self.alf, mm=self.mm,
                    inter_qt_depth=self.qt_depth, affine=self.affine,
                    bdof=self.bdof, dmvr=self.dmvr,
-                   dep_quant=self.dep_quant, cclm=self.cclm, mip=self.mip)
+                   dep_quant=self.dep_quant, cclm=self.cclm, mip=self.mip,
+                   lfnst=self.lfnst)
 
 
 @dataclass
@@ -183,24 +186,27 @@ class EncLib:
             jnp.asarray(planes[0]), jnp.asarray(planes[1]),
             jnp.asarray(planes[2]), qp, s, cfg.bit_depth,
             dep_quant=cfg.dep_quant, use_cclm=cfg.cclm,
-            use_mip=cfg.mip)
+            use_mip=cfg.mip, use_lfnst=cfg.lfnst)
         # narrow dtypes before the device->host hop (levels fit int16,
         # modes uint8) — D2H bandwidth is the scarce resource
         modes_steps = np.asarray(outs[0].astype(jnp.uint8)).astype(np.int32)
         lm_steps = np.asarray(outs[1].astype(jnp.uint8)).astype(np.int32)
+        lf_steps = np.asarray(outs[2].astype(jnp.uint8)).astype(np.int32)
         ly, lu, lv = (np.asarray(o.astype(jnp.int16)).astype(np.int32)
-                      for o in outs[2:])
+                      for o in outs[3:])
         nby, nbx = cfg.height // s, cfg.width // s
         coords, valid = wavefront.wavefront_coords(nby, nbx)
         modes = wavefront.steps_to_grid(modes_steps, coords, valid)
         lm = wavefront.steps_to_grid(lm_steps, coords, valid)
+        lf = wavefront.steps_to_grid(lf_steps, coords, valid)
         ly = wavefront.steps_to_grid(ly, coords, valid)
         lu = wavefront.steps_to_grid(lu, coords, valid)
         lv = wavefront.steps_to_grid(lv, coords, valid)
 
         payload = encode_intra_slice(modes, ly, lu, lv,
                                      cclm=lm if cfg.cclm else None,
-                                     mip=cfg.mip)
+                                     mip=cfg.mip,
+                                     lfnst=lf if cfg.lfnst else None)
         if cfg.deblocking:
             bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)
             ry, ru, rv = deblock.deblock_frame(

@@ -40,7 +40,8 @@ def _nb(m: int) -> int:
 def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
                        lev_u: np.ndarray, lev_v: np.ndarray,
                        cclm: np.ndarray | None = None,
-                       mip: bool = False) -> bytes:
+                       mip: bool = False,
+                       lfnst: np.ndarray | None = None) -> bytes:
     """modes (nby, nbx); lev_* (nby, nbx, s, s).  Raster block order.
     cclm: optional (nby, nbx) chroma-LM flags (SPS-gated; reference:
     CABACWriter intra_chroma_pred_mode LM branch).  mip: SPS MIP enable —
@@ -68,4 +69,11 @@ def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
                 enc.encode_bin(int(cbf), cbf_ctx)
                 if cbf:
                     coeffs_encode(enc, blk, chroma=(comp != "y"))
+                if comp == "y" and lfnst is not None and cbf:
+                    # lfnst_idx: truncated unary, 2 contexts (reference:
+                    # CABACWriter residual_lfnst_mode)
+                    idx = int(lfnst[by, bx])
+                    enc.encode_bin(int(idx > 0), ctx_id("LFNSTIdx", 0))
+                    if idx > 0:
+                        enc.encode_bin(int(idx > 1), ctx_id("LFNSTIdx", 1))
     return enc.finish()
