@@ -55,6 +55,7 @@ def build_parser() -> OptionParser:
     p.add("CCLM", False, "cross-component linear-model chroma prediction")
     p.add("MIP", False, "matrix-based intra prediction")
     p.add("LFNST", False, "low-frequency non-separable secondary transform")
+    p.add("TMVP", False, "temporal + history-based MV prediction")
     p.add("WrapAround", False, "ERP horizontal wrap-around")
     p.add("Deblocking", True, "in-loop deblocking")
     p.add("SphereVideo", False, "enable 360 metrics")
@@ -103,7 +104,7 @@ def main(argv: list[str] | None = None) -> int:
                  mctf=opts["TemporalFilter"], lmcs=opts["LMCS"],
                  bdof=opts["BDOF"], dmvr=opts["DMVR"],
                  dep_quant=opts["DepQuant"], cclm=opts["CCLM"],
-                 mip=opts["MIP"], lfnst=opts["LFNST"],
+                 mip=opts["MIP"], lfnst=opts["LFNST"], tmvp=opts["TMVP"],
                  target_bitrate_kbps=(opts["TargetBitrate"] // 1000
                                       if opts["RateControl"] else 0),
                  frame_rate=float(opts["FrameRate"]))

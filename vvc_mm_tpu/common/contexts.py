@@ -67,6 +67,7 @@ _CTX_SETS: list[tuple[str, int]] = [
     ("InterDir", 6),
     ("RefPic", 2),
     ("Mvd", 2),
+    ("MvpIdx", 1),
     ("Amvr", 2),
     ("AffineFlag", 3),
     ("MmvdFlag", 1),

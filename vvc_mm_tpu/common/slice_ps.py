@@ -95,6 +95,9 @@ class SPS:
                                   # MatrixIntraPrediction.cpp)
     lfnst: bool = False           # secondary transform (reference:
                                   # sps_lfnst_enabled_flag, TrQuant.cpp:238)
+    tmvp: bool = False            # temporal + history MVP in the AMVP list
+                                  # (reference: sps_temporal_mvp_enabled_flag
+                                  # + HMVP, UnitTools.cpp:2272/3178)
     mm: MMConfig = field(default_factory=MMConfig)
 
     def write(self, bw: BitWriter) -> None:
@@ -122,6 +125,7 @@ class SPS:
         bw.write_flag(self.cclm)
         bw.write_flag(self.mip)
         bw.write_flag(self.lfnst)
+        bw.write_flag(self.tmvp)
         mm = self.mm
         bw.write_flag(mm.any_enabled())
         if mm.any_enabled():
@@ -163,6 +167,7 @@ class SPS:
         sps.cclm = br.read_flag()
         sps.mip = br.read_flag()
         sps.lfnst = br.read_flag()
+        sps.tmvp = br.read_flag()
         if br.read_flag():
             mm = sps.mm
             mm.mpa, mm.t3d, mm.tan, mm.rot, mm.ged, mm.geda = (

@@ -55,6 +55,8 @@ class DecLib:
         # POC -> "OK"/"MISMATCH" from decoded-picture-hash SEI (reference:
         # DecLib.cpp:868 calcAndPrintHashStatus)
         self.hash_status: dict[int, str] = {}
+        # POC -> MV field (TMVP source, mirrors EncLib._mv_fields)
+        self._mv_fields: dict[int, np.ndarray] = {}
 
     def _activate_sps(self, sps: SPS) -> None:
         """reference: DecLib.cpp:1904 xActivateParameterSets — builds the
@@ -248,8 +250,13 @@ class DecLib:
                     jnp.asarray(ref.planes[2]), sh.qp, s, sps.bit_depth,
                     sps.wrap_around)
             else:
+                col = (self._mv_fields.get(sh.ref_pocs_l0[0])
+                       if sps.tmvp else None)
                 mvs, ly, lu, lv = decode_p_slice(cabac_bytes, nby, nbx, s,
-                                                 stats=self.stats)
+                                                 stats=self.stats,
+                                                 col_mvs=col,
+                                                 use_tmvp=sps.tmvp)
+                self._mv_fields[sh.poc] = mvs.astype(np.int64)
                 recon = inter_frame.reconstruct_p_frame(
                     jnp.asarray(mvs), jnp.asarray(ly), jnp.asarray(lu),
                     jnp.asarray(lv), jnp.asarray(ref.planes[0]),

@@ -12,7 +12,8 @@ from ..common.cabac import BinDecoder
 from ..utils.native import coeffs_decode, make_decoder
 from ..common.contexts import ctx_id
 from ..common.residual_coding import decode_coeffs
-from ..encoder.inter_coder import (_mm_mvp, inherited_model, mvp_median,
+from ..encoder.inter_coder import (HmvpList, _mm_mvp, amvp_list,
+                                   inherited_model, mvp_median,
                                    mvp_median_same_model, mvp_unit_grid)
 
 
@@ -327,32 +328,47 @@ def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
     return mv0, mv1, dirs, lev_y, lev_u, lev_v
 
 
-def decode_p_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
+def decode_p_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
+                   col_mvs: np.ndarray | None = None,
+                   use_tmvp: bool = False
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                               np.ndarray]:
-    """Returns (mvs (nby,nbx,2) 1/16-pel, lev_y, lev_u, lev_v)."""
+    """Returns (mvs (nby,nbx,2) 1/16-pel, lev_y, lev_u, lev_v).  With
+    use_tmvp, mirrors the encoder's AMVP list (spatial/TMVP/HMVP/zero) and
+    parses the mvp index (encoder/inter_coder.py encode_p_slice)."""
     dec = _make(data, stats)
     sc = s // 2
     mvs = np.zeros((nby, nbx, 2), dtype=np.int64)
     lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
     lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
     lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    hist = HmvpList() if use_tmvp else None
     for by in range(nby):
         for bx in range(nbx):
-            pred = mvp_median(mvs, by, bx)
+            if use_tmvp:
+                col = col_mvs[by, bx] if col_mvs is not None else None
+                cands = amvp_list(mvs, by, bx, col, hist)
+            else:
+                cands = [mvp_median(mvs, by, bx)]
             if (_lbl(dec, "skip_flag") or dec.decode_bin(ctx_id("SkipFlag"))):
-                mvs[by, bx] = pred
-                continue
-            _lbl(dec, "mvd")
-            mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
-                           dtype=np.int64)
-            mvs[by, bx] = pred + mvd
-            for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
-                                    ("v", lev_v, sc)):
-                _lbl(dec, "cbf")
-                if dec.decode_bin(
-                        ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])):
-                    _lbl(dec, "residual_" + comp)
-                    lev[by, bx] = coeffs_decode(dec, size, size,
-                                                chroma=(comp != "y"))
+                mvs[by, bx] = cands[0]
+            else:
+                idx = 0
+                if use_tmvp:
+                    _lbl(dec, "mvp_idx")
+                    idx = dec.decode_bin(ctx_id("MvpIdx"))
+                _lbl(dec, "mvd")
+                mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
+                               dtype=np.int64)
+                mvs[by, bx] = cands[idx] + mvd
+                for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
+                                        ("v", lev_v, sc)):
+                    _lbl(dec, "cbf")
+                    if dec.decode_bin(
+                            ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])):
+                        _lbl(dec, "residual_" + comp)
+                        lev[by, bx] = coeffs_decode(dec, size, size,
+                                                    chroma=(comp != "y"))
+            if hist is not None:
+                hist.push(mvs[by, bx])
     return mvs, lev_y, lev_u, lev_v

@@ -82,6 +82,7 @@ class EncCfg:
                                  # (common/mip.py; reference: --MIP)
     lfnst: bool = False          # low-frequency non-separable secondary
                                  # transform (common/lfnst.py; --LFNST)
+    tmvp: bool = False           # TMVP + HMVP AMVP candidates (--TMVP)
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -93,7 +94,7 @@ class EncCfg:
                    inter_qt_depth=self.qt_depth, affine=self.affine,
                    bdof=self.bdof, dmvr=self.dmvr,
                    dep_quant=self.dep_quant, cclm=self.cclm, mip=self.mip,
-                   lfnst=self.lfnst)
+                   lfnst=self.lfnst, tmvp=self.tmvp)
 
 
 @dataclass
@@ -123,6 +124,9 @@ class EncLib:
         self.sps = cfg.make_sps()
         self.pps = PPS(base_qp=cfg.qp)
         self.results: list[FrameResult] = []
+        # POC -> decoded MV field of P frames (TMVP co-located source;
+        # reference: the DPB's 4x4 motion buffer, CodingStructure.h:273)
+        self._mv_fields: dict[int, np.ndarray] = {}
         self.reproj: MVReprojection | None = None
         self.epipole_list = epipole_mod.EpipoleList(cfg.mm.global_epipole)
         # decoder-mirror list: only epipoles already signaled in PHs — the
@@ -325,7 +329,10 @@ class EncLib:
                 cfg.bit_depth, cfg.search_range, cfg.wrap_around)
             lyh, luh, lvh = (np.asarray(l.astype(jnp.int16))
                              .astype(np.int32) for l in (ly, lu, lv))
-            payload = encode_p_slice(np.asarray(mvs), lyh, luh, lvh)
+            col = self._mv_fields.get(ref_poc) if cfg.tmvp else None
+            payload = encode_p_slice(np.asarray(mvs), lyh, luh, lvh,
+                                     col_mvs=col, use_tmvp=cfg.tmvp)
+            self._mv_fields[poc] = np.asarray(mvs).astype(np.int64)
         if cfg.deblocking:
             has_resid = (jnp.any(ly != 0, axis=(2, 3))
                          | jnp.any(lu != 0, axis=(2, 3))

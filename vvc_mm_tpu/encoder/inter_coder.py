@@ -42,6 +42,57 @@ def mvp_median(mvs: np.ndarray, by: int, bx: int) -> np.ndarray:
     return np.median(c, axis=0).astype(np.int64)
 
 
+HMVP_SIZE = 5
+
+
+class HmvpList:
+    """History-based MVP FIFO (reference: HMVP LUT, UnitTools.cpp:3178
+    addAMVPHMVPCand; redundancy-checked append, size 5).  Updated in block
+    coding order identically by encoder and decoder."""
+
+    def __init__(self) -> None:
+        self.lut: list[tuple[int, int]] = []
+
+    def push(self, mv) -> None:
+        t = (int(mv[0]), int(mv[1]))
+        if t in self.lut:
+            self.lut.remove(t)
+        self.lut.append(t)
+        if len(self.lut) > HMVP_SIZE:
+            self.lut.pop(0)
+
+    def cands(self) -> list[np.ndarray]:
+        return [np.array(t, np.int64) for t in reversed(self.lut)]
+
+
+def amvp_list(mvs: np.ndarray, by: int, bx: int, col_mv=None,
+              hist: HmvpList | None = None, n: int = 2) -> list[np.ndarray]:
+    """AMVP candidate list: spatial median, TMVP co-located MV, HMVP
+    entries, zero — deduped, padded with zero to n (reference:
+    UnitTools.cpp:2172 fillMvpCand — spatial, :2272 TMVP, :3178 HMVP)."""
+    cands = [mvp_median(mvs, by, bx)]
+    if col_mv is not None:
+        cands.append(np.asarray(col_mv, dtype=np.int64))
+    if hist is not None:
+        cands.extend(hist.cands())
+    cands.append(np.zeros(2, dtype=np.int64))
+    out: list[np.ndarray] = []
+    for c in cands:
+        if not any(c[0] == o[0] and c[1] == o[1] for o in out):
+            out.append(c)
+        if len(out) == n:
+            break
+    while len(out) < n:
+        out.append(np.zeros(2, dtype=np.int64))
+    return out
+
+
+def _mvd_bits(v: np.ndarray) -> int:
+    """Cheap mvd bit estimate for AMVP index choice (encoder only)."""
+    return sum(1 + (2 * int(abs(int(c))).bit_length() if c else 0)
+               for c in v)
+
+
 def encode_mvd_comp(enc: BinEncoder, v: int, ctx_base: str = "Mvd") -> None:
     """VVC mvd_coding per component: gt0(ctx), gt1(ctx), EG1 remainder,
     sign (reference: CABACWriter.cpp mvd_coding)."""
@@ -437,29 +488,50 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
 
 
 def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
-                   lev_v: np.ndarray) -> bytes:
-    """mvs (nby, nbx, 2) 1/16-pel; lev_* (nby, nbx, s, s).  Raster order."""
+                   lev_v: np.ndarray, col_mvs: np.ndarray | None = None,
+                   use_tmvp: bool = False) -> bytes:
+    """mvs (nby, nbx, 2) 1/16-pel; lev_* (nby, nbx, s, s).  Raster order.
+
+    With use_tmvp, MV prediction upgrades from the implicit spatial median
+    to a 2-candidate AMVP list (spatial / TMVP col_mvs / HMVP / zero) with
+    a context-coded mvp index; the HMVP FIFO updates per block (reference:
+    fillMvpCand + HMVP LUT)."""
     enc = make_encoder()
     nby, nbx = mvs.shape[:2]
     mvs = mvs.astype(np.int64)
+    hist = HmvpList() if use_tmvp else None
     for by in range(nby):
         for bx in range(nbx):
             mv = mvs[by, bx]
-            pred = mvp_median(mvs, by, bx)
-            mvd = mv - pred
+            if use_tmvp:
+                col = col_mvs[by, bx] if col_mvs is not None else None
+                cands = amvp_list(mvs, by, bx, col, hist)
+                mvds = [mv - c for c in cands]
+                idx = int(np.argmin([_mvd_bits(d) for d in mvds]))
+                pred, mvd = cands[idx], mvds[idx]
+            else:
+                idx = 0
+                pred = mvp_median(mvs, by, bx)
+                mvd = mv - pred
             levels = (lev_y[by, bx], lev_u[by, bx], lev_v[by, bx])
             no_resid = all(not np.any(l != 0) for l in levels)
-            skip = no_resid and mvd[0] == 0 and mvd[1] == 0
+            # skip reconstructs from candidate 0
+            skip = (no_resid and mvd[0] == 0 and mvd[1] == 0
+                    and (not use_tmvp or idx == 0))
             enc.encode_bin(int(skip), ctx_id("SkipFlag"))
-            if skip:
-                continue
-            encode_mvd_comp(enc, int(mvd[0]))
-            encode_mvd_comp(enc, int(mvd[1]))
-            for comp, lev in (("y", levels[0]), ("u", levels[1]),
-                              ("v", levels[2])):
-                cbf = bool(np.any(lev != 0))
-                enc.encode_bin(int(cbf),
-                               ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp]))
-                if cbf:
-                    coeffs_encode(enc, lev, chroma=(comp != "y"))
+            if not skip:
+                if use_tmvp:
+                    enc.encode_bin(idx, ctx_id("MvpIdx"))
+                encode_mvd_comp(enc, int(mvd[0]))
+                encode_mvd_comp(enc, int(mvd[1]))
+                for comp, lev in (("y", levels[0]), ("u", levels[1]),
+                                  ("v", levels[2])):
+                    cbf = bool(np.any(lev != 0))
+                    enc.encode_bin(
+                        int(cbf),
+                        ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp]))
+                    if cbf:
+                        coeffs_encode(enc, lev, chroma=(comp != "y"))
+            if hist is not None:
+                hist.push(mv)
     return enc.finish()
