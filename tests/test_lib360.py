@@ -64,3 +64,43 @@ def test_cmp_dirs_unit_norm():
     d = geometry.cmp_dirs(96, 64)
     n = np.linalg.norm(d, axis=-1)
     assert np.allclose(n, 1.0, atol=1e-6)
+
+
+def test_new_geometry_inverses():
+    """coords(dirs(w,h)) must reproduce the pixel grid (projection and
+    inverse are mutually consistent) for every added format."""
+    from vvc_mm_tpu.lib360 import geometry as g
+    cases = {"eap": (64, 32), "cpp": (64, 32), "fisheye": (32, 32),
+             "acp": (48, 32), "cmp": (48, 32), "eac": (48, 32)}
+    for name, (w, h) in cases.items():
+        dirs_fn, coords_fn = g.GEOMETRIES[name]
+        dirs = dirs_fn(w, h)
+        xy = coords_fn(dirs, w, h)
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        if name == "cpp":
+            # skip the inactive area outside the parabola
+            m = np.abs(xy[..., 0] - xx) < 1.0
+            assert m.mean() > 0.6, name   # parabola covers ~2/3 of the frame
+            err_y = np.abs(xy[..., 1] - yy)[m].max()
+            assert err_y < 0.51, (name, err_y)
+        else:
+            err = np.abs(np.stack([xx, yy], -1) - xy).max()
+            assert err < 0.51, (name, err)
+
+
+def test_geo_convert_roundtrip_new_formats():
+    """ERP -> fmt -> ERP keeps smooth content (energy preserved)."""
+    from vvc_mm_tpu.lib360 import geometry as g
+    h, w = 64, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    plane = (128 + 90 * np.sin(2 * np.pi * xx / w)
+             * np.cos(np.pi * (yy + 0.5 - h / 2) / h)).astype(np.int32)
+    for fmt, size in (("eap", (64, 128)), ("acp", (64, 96)),
+                      ("cpp", (64, 128))):
+        conv = g.geo_convert(plane, "erp", fmt, size, method="bilinear")
+        back = g.geo_convert(conv, fmt, "erp", (h, w), method="bilinear")
+        # interior rows (poles are lossy under any projection resample)
+        a = plane[8:-8].astype(np.float64)
+        b = back[8:-8].astype(np.float64)
+        rmse = np.sqrt(((a - b) ** 2).mean())
+        assert rmse < 12.0, (fmt, rmse)

@@ -91,17 +91,32 @@ def _cmp_face_uv(dirs: np.ndarray):
     return face, u, v
 
 
-def _cube_uv_warp(u, eac: bool):
-    """EAC angular warp (reference: TEquiAngularCubeMap — u' =
-    4/pi * atan(u))."""
-    return (4.0 / PI) * np.arctan(u) if eac else u
+def _cube_uv_warp(u, warp):
+    """Cube-face coordinate warps (the generalized-cubemap family,
+    reference: TEquiAngularCubeMap / TAdjustedCubeMap / TGeneralizedCubeMap):
+      'eac': u' = 4/pi*atan(u); 'acp': JVET-F0025 polynomial
+      u' = sgn(u)*(1.36|u| - 0.36u^2); True/'eac' and False/None supported
+      for back compatibility."""
+    if warp in (True, "eac"):
+        return (4.0 / PI) * np.arctan(u)
+    if warp == "acp":
+        return np.sign(u) * (1.36 * np.abs(u) - 0.36 * u * u)
+    return u
 
 
-def _cube_uv_unwarp(u, eac: bool):
-    return np.tan(u * PI / 4.0) if eac else u
+def _cube_uv_unwarp(u, warp):
+    if warp in (True, "eac"):
+        return np.tan(u * PI / 4.0)
+    if warp == "acp":
+        # invert 0.36 v^2 - 1.36 v + |u| = 0 on [0, 1]
+        a = np.abs(u)
+        v = (1.36 - np.sqrt(np.maximum(1.36 ** 2 - 4 * 0.36 * a, 0.0))) \
+            / (2 * 0.36)
+        return np.sign(u) * v
+    return u
 
 
-def cmp_dirs(width: int, height: int, eac: bool = False) -> np.ndarray:
+def cmp_dirs(width: int, height: int, eac=False) -> np.ndarray:
     f = width // 3
     assert width == 3 * f and height == 2 * f, "CMP expects 3x2 packing"
     xx, yy = np.meshgrid(np.arange(width), np.arange(height))
@@ -121,7 +136,7 @@ def cmp_dirs(width: int, height: int, eac: bool = False) -> np.ndarray:
 
 
 def cmp_coords(dirs: np.ndarray, width: int, height: int,
-               eac: bool = False) -> np.ndarray:
+               eac=False) -> np.ndarray:
     f = width // 3
     face, u, v = _cmp_face_uv(dirs)
     u = _cube_uv_warp(u, eac)
@@ -149,10 +164,99 @@ def viewport_dirs(width: int, height: int, fov_deg: float,
     return d @ (rz @ ry).T
 
 
+def eap_dirs(width: int, height: int) -> np.ndarray:
+    """Equal-area (Lambert cylindrical) projection (reference: TEqualArea):
+    x is longitude like ERP, y samples sin(latitude) uniformly."""
+    xx, yy = np.meshgrid(np.arange(width), np.arange(height))
+    phi = -2.0 * PI * ((xx + 0.5) / width - 0.5)
+    slat = 1.0 - 2.0 * (yy + 0.5) / height          # sin(lat) in (-1, 1)
+    clat = np.sqrt(np.maximum(1.0 - slat * slat, 0.0))
+    return np.stack([clat * np.cos(phi), clat * np.sin(phi), slat], -1)
+
+
+def eap_coords(dirs: np.ndarray, width: int, height: int) -> np.ndarray:
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    n = np.sqrt(x * x + y * y + z * z) + 1e-12
+    phi = np.arctan2(y, x)
+    slat = z / n
+    px = (0.5 - phi / (2.0 * PI)) * width - 0.5
+    py = (1.0 - slat) / 2.0 * height - 0.5
+    return np.stack([px, py], -1)
+
+
+def cpp_dirs(width: int, height: int) -> np.ndarray:
+    """Craster parabolic projection (reference: TCrastersParabolic — the
+    CPP-PSNR domain, lib360/metrics.py shares the map)."""
+    xx, yy = np.meshgrid(np.arange(width), np.arange(height))
+    ny = (2.0 * (yy + 0.5) / height - 1.0)          # in (-1, 1)
+    # canonical CPP: y = 2 sin(lat/3), x = lon (2 cos(2lat/3) - 1); the
+    # normalized frame maps y in [-1,1] <-> lat in [-pi/2, pi/2]
+    lat = 3.0 * np.arcsin(np.clip(ny / 2.0, -1, 1))
+    stretch = 2.0 * np.cos(2.0 * lat / 3.0) - 1.0
+    nx = 2.0 * (xx + 0.5) / width - 1.0
+    lon = np.where(stretch > 1e-6, nx * PI / np.maximum(stretch, 1e-6), 0.0)
+    lon = np.clip(lon, -PI, PI)
+    clat = np.cos(lat)
+    return np.stack([clat * np.cos(-lon), clat * np.sin(-lon),
+                     np.sin(lat)], -1)
+
+
+def cpp_coords(dirs: np.ndarray, width: int, height: int) -> np.ndarray:
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    n = np.sqrt(x * x + y * y + z * z) + 1e-12
+    lat = np.arcsin(np.clip(z / n, -1, 1))
+    lon = -np.arctan2(y, x)
+    nx = lon / PI * (2.0 * np.cos(2.0 * lat / 3.0) - 1.0)
+    ny = 2.0 * np.sin(lat / 3.0)
+    px = (nx + 1.0) / 2.0 * width - 0.5
+    py = (ny + 1.0) / 2.0 * height - 0.5
+    return np.stack([px, py], -1)
+
+
+def fisheye_dirs(width: int, height: int, fov_deg: float = 180.0
+                 ) -> np.ndarray:
+    """Equisolid fisheye (reference: TFisheye; lib360/projection.py
+    EquisolidProjection is the MM-extension twin): r = 2 f sin(theta/2)."""
+    xx, yy = np.meshgrid(np.arange(width), np.arange(height))
+    u = (2.0 * (xx + 0.5) / width - 1.0)
+    v = (2.0 * (yy + 0.5) / height - 1.0)
+    r = np.sqrt(u * u + v * v)
+    theta_max = np.deg2rad(fov_deg) / 2.0
+    rmax = 2.0 * np.sin(theta_max / 2.0)
+    theta = 2.0 * np.arcsin(np.clip(r * rmax / 2.0, -1, 1))
+    psi = np.arctan2(v, u)
+    st = np.sin(theta)
+    # optical axis +x; image plane (y, z)
+    return np.stack([np.cos(theta), -st * np.cos(psi), -st * np.sin(psi)],
+                    -1)
+
+
+def fisheye_coords(dirs: np.ndarray, width: int, height: int,
+                   fov_deg: float = 180.0) -> np.ndarray:
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    n = np.sqrt(x * x + y * y + z * z) + 1e-12
+    theta = np.arccos(np.clip(x / n, -1, 1))
+    psi = np.arctan2(-z, -y)
+    theta_max = np.deg2rad(fov_deg) / 2.0
+    rmax = 2.0 * np.sin(theta_max / 2.0)
+    r = 2.0 * np.sin(np.minimum(theta, theta_max) / 2.0) / rmax
+    u = r * np.cos(psi)
+    v = r * np.sin(psi)
+    px = (u + 1.0) / 2.0 * width - 0.5
+    py = (v + 1.0) / 2.0 * height - 0.5
+    return np.stack([px, py], -1)
+
+
 GEOMETRIES = {"erp": (erp_dirs, erp_coords),
               "cmp": (cmp_dirs, cmp_coords),
               "eac": (functools.partial(cmp_dirs, eac=True),
-                      functools.partial(cmp_coords, eac=True))}
+                      functools.partial(cmp_coords, eac=True)),
+              # adjusted cubemap (ACP) via the generalized warp family
+              "acp": (functools.partial(cmp_dirs, eac="acp"),
+                      functools.partial(cmp_coords, eac="acp")),
+              "eap": (eap_dirs, eap_coords),
+              "cpp": (cpp_dirs, cpp_coords),
+              "fisheye": (fisheye_dirs, fisheye_coords)}
 
 
 @functools.lru_cache(maxsize=None)
