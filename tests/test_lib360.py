@@ -83,6 +83,13 @@ def test_new_geometry_inverses():
             assert m.mean() > 0.6, name   # parabola covers ~2/3 of the frame
             err_y = np.abs(xy[..., 1] - yy)[m].max()
             assert err_y < 0.51, (name, err_y)
+        elif name == "fisheye":
+            # only the image circle r <= 1 is active
+            u = 2.0 * (xx + 0.5) / w - 1.0
+            v = 2.0 * (yy + 0.5) / h - 1.0
+            m = u * u + v * v < 0.98
+            err = np.abs(np.stack([xx, yy], -1) - xy)[m].max()
+            assert err < 0.51, (name, err)
         else:
             err = np.abs(np.stack([xx, yy], -1) - xy).max()
             assert err < 0.51, (name, err)
