@@ -56,6 +56,8 @@ def build_parser() -> OptionParser:
     p.add("MIP", False, "matrix-based intra prediction")
     p.add("LFNST", False, "low-frequency non-separable secondary transform")
     p.add("TMVP", False, "temporal + history-based MV prediction")
+    p.add("WPP", False, "entropy substreams with entry points (WPP/tiles)")
+    p.add("NumSubstreams", 4, "substream count for --WPP")
     p.add("WrapAround", False, "ERP horizontal wrap-around")
     p.add("Deblocking", True, "in-loop deblocking")
     p.add("SphereVideo", False, "enable 360 metrics")
@@ -104,7 +106,8 @@ def main(argv: list[str] | None = None) -> int:
                  mctf=opts["TemporalFilter"], lmcs=opts["LMCS"],
                  bdof=opts["BDOF"], dmvr=opts["DMVR"],
                  dep_quant=opts["DepQuant"], cclm=opts["CCLM"],
-                 mip=opts["MIP"], lfnst=opts["LFNST"], tmvp=opts["TMVP"],
+                 mip=opts["MIP"], lfnst=opts["LFNST"], tmvp=opts["TMVP"], wpp=opts["WPP"],
+                 num_substreams=opts["NumSubstreams"],
                  target_bitrate_kbps=(opts["TargetBitrate"] // 1000
                                       if opts["RateControl"] else 0),
                  frame_rate=float(opts["FrameRate"]))

@@ -98,6 +98,10 @@ class SPS:
     tmvp: bool = False            # temporal + history MVP in the AMVP list
                                   # (reference: sps_temporal_mvp_enabled_flag
                                   # + HMVP, UnitTools.cpp:2272/3178)
+    wpp: bool = False             # entropy substreams with entry points
+                                  # (reference: WPP/tiles, EncSlice.cpp:
+                                  # 2024-2113 substream termination)
+    num_substreams: int = 4       # substream count when wpp
     mm: MMConfig = field(default_factory=MMConfig)
 
     def write(self, bw: BitWriter) -> None:
@@ -126,6 +130,9 @@ class SPS:
         bw.write_flag(self.mip)
         bw.write_flag(self.lfnst)
         bw.write_flag(self.tmvp)
+        bw.write_flag(self.wpp)
+        if self.wpp:
+            bw.write_uvlc(self.num_substreams)
         mm = self.mm
         bw.write_flag(mm.any_enabled())
         if mm.any_enabled():
@@ -168,6 +175,9 @@ class SPS:
         sps.mip = br.read_flag()
         sps.lfnst = br.read_flag()
         sps.tmvp = br.read_flag()
+        sps.wpp = br.read_flag()
+        if sps.wpp:
+            sps.num_substreams = br.read_uvlc()
         if br.read_flag():
             mm = sps.mm
             mm.mpa, mm.t3d, mm.tan, mm.rot, mm.ged, mm.geda = (

@@ -22,7 +22,8 @@ from ..common.mm.reprojection import MVReprojection
 from ..common.slice_ps import PPS, SPS, SliceHeader
 from ..common.typedefs import MotionModelID, SliceType
 from ..lib360.projection import make_projection
-from .intra_parser import decode_intra_slice
+from .intra_parser import (decode_intra_slice,
+                           decode_intra_slice_wpp)
 from .inter_parser import (decode_b_slice, decode_p_slice, decode_p_slice_mm,
                            decode_p_slice_qt)
 
@@ -150,7 +151,9 @@ class DecLib:
         if sh.slice_type == SliceType.I:
             s = sps.intra_block_size
             nby, nbx = sps.height // s, sps.width // s
-            modes, lm, lf, ly, lu, lv = decode_intra_slice(
+            parse = (decode_intra_slice_wpp if sps.wpp
+                     else decode_intra_slice)
+            modes, lm, lf, ly, lu, lv = parse(
                 cabac_bytes, nby, nbx, s, stats=self.stats, cclm=sps.cclm,
                 mip=sps.mip, lfnst=sps.lfnst)
             coords, valid = wavefront.wavefront_coords(nby, nbx)

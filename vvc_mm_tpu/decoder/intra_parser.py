@@ -41,22 +41,60 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
                        lfnst: bool = False
                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                   np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (modes, cclm_flags, lev_y, lev_u, lev_v) dense grids.  With
-    `stats` (utils.trace.BitStats) the Python spec coder runs with
-    per-syntax accounting (DecoderAnalyserApp analog)."""
+    """Returns (modes, cclm_flags, lfnst_idx, lev_y, lev_u, lev_v) dense
+    grids.  With `stats` (utils.trace.BitStats) the Python spec coder runs
+    with per-syntax accounting (DecoderAnalyserApp analog)."""
     if stats is not None:
         from ..utils.trace import StatsBinDecoder
         dec = StatsBinDecoder(data, stats)
     else:
         dec = make_decoder(data)
+    grids = _alloc_grids(nby, nbx, s)
+    _decode_intra_rows(dec, grids, s, cclm, mip, lfnst, 0, nby)
+    return grids
+
+
+def decode_intra_slice_wpp(data: bytes, nby: int, nbx: int, s: int,
+                           stats=None, cclm: bool = False, mip: bool = False,
+                           lfnst: bool = False):
+    """Entry-point substream variant (mirrors
+    encoder/intra_coder.py encode_intra_slice_wpp: u16 count, u32 lengths,
+    independent per-row-group CABAC streams with fresh contexts)."""
+    n = int.from_bytes(data[:2], "big")
+    lens = [int.from_bytes(data[2 + 4 * i: 6 + 4 * i], "big")
+            for i in range(n)]
+    off = 2 + 4 * n
+    bounds = [round(i * nby / n) for i in range(n + 1)]
+    grids = _alloc_grids(nby, nbx, s)
+    for i in range(n):
+        sub = data[off:off + lens[i]]
+        off += lens[i]
+        if stats is not None:
+            from ..utils.trace import StatsBinDecoder
+            dec = StatsBinDecoder(sub, stats)
+        else:
+            dec = make_decoder(sub)
+        _decode_intra_rows(dec, grids, s, cclm, mip, lfnst,
+                           bounds[i], bounds[i + 1])
+    return grids
+
+
+def _alloc_grids(nby: int, nbx: int, s: int):
     sc = s // 2
-    modes = np.zeros((nby, nbx), dtype=np.int32)
-    lm = np.zeros((nby, nbx), dtype=np.int32)
-    lf = np.zeros((nby, nbx), dtype=np.int32)
-    lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
-    lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
-    lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
-    for by in range(nby):
+    return (np.zeros((nby, nbx), dtype=np.int32),
+            np.zeros((nby, nbx), dtype=np.int32),
+            np.zeros((nby, nbx), dtype=np.int32),
+            np.zeros((nby, nbx, s, s), dtype=np.int32),
+            np.zeros((nby, nbx, sc, sc), dtype=np.int32),
+            np.zeros((nby, nbx, sc, sc), dtype=np.int32))
+
+
+def _decode_intra_rows(dec, grids, s: int, cclm: bool, mip: bool,
+                       lfnst: bool, r0: int, r1: int) -> None:
+    modes, lm, lf, lev_y, lev_u, lev_v = grids
+    nby, nbx = modes.shape
+    sc = s // 2
+    for by in range(r0, r1):
         for bx in range(nbx):
             left = _nb(int(modes[by, bx - 1])) if bx > 0 else -1
             above = _nb(int(modes[by - 1, bx])) if by > 0 else -1
@@ -85,4 +123,3 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
                     _lbl(dec, "lfnst_idx")
                     if dec.decode_bin(ctx_id("LFNSTIdx", 0)):
                         lf[by, bx] = 1 + dec.decode_bin(ctx_id("LFNSTIdx", 1))
-    return modes, lm, lf, lev_y, lev_u, lev_v

@@ -25,7 +25,8 @@ from ..common.picture import psnr
 from ..common.slice_ps import MMConfig, PPS, SPS, SliceHeader
 from ..common.typedefs import MotionModelID, SliceType
 from ..lib360.projection import make_projection
-from .intra_coder import encode_intra_slice
+from .intra_coder import (encode_intra_slice,
+                          encode_intra_slice_wpp)
 from .inter_coder import (encode_b_slice, encode_p_slice, encode_p_slice_mm,
                           encode_p_slice_qt)
 
@@ -83,6 +84,8 @@ class EncCfg:
     lfnst: bool = False          # low-frequency non-separable secondary
                                  # transform (common/lfnst.py; --LFNST)
     tmvp: bool = False           # TMVP + HMVP AMVP candidates (--TMVP)
+    wpp: bool = False            # entropy substreams + entry points (--WPP)
+    num_substreams: int = 4
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -94,7 +97,8 @@ class EncCfg:
                    inter_qt_depth=self.qt_depth, affine=self.affine,
                    bdof=self.bdof, dmvr=self.dmvr,
                    dep_quant=self.dep_quant, cclm=self.cclm, mip=self.mip,
-                   lfnst=self.lfnst, tmvp=self.tmvp)
+                   lfnst=self.lfnst, tmvp=self.tmvp, wpp=self.wpp,
+                   num_substreams=self.num_substreams)
 
 
 @dataclass
@@ -207,10 +211,14 @@ class EncLib:
         lu = wavefront.steps_to_grid(lu, coords, valid)
         lv = wavefront.steps_to_grid(lv, coords, valid)
 
-        payload = encode_intra_slice(modes, ly, lu, lv,
-                                     cclm=lm if cfg.cclm else None,
-                                     mip=cfg.mip,
-                                     lfnst=lf if cfg.lfnst else None)
+        slice_args = dict(cclm=lm if cfg.cclm else None, mip=cfg.mip,
+                          lfnst=lf if cfg.lfnst else None)
+        if cfg.wpp:
+            payload = encode_intra_slice_wpp(
+                modes, ly, lu, lv, num_substreams=cfg.num_substreams,
+                **slice_args)
+        else:
+            payload = encode_intra_slice(modes, ly, lu, lv, **slice_args)
         if cfg.deblocking:
             bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)
             ry, ru, rv = deblock.deblock_frame(

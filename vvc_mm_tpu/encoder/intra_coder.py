@@ -47,8 +47,16 @@ def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
     CABACWriter intra_chroma_pred_mode LM branch).  mip: SPS MIP enable —
     writes intra_mip_flag + 3-bit mode (CABACWriter mip_flag)."""
     enc = make_encoder()
+    _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
+                       0, modes.shape[0])
+    return enc.finish()
+
+
+def _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
+                       r0: int, r1: int) -> None:
+    """Code block rows [r0, r1) into `enc` (one substream's worth)."""
     nby, nbx = modes.shape
-    for by in range(nby):
+    for by in range(r0, r1):
         for bx in range(nbx):
             left = _nb(int(modes[by, bx - 1])) if bx > 0 else -1
             above = _nb(int(modes[by - 1, bx])) if by > 0 else -1
@@ -76,4 +84,46 @@ def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
                     enc.encode_bin(int(idx > 0), ctx_id("LFNSTIdx", 0))
                     if idx > 0:
                         enc.encode_bin(int(idx > 1), ctx_id("LFNSTIdx", 1))
-    return enc.finish()
+
+
+def encode_intra_slice_wpp(modes: np.ndarray, lev_y: np.ndarray,
+                           lev_u: np.ndarray, lev_v: np.ndarray,
+                           cclm: np.ndarray | None = None,
+                           mip: bool = False,
+                           lfnst: np.ndarray | None = None,
+                           num_substreams: int = 4) -> bytes:
+    """Wavefront/tile-style entropy substreams with entry points.
+
+    The reference's WPP splits the slice into one CABAC substream per CTU
+    row, restarted (with context inheritance) at each row, and records
+    entry-point offsets in the slice header (reference: EncSlice.cpp:
+    2024-2113 per-substream termination; VLC entry_point_offset syntax).
+    Here: the block rows are split into `num_substreams` groups, each an
+    independently decodable arithmetic stream with fresh contexts (the
+    tile-style restart — trades a little context adaptation for full
+    decode parallelism), encoded concurrently on host threads (the C
+    coder runs outside the GIL via ctypes).
+
+    Payload: uvlc-free simple framing — u16 count, u32 lengths, streams.
+    """
+    import concurrent.futures as cf
+
+    nby = modes.shape[0]
+    n = max(1, min(num_substreams, nby))
+    bounds = [round(i * nby / n) for i in range(n + 1)]
+
+    def one(i: int) -> bytes:
+        enc = make_encoder()
+        _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip,
+                           lfnst, bounds[i], bounds[i + 1])
+        return enc.finish()
+
+    with cf.ThreadPoolExecutor(max_workers=min(n, 8)) as ex:
+        subs = list(ex.map(one, range(n)))
+    out = bytearray()
+    out += len(subs).to_bytes(2, "big")
+    for s in subs:
+        out += len(s).to_bytes(4, "big")
+    for s in subs:
+        out += s
+    return bytes(out)
