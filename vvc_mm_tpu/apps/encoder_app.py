@@ -57,6 +57,7 @@ def build_parser() -> OptionParser:
     p.add("LFNST", False, "low-frequency non-separable secondary transform")
     p.add("TMVP", False, "temporal + history-based MV prediction")
     p.add("WPP", False, "entropy substreams with entry points (WPP/tiles)")
+    p.add("WeightedPredP", False, "explicit weighted prediction (P)")
     p.add("NumSubstreams", 4, "substream count for --WPP")
     p.add("WrapAround", False, "ERP horizontal wrap-around")
     p.add("Deblocking", True, "in-loop deblocking")
@@ -107,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
                  bdof=opts["BDOF"], dmvr=opts["DMVR"],
                  dep_quant=opts["DepQuant"], cclm=opts["CCLM"],
                  mip=opts["MIP"], lfnst=opts["LFNST"], tmvp=opts["TMVP"], wpp=opts["WPP"],
+                 weighted_pred=opts["WeightedPredP"],
                  num_substreams=opts["NumSubstreams"],
                  target_bitrate_kbps=(opts["TargetBitrate"] // 1000
                                       if opts["RateControl"] else 0),

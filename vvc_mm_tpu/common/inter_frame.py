@@ -257,11 +257,18 @@ def reconstruct_b_frame(mv0, mv1, dirs, lev_y, lev_u, lev_v,
                 v=rec_plane(pred_v, lev_v, sc))
 
 
+def apply_wp(plane: jnp.ndarray, w, o, bit_depth: int) -> jnp.ndarray:
+    """Explicit weighted prediction, log2Wd = 6 (reference:
+    WeightPrediction.cpp — pred' = clip(((pred*w + 32) >> 6) + o))."""
+    return jnp.clip(((plane * w + 32) >> 6) + o, 0, (1 << bit_depth) - 1)
+
+
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
                                              "search_range", "wrap_around"))
 def encode_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
                    block_size: int = 16, bit_depth: int = 8,
-                   search_range: int = 24, wrap_around: bool = False):
+                   search_range: int = 24, wrap_around: bool = False,
+                   wp: jnp.ndarray | None = None):
     """Full-frame P encode: batched ME -> MC -> residual -> recon.
 
     Returns (mvs (nby,nbx,2) 1/16-pel, levels y/u/v, recon dict)."""
@@ -276,6 +283,10 @@ def encode_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
                                       bit_depth)
     pred_y, pred_u, pred_v = mc_predict(ref_y, ref_u, ref_v, mvs, s,
                                         bit_depth, wrap_around)
+    if wp is not None:
+        pred_y = apply_wp(pred_y, wp[0, 0], wp[0, 1], bit_depth)
+        pred_u = apply_wp(pred_u, wp[1, 0], wp[1, 1], bit_depth)
+        pred_v = apply_wp(pred_v, wp[2, 0], wp[2, 1], bit_depth)
     lev_y, rec_y = _residual_pass(orig_y, pred_y, s, qp, bit_depth)
     lev_u, rec_u = _residual_pass(orig_u, pred_u, s // 2, qp, bit_depth)
     lev_v, rec_v = _residual_pass(orig_v, pred_v, s // 2, qp, bit_depth)
@@ -287,7 +298,8 @@ def encode_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
                                              "wrap_around"))
 def reconstruct_p_frame(mvs, lev_y, lev_u, lev_v, ref_y, ref_u, ref_v,
                         qp: int, block_size: int = 16, bit_depth: int = 8,
-                        wrap_around: bool = False):
+                        wrap_around: bool = False,
+                        wp: jnp.ndarray | None = None):
     """Decoder-side P reconstruction — also the encoder's recon path when
     levels are already decided (shared math -> bit-exactness)."""
     s = block_size
@@ -296,6 +308,10 @@ def reconstruct_p_frame(mvs, lev_y, lev_u, lev_v, ref_y, ref_u, ref_v,
     nby, nbx = h // s, w // s
     pred_y, pred_u, pred_v = mc_predict(ref_y, ref_u, ref_v, mvs, s,
                                         bit_depth, wrap_around)
+    if wp is not None:
+        pred_y = apply_wp(pred_y, wp[0, 0], wp[0, 1], bit_depth)
+        pred_u = apply_wp(pred_u, wp[1, 0], wp[1, 1], bit_depth)
+        pred_v = apply_wp(pred_v, wp[2, 0], wp[2, 1], bit_depth)
 
     def rec_plane(pred, lev, size):
         log2s = size.bit_length() - 1

@@ -222,6 +222,9 @@ class SliceHeader:
     sao_params: tuple | None = None
     # ALF params: (coeffs (25,12) int32, enable (gy,gx) bool), luma
     alf_params: tuple | None = None
+    # explicit weighted prediction (reference: WeightPrediction.{cpp,h},
+    # pred_weight_table): per-plane (weight, offset), log2 denom 6
+    wp_params: tuple | None = None
 
     def write(self, bw: BitWriter, sps: SPS) -> None:
         bw.write_uvlc(self.poc)
@@ -233,6 +236,12 @@ class SliceHeader:
                 bw.write_uvlc(len(lst))
                 for rp in lst:
                     bw.write_svlc(self.poc - rp)
+        if self.slice_type != SliceType.I:
+            bw.write_flag(self.wp_params is not None)
+            if self.wp_params is not None:
+                for w, o in self.wp_params:
+                    bw.write_svlc(int(w) - 64)
+                    bw.write_svlc(int(o))
         if sps.mm.ged:
             bw.write_flag(self.epipole_delta is not None)
             if self.epipole_delta is not None:
@@ -281,6 +290,9 @@ class SliceHeader:
                               for _ in range(br.read_uvlc())]
             sh.ref_pocs_l1 = [sh.poc - br.read_svlc()
                               for _ in range(br.read_uvlc())]
+            if br.read_flag():
+                sh.wp_params = tuple((64 + br.read_svlc(), br.read_svlc())
+                                     for _ in range(3))
         if sps.mm.ged:
             if br.read_flag():
                 sh.epipole_delta = tuple(br.read_svlc() for _ in range(3))

@@ -264,7 +264,10 @@ class DecLib:
                     jnp.asarray(mvs), jnp.asarray(ly), jnp.asarray(lu),
                     jnp.asarray(lv), jnp.asarray(ref.planes[0]),
                     jnp.asarray(ref.planes[1]), jnp.asarray(ref.planes[2]),
-                    sh.qp, s, sps.bit_depth, sps.wrap_around)
+                    sh.qp, s, sps.bit_depth, sps.wrap_around,
+                    wp=(None if sh.wp_params is None
+                        else jnp.asarray(np.asarray(sh.wp_params,
+                                                    dtype=np.int32))))
             if sps.deblocking:
                 has_resid = (np.any(ly != 0, axis=(2, 3))
                              | np.any(lu != 0, axis=(2, 3))

@@ -86,6 +86,9 @@ class EncCfg:
     tmvp: bool = False           # TMVP + HMVP AMVP candidates (--TMVP)
     wpp: bool = False            # entropy substreams + entry points (--WPP)
     num_substreams: int = 4
+    weighted_pred: bool = False  # explicit weighted prediction P slices
+                                 # (reference: WeightPrediction.cpp,
+                                 # WeightPredAnalysis; --WeightedPredP)
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -256,6 +259,7 @@ class EncLib:
         t0 = time.time()
         s = cfg.inter_block_size
         epipole_delta = None
+        wp = None     # weighted prediction: plain-P path only
         if cfg.mm.any_enabled():
             active = cfg.mm.active_models()
             epipoles = None
@@ -330,11 +334,14 @@ class EncLib:
             payload = encode_p_slice_affine(np.asarray(mvs), np.asarray(aff),
                                             np.asarray(dmv), lyh, luh, lvh)
         else:
+            wp = (self._estimate_wp(planes, ref)
+                  if cfg.weighted_pred else None)
             mvs, ly, lu, lv, recon = inter_frame.encode_p_frame(
                 jnp.asarray(planes[0]), jnp.asarray(planes[1]),
                 jnp.asarray(planes[2]), jnp.asarray(ref[0]),
                 jnp.asarray(ref[1]), jnp.asarray(ref[2]), qp, s,
-                cfg.bit_depth, cfg.search_range, cfg.wrap_around)
+                cfg.bit_depth, cfg.search_range, cfg.wrap_around,
+                wp=None if wp is None else jnp.asarray(wp))
             lyh, luh, lvh = (np.asarray(l.astype(jnp.int16))
                              .astype(np.int32) for l in (ly, lu, lv))
             col = self._mv_fields.get(ref_poc) if cfg.tmvp else None
@@ -355,7 +362,10 @@ class EncLib:
         recon, alf_params = self._alf_stage(recon, planes[0], qp)
         sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=qp,
                          ref_pocs_l0=[ref_poc], epipole_delta=epipole_delta,
-                         sao_params=sao_params, alf_params=alf_params)
+                         sao_params=sao_params, alf_params=alf_params,
+                         wp_params=(None if not cfg.weighted_pred or
+                                    wp is None else
+                                    tuple((int(a), int(b)) for a, b in wp)))
         bw = BitWriter()
         sh.write(bw, self.sps)
         bw.write_bytes(payload)
@@ -371,6 +381,23 @@ class EncLib:
         self._finish_frame(res, planes)
         self.results.append(res)
         return nal, res
+
+    def _estimate_wp(self, planes, ref):
+        """DC/AC weight estimation (reference: WeightPredAnalysis): match
+        each plane's mean/std to the reference; identity -> None."""
+        out = []
+        for o, r in zip(planes, ref):
+            so, sr = float(np.std(o)), float(np.std(r))
+            w = int(np.clip(round(64.0 * so / sr), 1, 255)) if sr > 1e-3 \
+                else 64
+            off = int(np.clip(round(float(np.mean(o))
+                                    - w * float(np.mean(r)) / 64.0),
+                              -128, 127))
+            out.append((w, off))
+        # signal only on a clear luma-level change (fades); chroma stats on
+        # ordinary content are too noisy to pay the table for
+        wy, oy = out[0]
+        return out if (abs(wy - 64) > 2 or abs(oy) > 2) else None
 
     def _finish_p_frame(self, poc, planes, recon, payload, ref_poc, qp,
                         epipole_delta, t0):
