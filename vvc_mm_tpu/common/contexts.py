@@ -68,6 +68,7 @@ _CTX_SETS: list[tuple[str, int]] = [
     ("RefPic", 2),
     ("Mvd", 2),
     ("MvpIdx", 1),
+    ("SmvdFlag", 1),
     ("Amvr", 2),
     ("AffineFlag", 3),
     ("MmvdFlag", 1),

@@ -307,14 +307,24 @@ def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
             else:
                 d = dec.decode_bin(ctx_id("InterDir", 1))
             dirs[by, bx] = d
+            smvd = False
+            if d == 2:
+                _lbl(dec, "smvd_flag")
+                smvd = bool(dec.decode_bin(ctx_id("SmvdFlag")))
             if d != 1:
-                mvd = [decode_mvd_comp(dec), decode_mvd_comp(dec)]
-                mv0[by, bx] = pred0 + np.asarray(mvd)
+                mvd = np.asarray([decode_mvd_comp(dec),
+                                  decode_mvd_comp(dec)], dtype=np.int64)
+                mv0[by, bx] = pred0 + mvd
             else:
+                mvd = np.zeros(2, np.int64)
                 mv0[by, bx] = pred0
             if d != 0:
-                mvd = [decode_mvd_comp(dec), decode_mvd_comp(dec)]
-                mv1[by, bx] = pred1 + np.asarray(mvd)
+                if smvd:
+                    # sym_mvd: mvd1 = -mvd0 (reference: smvd_mode)
+                    mv1[by, bx] = pred1 - mvd
+                else:
+                    mvd1 = [decode_mvd_comp(dec), decode_mvd_comp(dec)]
+                    mv1[by, bx] = pred1 + np.asarray(mvd1)
             else:
                 mv1[by, bx] = pred1
             for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),

@@ -471,10 +471,15 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
             enc.encode_bin(int(d == 2), ctx_id("InterDir", 0))
             if d != 2:
                 enc.encode_bin(d, ctx_id("InterDir", 1))
+            # SMVD: mirrored bi-prediction sends one mvd (reference:
+            # sym_mvd_flag, CABACWriter smvd_mode; mvd1 = -mvd0)
+            smvd = (d == 2 and (mvd1 == -mvd0).all())
+            if d == 2:
+                enc.encode_bin(int(smvd), ctx_id("SmvdFlag"))
             if d != 1:
                 encode_mvd_comp(enc, int(mvd0[0]))
                 encode_mvd_comp(enc, int(mvd0[1]))
-            if d != 0:
+            if d != 0 and not smvd:
                 encode_mvd_comp(enc, int(mvd1[0]))
                 encode_mvd_comp(enc, int(mvd1[1]))
             for comp, lev in (("y", levels[0]), ("u", levels[1]),
