@@ -62,3 +62,30 @@ def test_all_intra_tools_together_bitexact():
     out = DecLib().decode_bytes(stream)
     for f, res in zip(out, enc.results):
         assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
+def test_mrl_roundtrip_bitexact():
+    """Multi-reference-line intra: encode -> decode bit-exact."""
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 2)
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=30,
+                 intra_block_size=8, mrl=True)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
+def test_everything_on_bitexact():
+    """All intra tools at once: MIP+CCLM+LFNST+MRL+DepQuant+WPP."""
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 2)
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=32,
+                 intra_block_size=8, lfnst=True, mip=True, cclm=True,
+                 dep_quant=True, mrl=True, wpp=True)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc

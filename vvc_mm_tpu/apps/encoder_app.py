@@ -55,6 +55,7 @@ def build_parser() -> OptionParser:
     p.add("CCLM", False, "cross-component linear-model chroma prediction")
     p.add("MIP", False, "matrix-based intra prediction")
     p.add("LFNST", False, "low-frequency non-separable secondary transform")
+    p.add("MRL", False, "multi-reference-line intra prediction")
     p.add("TMVP", False, "temporal + history-based MV prediction")
     p.add("WPP", False, "entropy substreams with entry points (WPP/tiles)")
     p.add("WeightedPredP", False, "explicit weighted prediction (P)")
@@ -107,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
                  mctf=opts["TemporalFilter"], lmcs=opts["LMCS"],
                  bdof=opts["BDOF"], dmvr=opts["DMVR"],
                  dep_quant=opts["DepQuant"], cclm=opts["CCLM"],
-                 mip=opts["MIP"], lfnst=opts["LFNST"], tmvp=opts["TMVP"], wpp=opts["WPP"],
+                 mip=opts["MIP"], lfnst=opts["LFNST"], mrl=opts["MRL"], tmvp=opts["TMVP"], wpp=opts["WPP"],
                  weighted_pred=opts["WeightedPredP"],
                  num_substreams=opts["NumSubstreams"],
                  target_bitrate_kbps=(opts["TargetBitrate"] // 1000

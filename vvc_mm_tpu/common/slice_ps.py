@@ -98,6 +98,8 @@ class SPS:
     tmvp: bool = False            # temporal + history MVP in the AMVP list
                                   # (reference: sps_temporal_mvp_enabled_flag
                                   # + HMVP, UnitTools.cpp:2272/3178)
+    mrl: bool = False             # multi-reference-line intra (reference:
+                                  # sps_mrl_enabled_flag, MRL refs)
     wpp: bool = False             # entropy substreams with entry points
                                   # (reference: WPP/tiles, EncSlice.cpp:
                                   # 2024-2113 substream termination)
@@ -130,6 +132,7 @@ class SPS:
         bw.write_flag(self.mip)
         bw.write_flag(self.lfnst)
         bw.write_flag(self.tmvp)
+        bw.write_flag(self.mrl)
         bw.write_flag(self.wpp)
         if self.wpp:
             bw.write_uvlc(self.num_substreams)
@@ -175,6 +178,7 @@ class SPS:
         sps.mip = br.read_flag()
         sps.lfnst = br.read_flag()
         sps.tmvp = br.read_flag()
+        sps.mrl = br.read_flag()
         sps.wpp = br.read_flag()
         if sps.wpp:
             sps.num_substreams = br.read_uvlc()

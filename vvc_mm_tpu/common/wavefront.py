@@ -276,12 +276,13 @@ def _tq_lfnst_decode(pred: jnp.ndarray, levels: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth",
                                              "dep_quant", "use_cclm",
-                                             "use_mip", "use_lfnst"))
+                                             "use_mip", "use_lfnst",
+                                             "use_mrl"))
 def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                        orig_v: jnp.ndarray, qp: int, block_size: int = 8,
                        bit_depth: int = 8, dep_quant: bool = False,
                        use_cclm: bool = False, use_mip: bool = False,
-                       use_lfnst: bool = False):
+                       use_lfnst: bool = False, use_mrl: bool = False):
     """Closed-loop wavefront intra encode of one frame.
 
     Returns dict with per-block modes (nby, nbx), levels for Y/U/V, and the
@@ -343,6 +344,21 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
         mode = jnp.argmin(cost, axis=1).astype(jnp.int32)
         pred = jnp.take_along_axis(pall, mode[:, None, None, None],
                                    axis=1)[:, 0]
+        if use_mrl:
+            # multi-reference line: re-evaluate the chosen angular mode on
+            # reference ring 1 (reference: MRL, IntraPrediction MRL refs +
+            # MultiRefLineIdx syntax); MIP stays on ring 0
+            cref1 = _gather_cref(ry, y0 - 1, x0 - 1, s)
+            nb0 = jnp.where(mode >= 67, 0, mode)
+            pred1 = intra.predict_mode(cref1, nb0, s, s)
+            best = jnp.take_along_axis(cost, mode[:, None], 1)[:, 0]
+            d1 = satd_fn(pred1[:, None], ob[:, None])[:, 0] \
+                .astype(jnp.float32)
+            cost1 = d1 + lam_satd * 1.0 + best * 0  # +1 bit for mrl flag
+            mrl = ((cost1 < best) & (mode < 67)).astype(jnp.int32)
+            pred = jnp.where(mrl[:, None, None] > 0, pred1, pred)
+        else:
+            mrl = jnp.zeros(y0.shape, jnp.int32)
         if use_lfnst:
             lev_y, rec, lfnst_idx = _tq_lfnst_encode(
                 pred, ob - pred, mode, qp, s, bit_depth, dep_quant)
@@ -394,7 +410,7 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
             else:
                 rv_new = _scatter_blocks(rv, y0c, x0c, recc)
         return ((ry, ru_new, rv_new, mode_map),
-                (mode, lm_flag, lfnst_idx, lev_y, lev_c[0], lev_c[1]))
+                (mode, lm_flag, lfnst_idx, mrl, lev_y, lev_c[0], lev_c[1]))
 
     (ry, ru, rv, _), outs = jax.lax.scan(
         step, (ry, ru, rv, mode_map), (coords, valid))
@@ -408,7 +424,7 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth",
                                              "height", "width", "dep_quant",
                                              "use_cclm", "use_mip",
-                                             "use_lfnst"))
+                                             "use_lfnst", "use_mrl"))
 def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                        lev_u: jnp.ndarray, lev_v: jnp.ndarray,
                        qp: int, height: int, width: int, block_size: int = 8,
@@ -416,7 +432,9 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                        use_cclm: bool = False,
                        cclm_steps: jnp.ndarray | None = None,
                        use_mip: bool = False, use_lfnst: bool = False,
-                       lfnst_steps: jnp.ndarray | None = None):
+                       lfnst_steps: jnp.ndarray | None = None,
+                       use_mrl: bool = False,
+                       mrl_steps: jnp.ndarray | None = None):
     """Wavefront intra decode: same scan as the encoder with parsed
     modes/levels; identical reconstruction math -> bit-exact recon."""
     s = block_size
@@ -437,10 +455,12 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
         cclm_steps = jnp.zeros(modes_steps.shape, jnp.int32)
     if lfnst_steps is None:
         lfnst_steps = jnp.zeros(modes_steps.shape, jnp.int32)
+    if mrl_steps is None:
+        mrl_steps = jnp.zeros(modes_steps.shape, jnp.int32)
 
     def step(state, xs):
         ry, ru, rv = state
-        cds, vld, mode, lmflag, lfidx, ly, lu, lv = xs
+        cds, vld, mode, lmflag, lfidx, mrl, ly, lu, lv = xs
         by, bx = cds[:, 0], cds[:, 1]
         y0 = jnp.where(vld, MARGIN + by * s, ry.shape[0] - s - 4)
         x0 = jnp.where(vld, MARGIN + bx * s, ry.shape[1] - s - 4)
@@ -450,6 +470,10 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
         cref = _gather_cref(ry, y0, x0, s)
         nb_mode = jnp.where(mode >= 67, 0, mode)
         pred = intra.predict_mode(cref, nb_mode, s, s)
+        if use_mrl:
+            cref1 = _gather_cref(ry, y0 - 1, x0 - 1, s)
+            pred1 = intra.predict_mode(cref1, nb_mode, s, s)
+            pred = jnp.where(mrl[:, None, None] > 0, pred1, pred)
         if use_mip:
             pmip = mip.predict_mip_mode(
                 cref, jnp.clip(mode - 67, 0, mip.N_MIP_MODES - 1), s,
@@ -483,7 +507,7 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
 
     (ry, ru, rv), _ = jax.lax.scan(
         step, (ry, ru, rv),
-        (coords, valid, modes_steps, cclm_steps, lfnst_steps,
+        (coords, valid, modes_steps, cclm_steps, lfnst_steps, mrl_steps,
          lev_y, lev_u, lev_v))
     return dict(
         y=jax.lax.dynamic_slice(ry, (MARGIN, MARGIN), (h, w)),

@@ -38,7 +38,7 @@ def _nb(m: int) -> int:
 
 def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
                        cclm: bool = False, mip: bool = False,
-                       lfnst: bool = False
+                       lfnst: bool = False, mrl: bool = False
                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                   np.ndarray, np.ndarray, np.ndarray]:
     """Returns (modes, cclm_flags, lfnst_idx, lev_y, lev_u, lev_v) dense
@@ -50,13 +50,13 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
     else:
         dec = make_decoder(data)
     grids = _alloc_grids(nby, nbx, s)
-    _decode_intra_rows(dec, grids, s, cclm, mip, lfnst, 0, nby)
+    _decode_intra_rows(dec, grids, s, cclm, mip, lfnst, 0, nby, mrl)
     return grids
 
 
 def decode_intra_slice_wpp(data: bytes, nby: int, nbx: int, s: int,
                            stats=None, cclm: bool = False, mip: bool = False,
-                           lfnst: bool = False):
+                           lfnst: bool = False, mrl: bool = False):
     """Entry-point substream variant (mirrors
     encoder/intra_coder.py encode_intra_slice_wpp: u16 count, u32 lengths,
     independent per-row-group CABAC streams with fresh contexts)."""
@@ -75,7 +75,7 @@ def decode_intra_slice_wpp(data: bytes, nby: int, nbx: int, s: int,
         else:
             dec = make_decoder(sub)
         _decode_intra_rows(dec, grids, s, cclm, mip, lfnst,
-                           bounds[i], bounds[i + 1])
+                           bounds[i], bounds[i + 1], mrl)
     return grids
 
 
@@ -84,14 +84,16 @@ def _alloc_grids(nby: int, nbx: int, s: int):
     return (np.zeros((nby, nbx), dtype=np.int32),
             np.zeros((nby, nbx), dtype=np.int32),
             np.zeros((nby, nbx), dtype=np.int32),
+            np.zeros((nby, nbx), dtype=np.int32),
             np.zeros((nby, nbx, s, s), dtype=np.int32),
             np.zeros((nby, nbx, sc, sc), dtype=np.int32),
             np.zeros((nby, nbx, sc, sc), dtype=np.int32))
 
 
 def _decode_intra_rows(dec, grids, s: int, cclm: bool, mip: bool,
-                       lfnst: bool, r0: int, r1: int) -> None:
-    modes, lm, lf, lev_y, lev_u, lev_v = grids
+                       lfnst: bool, r0: int, r1: int, mrl: bool = False
+                       ) -> None:
+    modes, lm, lf, mr, lev_y, lev_u, lev_v = grids
     nby, nbx = modes.shape
     sc = s // 2
     for by in range(r0, r1):
@@ -107,6 +109,9 @@ def _decode_intra_rows(dec, grids, s: int, cclm: bool, mip: bool,
                 modes[by, bx] = 67 + dec.decode_bins_ep(3)
             else:
                 modes[by, bx] = decode_intra_mode(dec, left, above)
+                if mrl:
+                    _lbl(dec, "mrl_idx")
+                    mr[by, bx] = dec.decode_bin(ctx_id("MultiRefLineIdx"))
             if cclm:
                 _lbl(dec, "cclm_flag")
                 lm[by, bx] = dec.decode_bin(ctx_id("IntraChromaPredMode"))

@@ -84,6 +84,7 @@ class EncCfg:
     lfnst: bool = False          # low-frequency non-separable secondary
                                  # transform (common/lfnst.py; --LFNST)
     tmvp: bool = False           # TMVP + HMVP AMVP candidates (--TMVP)
+    mrl: bool = False            # multi-reference-line intra (--MRL)
     wpp: bool = False            # entropy substreams + entry points (--WPP)
     num_substreams: int = 4
     weighted_pred: bool = False  # explicit weighted prediction P slices
@@ -100,7 +101,8 @@ class EncCfg:
                    inter_qt_depth=self.qt_depth, affine=self.affine,
                    bdof=self.bdof, dmvr=self.dmvr,
                    dep_quant=self.dep_quant, cclm=self.cclm, mip=self.mip,
-                   lfnst=self.lfnst, tmvp=self.tmvp, wpp=self.wpp,
+                   lfnst=self.lfnst, tmvp=self.tmvp, mrl=self.mrl,
+                   wpp=self.wpp,
                    num_substreams=self.num_substreams)
 
 
@@ -197,25 +199,28 @@ class EncLib:
             jnp.asarray(planes[0]), jnp.asarray(planes[1]),
             jnp.asarray(planes[2]), qp, s, cfg.bit_depth,
             dep_quant=cfg.dep_quant, use_cclm=cfg.cclm,
-            use_mip=cfg.mip, use_lfnst=cfg.lfnst)
+            use_mip=cfg.mip, use_lfnst=cfg.lfnst, use_mrl=cfg.mrl)
         # narrow dtypes before the device->host hop (levels fit int16,
         # modes uint8) — D2H bandwidth is the scarce resource
         modes_steps = np.asarray(outs[0].astype(jnp.uint8)).astype(np.int32)
         lm_steps = np.asarray(outs[1].astype(jnp.uint8)).astype(np.int32)
         lf_steps = np.asarray(outs[2].astype(jnp.uint8)).astype(np.int32)
+        mrl_steps = np.asarray(outs[3].astype(jnp.uint8)).astype(np.int32)
         ly, lu, lv = (np.asarray(o.astype(jnp.int16)).astype(np.int32)
-                      for o in outs[3:])
+                      for o in outs[4:])
         nby, nbx = cfg.height // s, cfg.width // s
         coords, valid = wavefront.wavefront_coords(nby, nbx)
         modes = wavefront.steps_to_grid(modes_steps, coords, valid)
         lm = wavefront.steps_to_grid(lm_steps, coords, valid)
         lf = wavefront.steps_to_grid(lf_steps, coords, valid)
+        mrl = wavefront.steps_to_grid(mrl_steps, coords, valid)
         ly = wavefront.steps_to_grid(ly, coords, valid)
         lu = wavefront.steps_to_grid(lu, coords, valid)
         lv = wavefront.steps_to_grid(lv, coords, valid)
 
         slice_args = dict(cclm=lm if cfg.cclm else None, mip=cfg.mip,
-                          lfnst=lf if cfg.lfnst else None)
+                          lfnst=lf if cfg.lfnst else None,
+                          mrl=mrl if cfg.mrl else None)
         if cfg.wpp:
             payload = encode_intra_slice_wpp(
                 modes, ly, lu, lv, num_substreams=cfg.num_substreams,

@@ -41,19 +41,20 @@ def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
                        lev_u: np.ndarray, lev_v: np.ndarray,
                        cclm: np.ndarray | None = None,
                        mip: bool = False,
-                       lfnst: np.ndarray | None = None) -> bytes:
+                       lfnst: np.ndarray | None = None,
+                       mrl: np.ndarray | None = None) -> bytes:
     """modes (nby, nbx); lev_* (nby, nbx, s, s).  Raster block order.
     cclm: optional (nby, nbx) chroma-LM flags (SPS-gated; reference:
     CABACWriter intra_chroma_pred_mode LM branch).  mip: SPS MIP enable —
     writes intra_mip_flag + 3-bit mode (CABACWriter mip_flag)."""
     enc = make_encoder()
     _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
-                       0, modes.shape[0])
+                       0, modes.shape[0], mrl)
     return enc.finish()
 
 
 def _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
-                       r0: int, r1: int) -> None:
+                       r0: int, r1: int, mrl=None) -> None:
     """Code block rows [r0, r1) into `enc` (one substream's worth)."""
     nby, nbx = modes.shape
     for by in range(r0, r1):
@@ -67,6 +68,9 @@ def _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
                 enc.encode_bins_ep(mode - 67, 3)
             else:
                 encode_intra_mode(enc, mode, left, above)
+                if mrl is not None:
+                    enc.encode_bin(int(mrl[by, bx] != 0),
+                                   ctx_id("MultiRefLineIdx"))
             if cclm is not None:
                 enc.encode_bin(int(cclm[by, bx] != 0),
                                ctx_id("IntraChromaPredMode"))
@@ -91,6 +95,7 @@ def encode_intra_slice_wpp(modes: np.ndarray, lev_y: np.ndarray,
                            cclm: np.ndarray | None = None,
                            mip: bool = False,
                            lfnst: np.ndarray | None = None,
+                           mrl: np.ndarray | None = None,
                            num_substreams: int = 4) -> bytes:
     """Wavefront/tile-style entropy substreams with entry points.
 
@@ -115,7 +120,7 @@ def encode_intra_slice_wpp(modes: np.ndarray, lev_y: np.ndarray,
     def one(i: int) -> bytes:
         enc = make_encoder()
         _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip,
-                           lfnst, bounds[i], bounds[i + 1])
+                           lfnst, bounds[i], bounds[i + 1], mrl)
         return enc.finish()
 
     with cf.ThreadPoolExecutor(max_workers=min(n, 8)) as ex:
