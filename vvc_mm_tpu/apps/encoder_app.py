@@ -59,6 +59,9 @@ def build_parser() -> OptionParser:
     p.add("TMVP", False, "temporal + history-based MV prediction")
     p.add("WPP", False, "entropy substreams with entry points (WPP/tiles)")
     p.add("WeightedPredP", False, "explicit weighted prediction (P)")
+    p.add("TransformSkip", False, "per-block transform skip")
+    p.add("BDPCM", False, "block DPCM on transform-skip blocks")
+    p.add("Lossless", False, "lossless intra coding (all-TS, qStep 1)")
     p.add("NumSubstreams", 4, "substream count for --WPP")
     p.add("WrapAround", False, "ERP horizontal wrap-around")
     p.add("Deblocking", True, "in-loop deblocking")
@@ -110,6 +113,8 @@ def main(argv: list[str] | None = None) -> int:
                  dep_quant=opts["DepQuant"], cclm=opts["CCLM"],
                  mip=opts["MIP"], lfnst=opts["LFNST"], mrl=opts["MRL"], tmvp=opts["TMVP"], wpp=opts["WPP"],
                  weighted_pred=opts["WeightedPredP"],
+                 transform_skip=opts["TransformSkip"],
+                 bdpcm=opts["BDPCM"], lossless=opts["Lossless"],
                  num_substreams=opts["NumSubstreams"],
                  target_bitrate_kbps=(opts["TargetBitrate"] // 1000
                                       if opts["RateControl"] else 0),

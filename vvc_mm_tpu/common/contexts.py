@@ -78,6 +78,7 @@ _CTX_SETS: list[tuple[str, int]] = [
     ("LFNSTIdx", 3),
     ("MTSIdx", 4),
     ("TransformSkipFlag", 2),
+    ("BDPCMFlag", 2),          # intra_bdpcm_luma_flag + dir
     # --- multi-model motion extension (reference Contexts.h:226) ---
     ("MotionModel", 11),
     ("EpipoleDelta", 2),

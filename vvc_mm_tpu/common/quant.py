@@ -68,6 +68,40 @@ def dequantize(level: jnp.ndarray, qp: int, log2w: int, log2h: int,
     return c.astype(jnp.int32)
 
 
+def ts_qp(qp: int) -> int:
+    """Transform-skip QP clamp (reference: Quant.cpp QpParam with
+    sps_min_qp_prime_ts — qStep >= 1 so TS can be lossless at QP 4)."""
+    return max(qp, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "intra"))
+def quantize_ts(resid: jnp.ndarray, qp: int, intra: bool = True
+                ) -> jnp.ndarray:
+    """Pixel-domain quantization for transform-skip blocks.
+
+    No transform shift: levels approximate resid / qStep(QP) directly
+    (reference: Quant.cpp:928 with useTransformSkip -> transformShift 0).
+    At the clamped minimum QP 4 (qStep == 1) this is exact, which is the
+    lossless coding path (VVC's transquant-bypass successor)."""
+    qp = ts_qp(qp)
+    q_bits = rom.QUANT_SHIFT + qp // 6
+    q_scale = int(rom.QUANT_SCALES[qp % 6])
+    sign = jnp.sign(resid)
+    offset = (171 if intra else 85) << (q_bits - 9)
+    level = (jnp.abs(resid) * q_scale + offset) >> q_bits
+    level = jnp.clip(level, 0, (1 << 15) - 1)
+    return (sign * level).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("qp",))
+def dequantize_ts(level: jnp.ndarray, qp: int) -> jnp.ndarray:
+    """Pixel-domain dequantization for transform-skip blocks: resid =
+    level * qStep(QP), exact inverse of quantize_ts at QP 4."""
+    qp = ts_qp(qp)
+    i_scale = int(rom.INV_QUANT_SCALES[qp % 6]) << (qp // 6)
+    return _clip16(_rshift_round(level * i_scale, 6)).astype(jnp.int32)
+
+
 def qstep(qp: int) -> float:
     """Pixel-domain quantizer step size 2^((qp-4)/6)."""
     return 2.0 ** ((qp - 4) / 6.0)

@@ -104,6 +104,13 @@ class SPS:
                                   # (reference: WPP/tiles, EncSlice.cpp:
                                   # 2024-2113 substream termination)
     num_substreams: int = 4       # substream count when wpp
+    ts: bool = False              # transform skip (reference:
+                                  # sps_transform_skip_enabled_flag,
+                                  # TrQuant.cpp transformSkip path)
+    bdpcm: bool = False           # block DPCM on TS blocks (reference:
+                                  # sps_bdpcm_enabled_flag)
+    lossless: bool = False        # all-TS qStep-1 lossless coding (the
+                                  # reference lossless cfg path, cfg/lossless)
     mm: MMConfig = field(default_factory=MMConfig)
 
     def write(self, bw: BitWriter) -> None:
@@ -136,6 +143,9 @@ class SPS:
         bw.write_flag(self.wpp)
         if self.wpp:
             bw.write_uvlc(self.num_substreams)
+        bw.write_flag(self.ts)
+        bw.write_flag(self.bdpcm)
+        bw.write_flag(self.lossless)
         mm = self.mm
         bw.write_flag(mm.any_enabled())
         if mm.any_enabled():
@@ -182,6 +192,9 @@ class SPS:
         sps.wpp = br.read_flag()
         if sps.wpp:
             sps.num_substreams = br.read_uvlc()
+        sps.ts = br.read_flag()
+        sps.bdpcm = br.read_flag()
+        sps.lossless = br.read_flag()
         if br.read_flag():
             mm = sps.mm
             mm.mpa, mm.t3d, mm.tan, mm.rot, mm.ged, mm.geda = (

@@ -274,15 +274,34 @@ def _tq_lfnst_decode(pred: jnp.ndarray, levels: jnp.ndarray,
     return jnp.clip(pred + r, 0, (1 << bit_depth) - 1)
 
 
+def _bdpcm_diff(q: jnp.ndarray, horizontal: bool) -> jnp.ndarray:
+    """Quantized-residual DPCM: coded value = q - left/above q (reference:
+    BDPCM, CABACReader residual_codingTS + Quant BDPCM path)."""
+    ax = 2 if horizontal else 1
+    prev = jnp.roll(q, 1, axis=ax)
+    if horizontal:
+        prev = prev.at[:, :, 0].set(0)
+    else:
+        prev = prev.at[:, 0, :].set(0)
+    return q - prev
+
+
+def _bdpcm_cumsum(d: jnp.ndarray, horizontal: bool) -> jnp.ndarray:
+    return jnp.cumsum(d, axis=2 if horizontal else 1, dtype=jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth",
                                              "dep_quant", "use_cclm",
                                              "use_mip", "use_lfnst",
-                                             "use_mrl"))
+                                             "use_mrl", "use_ts",
+                                             "use_bdpcm", "lossless"))
 def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                        orig_v: jnp.ndarray, qp: int, block_size: int = 8,
                        bit_depth: int = 8, dep_quant: bool = False,
                        use_cclm: bool = False, use_mip: bool = False,
-                       use_lfnst: bool = False, use_mrl: bool = False):
+                       use_lfnst: bool = False, use_mrl: bool = False,
+                       use_ts: bool = False, use_bdpcm: bool = False,
+                       lossless: bool = False):
     """Closed-loop wavefront intra encode of one frame.
 
     Returns dict with per-block modes (nby, nbx), levels for Y/U/V, and the
@@ -359,13 +378,63 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
             pred = jnp.where(mrl[:, None, None] > 0, pred1, pred)
         else:
             mrl = jnp.zeros(y0.shape, jnp.int32)
-        if use_lfnst:
-            lev_y, rec, lfnst_idx = _tq_lfnst_encode(
-                pred, ob - pred, mode, qp, s, bit_depth, dep_quant)
-        else:
-            lev_y, rec = _tq_reconstruct(pred, ob - pred, None, qp, s,
-                                         bit_depth, True, dep=dep_quant)
+        maxv = (1 << bit_depth) - 1
+        if lossless:
+            # all-transform-skip at qStep 1: exact residual pass-through
+            # (reference: the lossless coding path — TS + min QP prime TS)
+            lev_y = quant.quantize_ts(ob - pred, qp, intra=True)
+            rec = jnp.clip(pred + quant.dequantize_ts(lev_y, qp), 0, maxv)
             lfnst_idx = jnp.zeros(y0.shape, jnp.int32)
+            tsm = jnp.ones(y0.shape, jnp.int32)
+        else:
+            if use_lfnst:
+                lev_y, rec, lfnst_idx = _tq_lfnst_encode(
+                    pred, ob - pred, mode, qp, s, bit_depth, dep_quant)
+            else:
+                lev_y, rec = _tq_reconstruct(pred, ob - pred, None, qp, s,
+                                             bit_depth, True, dep=dep_quant)
+                lfnst_idx = jnp.zeros(y0.shape, jnp.int32)
+            tsm = jnp.zeros(y0.shape, jnp.int32)
+            if use_ts:
+                # per-block RD over {regular, transform-skip, BDPCM-H/V}
+                # (reference: transform_skip_flag + intra_bdpcm_luma_flag,
+                # TrQuant.cpp transformSkip path)
+                lam = quant.lambda_from_qp(qp, intra=True)
+                ssd0 = ((rec - ob) ** 2).sum((1, 2)).astype(jnp.float32)
+                cands = [(lev_y, rec, lfnst_idx, mode,
+                          ssd0 + lam * (_rate_est(lev_y) + 1.0))]
+                zero = jnp.zeros(y0.shape, jnp.int32)
+                lev1 = quant.quantize_ts(ob - pred, qp, intra=True)
+                rec1 = jnp.clip(pred + quant.dequantize_ts(lev1, qp),
+                                0, maxv)
+                ssd1 = ((rec1 - ob) ** 2).sum((1, 2)).astype(jnp.float32)
+                cands.append((lev1, rec1, zero, mode,
+                              ssd1 + lam * (_rate_est(lev1) + 2.0)))
+                if use_bdpcm:
+                    for hor, bmode in ((True, 18), (False, 50)):
+                        predb = pall[:, bmode]
+                        qb = quant.quantize_ts(ob - predb, qp, intra=True)
+                        recb = jnp.clip(
+                            predb + quant.dequantize_ts(qb, qp), 0, maxv)
+                        db = _bdpcm_diff(qb, hor)
+                        ssdb = ((recb - ob) ** 2).sum((1, 2)) \
+                            .astype(jnp.float32)
+                        # BDPCM block's signaled mode becomes HOR/VER
+                        cands.append((db, recb, zero,
+                                      jnp.full_like(mode, bmode),
+                                      ssdb + lam * (_rate_est(db) + 3.0)))
+                cost = jnp.stack([c[4] for c in cands], 1)
+                pick = jnp.argmin(cost, 1).astype(jnp.int32)
+                tsm = pick
+
+                def sel(i):
+                    st = jnp.stack([c[i] for c in cands], 1)
+                    idx = pick.reshape((-1,) + (1,) * (st.ndim - 1))
+                    return jnp.take_along_axis(st, idx, 1)[:, 0]
+                lev_y, rec, lfnst_idx, mode = (sel(0), sel(1), sel(2),
+                                               sel(3))
+                if use_mrl:
+                    mrl = jnp.where(tsm > 0, 0, mrl)
         ry = _scatter_blocks(ry, y0, x0, rec)
         # invalid lanes target the never-read pad cell (0,0) so scatter
         # duplicates stay deterministic
@@ -401,16 +470,22 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
         ru_new, rv_new = ru, rv
         for i, ((predc, predlm), obc) in enumerate(zip(preds, obcs)):
             predsel = jnp.where(lm_flag[:, None, None] > 0, predlm, predc)
-            lc, recc = _tq_reconstruct(predsel, obc - predsel, None, qp, sc,
-                                       bit_depth, True, luma=False,
-                                       dep=dep_quant)
+            if lossless:
+                lc = quant.quantize_ts(obc - predsel, qp, intra=True)
+                recc = jnp.clip(predsel + quant.dequantize_ts(lc, qp),
+                                0, maxv)
+            else:
+                lc, recc = _tq_reconstruct(predsel, obc - predsel, None, qp,
+                                           sc, bit_depth, True, luma=False,
+                                           dep=dep_quant)
             lev_c.append(lc)
             if i == 0:
                 ru_new = _scatter_blocks(ru, y0c, x0c, recc)
             else:
                 rv_new = _scatter_blocks(rv, y0c, x0c, recc)
         return ((ry, ru_new, rv_new, mode_map),
-                (mode, lm_flag, lfnst_idx, mrl, lev_y, lev_c[0], lev_c[1]))
+                (mode, lm_flag, lfnst_idx, mrl, tsm, lev_y, lev_c[0],
+                 lev_c[1]))
 
     (ry, ru, rv, _), outs = jax.lax.scan(
         step, (ry, ru, rv, mode_map), (coords, valid))
@@ -424,7 +499,8 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("block_size", "qp", "bit_depth",
                                              "height", "width", "dep_quant",
                                              "use_cclm", "use_mip",
-                                             "use_lfnst", "use_mrl"))
+                                             "use_lfnst", "use_mrl",
+                                             "use_ts", "lossless"))
 def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                        lev_u: jnp.ndarray, lev_v: jnp.ndarray,
                        qp: int, height: int, width: int, block_size: int = 8,
@@ -434,7 +510,10 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                        use_mip: bool = False, use_lfnst: bool = False,
                        lfnst_steps: jnp.ndarray | None = None,
                        use_mrl: bool = False,
-                       mrl_steps: jnp.ndarray | None = None):
+                       mrl_steps: jnp.ndarray | None = None,
+                       use_ts: bool = False,
+                       ts_steps: jnp.ndarray | None = None,
+                       lossless: bool = False):
     """Wavefront intra decode: same scan as the encoder with parsed
     modes/levels; identical reconstruction math -> bit-exact recon."""
     s = block_size
@@ -457,10 +536,12 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
         lfnst_steps = jnp.zeros(modes_steps.shape, jnp.int32)
     if mrl_steps is None:
         mrl_steps = jnp.zeros(modes_steps.shape, jnp.int32)
+    if ts_steps is None:
+        ts_steps = jnp.zeros(modes_steps.shape, jnp.int32)
 
     def step(state, xs):
         ry, ru, rv = state
-        cds, vld, mode, lmflag, lfidx, mrl, ly, lu, lv = xs
+        cds, vld, mode, lmflag, lfidx, mrl, tsm, ly, lu, lv = xs
         by, bx = cds[:, 0], cds[:, 1]
         y0 = jnp.where(vld, MARGIN + by * s, ry.shape[0] - s - 4)
         x0 = jnp.where(vld, MARGIN + bx * s, ry.shape[1] - s - 4)
@@ -479,12 +560,28 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                 cref, jnp.clip(mode - 67, 0, mip.N_MIP_MODES - 1), s,
                 bit_depth)
             pred = jnp.where((mode >= 67)[:, None, None], pmip, pred)
-        if use_lfnst:
-            rec = _tq_lfnst_decode(pred, ly, mode, lfidx, qp, s, bit_depth,
-                                   dep_quant)
+        maxv = (1 << bit_depth) - 1
+        if lossless:
+            rec = jnp.clip(pred + quant.dequantize_ts(ly, qp), 0, maxv)
         else:
-            _, rec = _tq_reconstruct(pred, None, ly, qp, s, bit_depth, True,
-                                     dep=dep_quant)
+            if use_lfnst:
+                rec = _tq_lfnst_decode(pred, ly, mode, lfidx, qp, s,
+                                       bit_depth, dep_quant)
+            else:
+                _, rec = _tq_reconstruct(pred, None, ly, qp, s, bit_depth,
+                                         True, dep=dep_quant)
+            if use_ts:
+                # tsm 1: plain transform skip; 2/3: BDPCM H/V (levels hold
+                # the DPCM diffs -> cumsum, then pixel-domain dequant)
+                rec1 = jnp.clip(pred + quant.dequantize_ts(ly, qp), 0, maxv)
+                qh = _bdpcm_cumsum(ly, True)
+                qv = _bdpcm_cumsum(ly, False)
+                rec2 = jnp.clip(pred + quant.dequantize_ts(qh, qp), 0, maxv)
+                rec3 = jnp.clip(pred + quant.dequantize_ts(qv, qp), 0, maxv)
+                sel = tsm[:, None, None]
+                rec = jnp.where(sel == 1, rec1,
+                                jnp.where(sel == 2, rec2,
+                                          jnp.where(sel == 3, rec3, rec)))
         ry = _scatter_blocks(ry, y0, x0, rec)
 
         if use_cclm:
@@ -497,8 +594,13 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                 predlm = _cclm_pred(buf, y0c, x0c, sc, dsl, border_l,
                                     bit_depth)
                 predc = jnp.where(lmflag[:, None, None] > 0, predlm, predc)
-            _, recc = _tq_reconstruct(predc, None, lev, qp, sc, bit_depth,
-                                      True, luma=False, dep=dep_quant)
+            if lossless:
+                recc = jnp.clip(predc + quant.dequantize_ts(lev, qp),
+                                0, maxv)
+            else:
+                _, recc = _tq_reconstruct(predc, None, lev, qp, sc,
+                                          bit_depth, True, luma=False,
+                                          dep=dep_quant)
             if which == "u":
                 ru = _scatter_blocks(ru, y0c, x0c, recc)
             else:
@@ -508,7 +610,7 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
     (ry, ru, rv), _ = jax.lax.scan(
         step, (ry, ru, rv),
         (coords, valid, modes_steps, cclm_steps, lfnst_steps, mrl_steps,
-         lev_y, lev_u, lev_v))
+         ts_steps, lev_y, lev_u, lev_v))
     return dict(
         y=jax.lax.dynamic_slice(ry, (MARGIN, MARGIN), (h, w)),
         u=jax.lax.dynamic_slice(ru, (MARGIN, MARGIN), (h // 2, w // 2)),

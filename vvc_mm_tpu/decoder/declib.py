@@ -153,14 +153,18 @@ class DecLib:
             nby, nbx = sps.height // s, sps.width // s
             parse = (decode_intra_slice_wpp if sps.wpp
                      else decode_intra_slice)
-            modes, lm, lf, mr, ly, lu, lv = parse(
+            modes, lm, lf, mr, tsg, ly, lu, lv = parse(
                 cabac_bytes, nby, nbx, s, stats=self.stats, cclm=sps.cclm,
-                mip=sps.mip, lfnst=sps.lfnst, mrl=sps.mrl)
+                mip=sps.mip, lfnst=sps.lfnst, mrl=sps.mrl,
+                ts=sps.ts and not sps.lossless, bdpcm=sps.bdpcm)
+            if sps.lossless:
+                tsg = np.ones_like(tsg)
             coords, valid = wavefront.wavefront_coords(nby, nbx)
             modes_steps = wavefront.grid_to_steps(modes, coords, valid)
             lm_steps = wavefront.grid_to_steps(lm, coords, valid)
             lf_steps = wavefront.grid_to_steps(lf, coords, valid)
             mr_steps = wavefront.grid_to_steps(mr, coords, valid)
+            ts_steps = wavefront.grid_to_steps(tsg, coords, valid)
             ly_s = wavefront.grid_to_steps(ly, coords, valid)
             lu_s = wavefront.grid_to_steps(lu, coords, valid)
             lv_s = wavefront.grid_to_steps(lv, coords, valid)
@@ -171,7 +175,9 @@ class DecLib:
                 dep_quant=sps.dep_quant, use_cclm=sps.cclm,
                 cclm_steps=jnp.asarray(lm_steps), use_mip=sps.mip,
                 use_lfnst=sps.lfnst, lfnst_steps=jnp.asarray(lf_steps),
-                use_mrl=sps.mrl, mrl_steps=jnp.asarray(mr_steps))
+                use_mrl=sps.mrl, mrl_steps=jnp.asarray(mr_steps),
+                use_ts=sps.ts, ts_steps=jnp.asarray(ts_steps),
+                lossless=sps.lossless)
             if sps.deblocking:
                 # reference: DecLib.cpp:669 executeLoopFilters
                 bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)

@@ -38,9 +38,8 @@ def _nb(m: int) -> int:
 
 def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
                        cclm: bool = False, mip: bool = False,
-                       lfnst: bool = False, mrl: bool = False
-                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
-                                  np.ndarray, np.ndarray, np.ndarray]:
+                       lfnst: bool = False, mrl: bool = False,
+                       ts: bool = False, bdpcm: bool = False):
     """Returns (modes, cclm_flags, lfnst_idx, lev_y, lev_u, lev_v) dense
     grids.  With `stats` (utils.trace.BitStats) the Python spec coder runs
     with per-syntax accounting (DecoderAnalyserApp analog)."""
@@ -50,13 +49,15 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
     else:
         dec = make_decoder(data)
     grids = _alloc_grids(nby, nbx, s)
-    _decode_intra_rows(dec, grids, s, cclm, mip, lfnst, 0, nby, mrl)
+    _decode_intra_rows(dec, grids, s, cclm, mip, lfnst, 0, nby, mrl, ts,
+                       bdpcm)
     return grids
 
 
 def decode_intra_slice_wpp(data: bytes, nby: int, nbx: int, s: int,
                            stats=None, cclm: bool = False, mip: bool = False,
-                           lfnst: bool = False, mrl: bool = False):
+                           lfnst: bool = False, mrl: bool = False,
+                           ts: bool = False, bdpcm: bool = False):
     """Entry-point substream variant (mirrors
     encoder/intra_coder.py encode_intra_slice_wpp: u16 count, u32 lengths,
     independent per-row-group CABAC streams with fresh contexts)."""
@@ -75,7 +76,7 @@ def decode_intra_slice_wpp(data: bytes, nby: int, nbx: int, s: int,
         else:
             dec = make_decoder(sub)
         _decode_intra_rows(dec, grids, s, cclm, mip, lfnst,
-                           bounds[i], bounds[i + 1], mrl)
+                           bounds[i], bounds[i + 1], mrl, ts, bdpcm)
     return grids
 
 
@@ -85,15 +86,16 @@ def _alloc_grids(nby: int, nbx: int, s: int):
             np.zeros((nby, nbx), dtype=np.int32),
             np.zeros((nby, nbx), dtype=np.int32),
             np.zeros((nby, nbx), dtype=np.int32),
+            np.zeros((nby, nbx), dtype=np.int32),
             np.zeros((nby, nbx, s, s), dtype=np.int32),
             np.zeros((nby, nbx, sc, sc), dtype=np.int32),
             np.zeros((nby, nbx, sc, sc), dtype=np.int32))
 
 
 def _decode_intra_rows(dec, grids, s: int, cclm: bool, mip: bool,
-                       lfnst: bool, r0: int, r1: int, mrl: bool = False
-                       ) -> None:
-    modes, lm, lf, mr, lev_y, lev_u, lev_v = grids
+                       lfnst: bool, r0: int, r1: int, mrl: bool = False,
+                       ts: bool = False, bdpcm: bool = False) -> None:
+    modes, lm, lf, mr, tsg, lev_y, lev_u, lev_v = grids
     nby, nbx = modes.shape
     sc = s // 2
     for by in range(r0, r1):
@@ -115,6 +117,13 @@ def _decode_intra_rows(dec, grids, s: int, cclm: bool, mip: bool,
             if cclm:
                 _lbl(dec, "cclm_flag")
                 lm[by, bx] = dec.decode_bin(ctx_id("IntraChromaPredMode"))
+            if ts:
+                _lbl(dec, "transform_skip_flag")
+                if dec.decode_bin(ctx_id("TransformSkipFlag", 0)):
+                    tsg[by, bx] = 1
+                    if bdpcm and dec.decode_bin(ctx_id("BDPCMFlag", 0)):
+                        tsg[by, bx] = \
+                            2 + dec.decode_bin(ctx_id("BDPCMFlag", 1))
             for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
                                     ("v", lev_v, sc)):
                 cbf_ctx = ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])
@@ -124,7 +133,7 @@ def _decode_intra_rows(dec, grids, s: int, cclm: bool, mip: bool,
                     _lbl(dec, "residual_" + comp)
                     lev[by, bx] = coeffs_decode(dec, size, size,
                                                 chroma=(comp != "y"))
-                if comp == "y" and lfnst and cbf:
+                if comp == "y" and lfnst and cbf and tsg[by, bx] == 0:
                     _lbl(dec, "lfnst_idx")
                     if dec.decode_bin(ctx_id("LFNSTIdx", 0)):
                         lf[by, bx] = 1 + dec.decode_bin(ctx_id("LFNSTIdx", 1))

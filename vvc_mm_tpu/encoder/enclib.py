@@ -90,6 +90,12 @@ class EncCfg:
     weighted_pred: bool = False  # explicit weighted prediction P slices
                                  # (reference: WeightPrediction.cpp,
                                  # WeightPredAnalysis; --WeightedPredP)
+    transform_skip: bool = False  # per-block transform skip RD choice
+                                  # (reference: transform_skip_flag;
+                                  # --TransformSkip)
+    bdpcm: bool = False          # BDPCM on TS blocks (--BDPCM)
+    lossless: bool = False       # all-TS qStep-1 lossless intra coding
+                                 # (--Lossless; forces QP 4, filters off)
 
     def make_sps(self) -> SPS:
         return SPS(width=self.width, height=self.height,
@@ -103,7 +109,9 @@ class EncCfg:
                    dep_quant=self.dep_quant, cclm=self.cclm, mip=self.mip,
                    lfnst=self.lfnst, tmvp=self.tmvp, mrl=self.mrl,
                    wpp=self.wpp,
-                   num_substreams=self.num_substreams)
+                   num_substreams=self.num_substreams,
+                   ts=self.transform_skip or self.lossless,
+                   bdpcm=self.bdpcm, lossless=self.lossless)
 
 
 @dataclass
@@ -129,6 +137,14 @@ class EncLib:
     """reference: EncLib (EncLib.cpp:147 init / :734 encode)."""
 
     def __init__(self, cfg: EncCfg) -> None:
+        if cfg.lossless:
+            # lossless operating point: qStep 1 (QP 4 after the TS clamp),
+            # in-loop filters off so recon == source exactly (reference:
+            # the lossless cfg disables deblock/SAO/ALF/LMCS/DQ)
+            cfg.qp = 4
+            cfg.deblocking = cfg.sao = cfg.alf = cfg.lmcs = False
+            cfg.dep_quant = False
+            cfg.lfnst = False
         self.cfg = cfg
         self.sps = cfg.make_sps()
         self.pps = PPS(base_qp=cfg.qp)
@@ -199,28 +215,35 @@ class EncLib:
             jnp.asarray(planes[0]), jnp.asarray(planes[1]),
             jnp.asarray(planes[2]), qp, s, cfg.bit_depth,
             dep_quant=cfg.dep_quant, use_cclm=cfg.cclm,
-            use_mip=cfg.mip, use_lfnst=cfg.lfnst, use_mrl=cfg.mrl)
+            use_mip=cfg.mip, use_lfnst=cfg.lfnst, use_mrl=cfg.mrl,
+            use_ts=cfg.transform_skip and not cfg.lossless,
+            use_bdpcm=cfg.bdpcm, lossless=cfg.lossless)
         # narrow dtypes before the device->host hop (levels fit int16,
         # modes uint8) — D2H bandwidth is the scarce resource
         modes_steps = np.asarray(outs[0].astype(jnp.uint8)).astype(np.int32)
         lm_steps = np.asarray(outs[1].astype(jnp.uint8)).astype(np.int32)
         lf_steps = np.asarray(outs[2].astype(jnp.uint8)).astype(np.int32)
         mrl_steps = np.asarray(outs[3].astype(jnp.uint8)).astype(np.int32)
+        ts_steps = np.asarray(outs[4].astype(jnp.uint8)).astype(np.int32)
         ly, lu, lv = (np.asarray(o.astype(jnp.int16)).astype(np.int32)
-                      for o in outs[4:])
+                      for o in outs[5:])
         nby, nbx = cfg.height // s, cfg.width // s
         coords, valid = wavefront.wavefront_coords(nby, nbx)
         modes = wavefront.steps_to_grid(modes_steps, coords, valid)
         lm = wavefront.steps_to_grid(lm_steps, coords, valid)
         lf = wavefront.steps_to_grid(lf_steps, coords, valid)
         mrl = wavefront.steps_to_grid(mrl_steps, coords, valid)
+        tsg = wavefront.steps_to_grid(ts_steps, coords, valid)
         ly = wavefront.steps_to_grid(ly, coords, valid)
         lu = wavefront.steps_to_grid(lu, coords, valid)
         lv = wavefront.steps_to_grid(lv, coords, valid)
 
+        use_ts_syntax = cfg.transform_skip and not cfg.lossless
         slice_args = dict(cclm=lm if cfg.cclm else None, mip=cfg.mip,
                           lfnst=lf if cfg.lfnst else None,
-                          mrl=mrl if cfg.mrl else None)
+                          mrl=mrl if cfg.mrl else None,
+                          ts=tsg if use_ts_syntax else None,
+                          bdpcm=cfg.bdpcm)
         if cfg.wpp:
             payload = encode_intra_slice_wpp(
                 modes, ly, lu, lv, num_substreams=cfg.num_substreams,

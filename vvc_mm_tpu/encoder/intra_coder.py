@@ -42,19 +42,25 @@ def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
                        cclm: np.ndarray | None = None,
                        mip: bool = False,
                        lfnst: np.ndarray | None = None,
-                       mrl: np.ndarray | None = None) -> bytes:
+                       mrl: np.ndarray | None = None,
+                       ts: np.ndarray | None = None,
+                       bdpcm: bool = False) -> bytes:
     """modes (nby, nbx); lev_* (nby, nbx, s, s).  Raster block order.
     cclm: optional (nby, nbx) chroma-LM flags (SPS-gated; reference:
     CABACWriter intra_chroma_pred_mode LM branch).  mip: SPS MIP enable —
-    writes intra_mip_flag + 3-bit mode (CABACWriter mip_flag)."""
+    writes intra_mip_flag + 3-bit mode (CABACWriter mip_flag).
+    ts: optional (nby, nbx) transform-skip mode grid (0 regular, 1 TS,
+    2/3 BDPCM H/V — reference: transform_skip_flag +
+    intra_bdpcm_luma_flag)."""
     enc = make_encoder()
     _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
-                       0, modes.shape[0], mrl)
+                       0, modes.shape[0], mrl, ts, bdpcm)
     return enc.finish()
 
 
 def _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
-                       r0: int, r1: int, mrl=None) -> None:
+                       r0: int, r1: int, mrl=None, ts=None,
+                       bdpcm: bool = False) -> None:
     """Code block rows [r0, r1) into `enc` (one substream's worth)."""
     nby, nbx = modes.shape
     for by in range(r0, r1):
@@ -74,6 +80,13 @@ def _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
             if cclm is not None:
                 enc.encode_bin(int(cclm[by, bx] != 0),
                                ctx_id("IntraChromaPredMode"))
+            tsm = int(ts[by, bx]) if ts is not None else 0
+            if ts is not None:
+                enc.encode_bin(int(tsm > 0), ctx_id("TransformSkipFlag", 0))
+                if tsm > 0 and bdpcm:
+                    enc.encode_bin(int(tsm >= 2), ctx_id("BDPCMFlag", 0))
+                    if tsm >= 2:
+                        enc.encode_bin(int(tsm == 3), ctx_id("BDPCMFlag", 1))
             for comp, lev in (("y", lev_y), ("u", lev_u), ("v", lev_v)):
                 blk = lev[by, bx]
                 cbf = bool(np.any(blk != 0))
@@ -81,7 +94,7 @@ def _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
                 enc.encode_bin(int(cbf), cbf_ctx)
                 if cbf:
                     coeffs_encode(enc, blk, chroma=(comp != "y"))
-                if comp == "y" and lfnst is not None and cbf:
+                if comp == "y" and lfnst is not None and cbf and tsm == 0:
                     # lfnst_idx: truncated unary, 2 contexts (reference:
                     # CABACWriter residual_lfnst_mode)
                     idx = int(lfnst[by, bx])
@@ -96,6 +109,8 @@ def encode_intra_slice_wpp(modes: np.ndarray, lev_y: np.ndarray,
                            mip: bool = False,
                            lfnst: np.ndarray | None = None,
                            mrl: np.ndarray | None = None,
+                           ts: np.ndarray | None = None,
+                           bdpcm: bool = False,
                            num_substreams: int = 4) -> bytes:
     """Wavefront/tile-style entropy substreams with entry points.
 
@@ -120,7 +135,7 @@ def encode_intra_slice_wpp(modes: np.ndarray, lev_y: np.ndarray,
     def one(i: int) -> bytes:
         enc = make_encoder()
         _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip,
-                           lfnst, bounds[i], bounds[i + 1], mrl)
+                           lfnst, bounds[i], bounds[i + 1], mrl, ts, bdpcm)
         return enc.finish()
 
     with cf.ThreadPoolExecutor(max_workers=min(n, 8)) as ex:
