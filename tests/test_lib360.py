@@ -111,3 +111,72 @@ def test_geo_convert_roundtrip_new_formats():
         b = back[8:-8].astype(np.float64)
         rmse = np.sqrt(((a - b) ** 2).mean())
         assert rmse < 12.0, (fmt, rmse)
+
+
+def test_round2_geometry_inverses():
+    """Inverse consistency for the round-2 formats (SSP/ECP/RSP/HEC/GCMP/
+    AEP).  Disk/segmented formats are checked only on their active areas."""
+    from vvc_mm_tpu.lib360 import geometry as g
+    w, h = 48, 32
+    for name in ("aep", "hec", "gcmp", "rsp", "ssp", "ecp"):
+        dirs_fn, coords_fn = g.GEOMETRIES[name]
+        dirs = dirs_fn(w, h)
+        assert np.allclose(np.linalg.norm(dirs, axis=-1), 1.0,
+                           atol=1e-6), name
+        xy = coords_fn(dirs, w, h)
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        err = np.abs(np.stack([xx, yy], -1) - xy)
+        if name in ("ssp", "ecp"):
+            # pole disks: the frame corners outside the disk are inactive;
+            # restrict to pixels whose round trip stays in the same face
+            f = w // 3
+            fx, fy = xx // f, yy // f
+            fx2 = np.clip(xy[..., 0].round(), 0, w - 1).astype(int) // f
+            fy2 = np.clip(xy[..., 1].round(), 0, h - 1).astype(int) // f
+            m = (fx == fx2) & (fy == fy2)
+            assert m.mean() > 0.7, name
+            assert err[m].max() < 0.75, (name, err[m].max())
+        elif name == "rsp":
+            # segment boundary pixels may resolve to the twin segment
+            m = err[..., 0] < 1.0
+            assert m.mean() > 0.85, name
+            assert err[..., 1][m].max() < 0.75, name
+        else:
+            assert err.max() < 0.51, (name, err.max())
+
+
+def test_round2_geo_convert_roundtrip():
+    from vvc_mm_tpu.lib360 import geometry as g
+    h, w = 64, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    plane = (128 + 90 * np.sin(2 * np.pi * xx / w)
+             * np.cos(np.pi * (yy + 0.5 - h / 2) / h)).astype(np.int32)
+    for fmt, size in (("aep", (64, 128)), ("hec", (64, 96)),
+                      ("gcmp", (64, 96)), ("rsp", (64, 96)),
+                      ("ssp", (64, 96)), ("ecp", (64, 96))):
+        conv = g.geo_convert(plane, "erp", fmt, size, method="bilinear")
+        back = g.geo_convert(conv, fmt, "erp", (h, w), method="bilinear")
+        a = plane[10:-10].astype(np.float64)
+        b = back[10:-10].astype(np.float64)
+        rmse = np.sqrt(((a - b) ** 2).mean())
+        assert rmse < 16.0, (fmt, rmse)
+
+
+def test_s_psnr_i_and_viewport_and_msssim(rng):
+    from vvc_mm_tpu.lib360 import metrics as mt
+    h, w = 64, 128
+    orig = rng.integers(0, 255, (h, w)).astype(np.int32)
+    noisy = np.clip(orig + rng.integers(-6, 7, (h, w)), 0, 255).astype(np.int32)
+    ident = mt.s_psnr_i(orig, orig)
+    assert float(ident) > 60
+    v = float(mt.s_psnr_i(orig, noisy))
+    assert 25 < v < 50
+    vp_same = mt.viewport_psnr(orig, orig)
+    vp_noisy = mt.viewport_psnr(orig, noisy)
+    assert vp_same > vp_noisy > 20
+    assert mt.ms_ssim(orig, orig) > 0.999
+    smooth = np.clip(orig + 2, 0, 255)
+    assert mt.ms_ssim(orig, smooth) > mt.ms_ssim(orig, noisy) > 0.3
+    m = mt.metrics_360(orig, noisy, viewport=True)
+    assert set(m) >= {"ws_psnr", "s_psnr_nn", "s_psnr_i", "cpp_psnr",
+                      "viewport_psnr"}

@@ -247,6 +247,310 @@ def fisheye_coords(dirs: np.ndarray, width: int, height: int,
     return np.stack([px, py], -1)
 
 
+# ---------------------------------------------------------------------------
+# latitude/longitude helpers (sphere convention of this module: z up,
+# dir = [cos(lat)cos(phi), cos(lat)sin(phi), sin(lat)], ERP x -> -phi)
+# ---------------------------------------------------------------------------
+def _latlon_to_dirs(lat, lon):
+    cl = np.cos(lat)
+    return np.stack([cl * np.cos(-lon), cl * np.sin(-lon), np.sin(lat)], -1)
+
+
+def _dirs_to_latlon(dirs):
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    n = np.sqrt(x * x + y * y + z * z) + 1e-12
+    return np.arcsin(np.clip(z / n, -1, 1)), -np.arctan2(y, x)
+
+
+def aep_dirs(width: int, height: int, beta: float = 1.0 / 1.4) -> np.ndarray:
+    """Adjusted equal-area (reference: TAdjustedEqualArea.cpp:52 BETA=1/1.4;
+    map2DTo3D — pitch = asin((1 - 2v/H) sin(pi*beta/2)) / beta)."""
+    xx, yy = np.meshgrid(np.arange(width), np.arange(height))
+    lon = -2.0 * PI * ((xx + 0.5) / width - 0.5)
+    lat = np.arcsin((1.0 - 2.0 * (yy + 0.5) / height)
+                    * math.sin(0.5 * PI * beta)) / beta
+    return _latlon_to_dirs(lat, -lon)
+
+
+def aep_coords(dirs: np.ndarray, width: int, height: int,
+               beta: float = 1.0 / 1.4) -> np.ndarray:
+    lat, lon = _dirs_to_latlon(dirs)
+    px = (0.5 + lon / (2.0 * PI)) * width - 0.5
+    py = (0.5 - 0.5 * np.sin(lat * beta) / math.sin(0.5 * PI * beta)) \
+        * height - 0.5
+    return np.stack([px, py], -1)
+
+
+# Segmented sphere (SSP) — reference: TSegmentedSphere.cpp map2DTo3D /
+# map3DTo2D: two azimuthal-equidistant pole disks (|lat| > 45 deg) + four
+# 90x90-degree equatorial ERP faces.  Packing here: 3x2 grid of f x f faces,
+# row 0 = [north disk, south disk, equator seg 0], row 1 = [seg 1..3].
+_SSP_EQ_POS = {0: (2, 0), 1: (0, 1), 2: (1, 1), 3: (2, 1)}
+
+
+def ssp_dirs(width: int, height: int) -> np.ndarray:
+    f = width // 3
+    assert width == 3 * f and height == 2 * f, "SSP expects 3x2 packing"
+    xx, yy = np.meshgrid(np.arange(width) + 0.5, np.arange(height) + 0.5)
+    fx, fy = (xx // f).astype(int), (yy // f).astype(int)
+    u, v = xx % f, yy % f
+    lat = np.zeros_like(xx)
+    lon = np.zeros_like(xx)
+    # pole disks (reference: faceIdx 0/1 — azimuthal equidistant)
+    px_, py_ = u - f / 2.0, v - f / 2.0
+    d = np.sqrt(px_ * px_ + py_ * py_)
+    north = (fy == 0) & (fx == 0)
+    south = (fy == 0) & (fx == 1)
+    yaw_n = np.where(d > 0, np.arccos(np.clip(
+        np.divide(py_, d, out=np.zeros_like(d), where=d > 0), -1, 1)), 0.0)
+    yaw_n = np.where(px_ < 0, 2 * PI - yaw_n, yaw_n)
+    lat = np.where(north, PI / 2 - d * (PI / 2) / f, lat)
+    lon = np.where(north, yaw_n, lon)
+    yaw_s = np.where(d > 0, np.arctan2(py_, px_) + PI / 2, 0.0)
+    lat = np.where(south, d * (PI / 2) / f - PI / 2, lat)
+    lon = np.where(south, yaw_s, lon)
+    # equatorial segments: 90 deg of longitude each, |lat| <= 45 deg
+    for seg, (cx, cy) in _SSP_EQ_POS.items():
+        m = (fx == cx) & (fy == cy)
+        lat = np.where(m, PI / 4 - v * (PI / 2) / f, lat)
+        lon = np.where(m, (seg + u / f) * (PI / 2), lon)
+    return _latlon_to_dirs(lat, lon)
+
+
+def ssp_coords(dirs: np.ndarray, width: int, height: int) -> np.ndarray:
+    f = width // 3
+    lat, lon = _dirs_to_latlon(dirs)
+    lon = np.mod(lon, 2 * PI)
+    px = np.zeros_like(lat)
+    py = np.zeros_like(lat)
+    north = lat > PI / 4
+    south = lat < -PI / 4
+    eq = ~(north | south)
+    # pole disks (inverse of the equidistant maps above)
+    d_n = (PI / 2 - lat) * f / (PI / 2)
+    px = np.where(north, f / 2 + d_n * np.sin(lon) - 0.5, px)
+    py = np.where(north, f / 2 + d_n * np.cos(lon) - 0.5, py)
+    d_s = (lat + PI / 2) * f / (PI / 2)
+    px = np.where(south, f + f / 2 + d_s * np.cos(lon - PI / 2) - 0.5, px)
+    py = np.where(south, f / 2 + d_s * np.sin(lon - PI / 2) - 0.5, py)
+    # equator
+    seg = np.clip((lon / (PI / 2)).astype(int), 0, 3)
+    u = (lon / (PI / 2) - seg) * f
+    v = (PI / 4 - lat) * f / (PI / 2)
+    for sid, (cx, cy) in _SSP_EQ_POS.items():
+        m = eq & (seg == sid)
+        px = np.where(m, cx * f + u - 0.5, px)
+        py = np.where(m, cy * f + v - 0.5, py)
+    return np.stack([px, py], -1)
+
+
+# Equatorial cylindrical (ECP) — reference: TEquatorialCylindrical.cpp:
+# equator (|sin lat| <= 2/3) as four cylindrical faces with v = -1.5 sin(lat);
+# poles as squircle-warped disks.  Packing: 3x2, row 0 = [north, south, eq0],
+# row 1 = [eq1..eq3]; pole yaw offset pi/4, no padding margins.
+def _ecp_squircle_fwd(x, y):
+    """Disk -> square (reference: map3DTo2D face 0/1 w-term)."""
+    r2 = x * x + y * y
+    inner = np.maximum(r2 * (r2 - 4 * x * x * y * y), 0.0)
+    sgn = np.where(x * y >= 0, 1.0, -1.0)
+    w = sgn / math.sqrt(2) * np.sqrt(np.maximum(r2 - np.sqrt(inner), 0.0))
+    eps = 1e-9
+    px = np.where(np.abs(w) > eps,
+                  np.divide(w, y, out=np.copysign(np.ones_like(w), x * y),
+                            where=np.abs(y) > eps), x)
+    py = np.where(np.abs(w) > eps,
+                  np.divide(w, x, out=np.copysign(np.ones_like(w), x * y),
+                            where=np.abs(x) > eps), y)
+    return px, py
+
+
+def _ecp_squircle_inv(x, y):
+    """Square -> disk (reference: map2DTo3D face 0/1 sqc-term)."""
+    r2 = x * x + y * y
+    sqc = np.sqrt(np.maximum(r2 - x * x * y * y, 0.0)) \
+        / np.sqrt(np.maximum(r2, 1e-18))
+    return np.where(r2 > 0, x * sqc, 0.0), np.where(r2 > 0, y * sqc, 0.0)
+
+
+_ECP_LAT0 = math.asin(2.0 / 3.0)
+
+
+def ecp_dirs(width: int, height: int) -> np.ndarray:
+    f = width // 3
+    assert width == 3 * f and height == 2 * f, "ECP expects 3x2 packing"
+    xx, yy = np.meshgrid(np.arange(width) + 0.5, np.arange(height) + 0.5)
+    fx, fy = (xx // f).astype(int), (yy // f).astype(int)
+    u = 2.0 * (xx % f) / f - 1.0
+    v = 2.0 * (yy % f) / f - 1.0
+    lat = np.zeros_like(xx)
+    lon = np.zeros_like(xx)
+    b = 0.2
+    for pole, (pfx, sign) in {0: (0, 1.0), 1: (1, -1.0)}.items():
+        m = (fy == 0) & (fx == pfx)
+        cu = 1.0 + np.tanh((-sign * v - 1.0) / b)
+        x_ = np.tan(np.arctan(cu) * u) / np.maximum(cu, 1e-9)
+        du, dv = _ecp_squircle_inv(x_, v)
+        d = np.sqrt(du * du + dv * dv) * (f / 2.0)
+        if pole == 0:
+            yaw = np.where(d > 0, np.arccos(np.clip(
+                np.divide(dv * f / 2, d, out=np.zeros_like(d), where=d > 0),
+                -1, 1)), 0.0)
+            yaw = np.where(du < 0, 2 * PI - yaw, yaw) - PI / 4
+            la = PI / 2 - 2.0 * d * (PI / 2 - _ECP_LAT0) / f
+        else:
+            yaw = np.where(d > 0, np.arctan2(dv, du) + PI / 2, 0.0) - PI / 4
+            la = 2.0 * d * (PI / 2 - _ECP_LAT0) / f - PI / 2
+        lat = np.where(m, la, lat)
+        lon = np.where(m, yaw, lon)
+    for seg, (cx, cy) in _SSP_EQ_POS.items():
+        m = (fx == cx) & (fy == cy)
+        lat = np.where(m, np.arcsin(np.clip(-2.0 * v / 3.0, -1, 1)), lat)
+        lon = np.where(m, (u + 1.0) * PI / 4 + seg * PI / 2, lon)
+    return _latlon_to_dirs(lat, lon)
+
+
+def ecp_coords(dirs: np.ndarray, width: int, height: int) -> np.ndarray:
+    f = width // 3
+    lat, lon = _dirs_to_latlon(dirs)
+    px = np.zeros_like(lat)
+    py = np.zeros_like(lat)
+    north = np.sin(lat) > 2.0 / 3.0
+    south = np.sin(lat) < -2.0 / 3.0
+    eq = ~(north | south)
+    b = 0.2
+    for pole, mask in ((0, north), (1, south)):
+        yaw = lon + PI / 4
+        scale = (PI / 2 - np.abs(lat)) / (PI / 2 - _ECP_LAT0)
+        if pole == 0:
+            du, dv = np.sin(yaw) * scale, np.cos(yaw) * scale
+        else:
+            du, dv = np.sin(yaw) * scale, -np.cos(yaw) * scale
+        sx, sy = _ecp_squircle_fwd(du, dv)
+        cu = 1.0 + np.tanh((-np.where(pole == 0, sy, -sy) - 1.0) / b)
+        u = np.arctan(cu * sx) / np.arctan(np.maximum(cu, 1e-9))
+        v = sy
+        px = np.where(mask, (u + 1.0) / 2.0 * f + pole * f - 0.5, px)
+        py = np.where(mask, (v + 1.0) / 2.0 * f - 0.5, py)
+    lon_m = np.mod(lon, 2 * PI)
+    seg = np.clip((lon_m / (PI / 2)).astype(int), 0, 3)
+    u_eq = (lon_m / (PI / 2) - seg) * f
+    v_eq = (1.0 - 1.5 * np.sin(lat)) / 2.0 * f
+    for sid, (cx, cy) in _SSP_EQ_POS.items():
+        m = eq & (seg == sid)
+        px = np.where(m, cx * f + u_eq - 0.5, px)
+        py = np.where(m, cy * f + v_eq - 0.5, py)
+    return np.stack([px, py], -1)
+
+
+# Rotated sphere (RSP) — reference: TRotatedSphere.cpp: two 270x90-degree
+# ERP-parameterized segments; the second covers the remainder through the
+# fixed rotation (x,y,z)->(-x,-z,-y) (mapToOtherFace:159).  Packing: 3f x 2f,
+# row 0 = front segment, row 1 = rotated segment.
+def _rsp_rot(d):
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    return np.stack([-x, -z, -y], -1)
+
+
+def rsp_dirs(width: int, height: int) -> np.ndarray:
+    f = height // 2
+    assert width == 3 * f and height == 2 * f, "RSP expects 3x2 packing"
+    xx, yy = np.meshgrid(np.arange(width) + 0.5, np.arange(height) + 0.5)
+    back = yy >= f
+    v = np.where(back, yy - f, yy) / f
+    lat = PI / 2 * (0.5 - v)
+    lon = (xx / width - 0.5) * 1.5 * PI
+    d = _latlon_to_dirs(lat, lon)
+    return np.where(back[..., None], _rsp_rot(d), d)
+
+
+def rsp_coords(dirs: np.ndarray, width: int, height: int) -> np.ndarray:
+    f = height // 2
+    lat, lon = _dirs_to_latlon(dirs)
+    lat2, lon2 = _dirs_to_latlon(_rsp_rot(dirs))
+    front = (np.abs(lat) <= PI / 4 + 1e-9) & (np.abs(lon) <= 0.75 * PI)
+    la = np.where(front, lat, lat2)
+    lo = np.where(front, lon, lon2)
+    px = (lo / (1.5 * PI) + 0.5) * width - 0.5
+    py = (0.5 - 2.0 * la / PI) * f - 0.5 + np.where(front, 0.0, float(f))
+    return np.stack([px, py], -1)
+
+
+# Hybrid equi-angular cubemap (HEC) — reference:
+# THybridEquiAngularCubeMap.cpp: tan-warp horizontally on all faces and
+# vertically on top/bottom; side faces use pv' = pv / (1 + 0.4(1-pu^2)(1-pv^2))
+def _hec_v_inv(w, pu):
+    """Solve pv from w = pv / (1 + a (1-pv^2)), a = 0.4 (1 - pu^2)."""
+    a = 0.4 * (1.0 - pu * pu)
+    wa = w * a
+    disc = np.sqrt(np.maximum(1.0 + 4.0 * wa * w * (1.0 + a), 0.0))
+    return np.where(np.abs(wa) > 1e-9, (disc - 1.0) / (2.0 * wa),
+                    w * (1.0 + a))
+
+
+def hec_dirs(width: int, height: int) -> np.ndarray:
+    f = width // 3
+    xx, yy = np.meshgrid(np.arange(width) + 0.5, np.arange(height) + 0.5)
+    face = (yy // f).astype(int) * 3 + (xx // f).astype(int)
+    pu = 2.0 * (xx % f) / f - 1.0
+    pv = 2.0 * (yy % f) / f - 1.0
+    t = 1.0 + 0.4 * (1.0 - pu * pu) * (1.0 - pv * pv)
+    pu_w = np.tan(pu * PI / 4)
+    top_bottom = (face == 4) | (face == 5)
+    pv_w = np.where(top_bottom, np.tan(pv * PI / 4), pv / t)
+    dirs = np.zeros(xx.shape + (3,))
+    for fid in range(6):
+        m = face == fid
+        dx, dy, dz = _CMP_FACES[fid](pu_w[m], pv_w[m])
+        n = np.sqrt(dx * dx + dy * dy + dz * dz)
+        dirs[m] = np.stack([dx / n, dy / n, dz / n], -1)
+    return dirs
+
+
+def hec_coords(dirs: np.ndarray, width: int, height: int) -> np.ndarray:
+    f = width // 3
+    face, u, v = _cmp_face_uv(dirs)
+    pu = (4.0 / PI) * np.arctan(u)
+    top_bottom = (face == 4) | (face == 5)
+    pv = np.where(top_bottom, (4.0 / PI) * np.arctan(v), _hec_v_inv(v, pu))
+    px = (np.clip(pu, -1, 1) + 1) / 2 * f - 0.5 + (face % 3) * f
+    py = (np.clip(pv, -1, 1) + 1) / 2 * f - 0.5 + (face // 3) * f
+    return np.stack([px, py], -1)
+
+
+def gcmp_dirs(width: int, height: int, warps=("eac",) * 6) -> np.ndarray:
+    """Generalized cubemap (reference: TGeneralizedCubeMap.cpp) — per-face
+    warp selection from the cube warp family (None/'eac'/'acp')."""
+    f = width // 3
+    xx, yy = np.meshgrid(np.arange(width), np.arange(height))
+    face = (yy // f) * 3 + (xx // f)
+    u = ((xx % f) + 0.5) / f * 2 - 1
+    v = ((yy % f) + 0.5) / f * 2 - 1
+    dirs = np.zeros((height, width, 3))
+    for fid in range(6):
+        m = face == fid
+        uu = _cube_uv_unwarp(u[m], warps[fid])
+        vv = _cube_uv_unwarp(v[m], warps[fid])
+        dx, dy, dz = _CMP_FACES[fid](uu, vv)
+        n = np.sqrt(dx * dx + dy * dy + dz * dz)
+        dirs[m] = np.stack([dx / n, dy / n, dz / n], -1)
+    return dirs
+
+
+def gcmp_coords(dirs: np.ndarray, width: int, height: int,
+                warps=("eac",) * 6) -> np.ndarray:
+    f = width // 3
+    face, u, v = _cmp_face_uv(dirs)
+    uw = np.zeros_like(u)
+    vw = np.zeros_like(v)
+    for fid in range(6):
+        m = face == fid
+        uw[m] = _cube_uv_warp(u[m], warps[fid])
+        vw[m] = _cube_uv_warp(v[m], warps[fid])
+    px = (np.clip(uw, -1, 1) + 1) / 2 * f - 0.5 + (face % 3) * f
+    py = (np.clip(vw, -1, 1) + 1) / 2 * f - 0.5 + (face // 3) * f
+    return np.stack([px, py], -1)
+
+
 GEOMETRIES = {"erp": (erp_dirs, erp_coords),
               "cmp": (cmp_dirs, cmp_coords),
               "eac": (functools.partial(cmp_dirs, eac=True),
@@ -255,7 +559,13 @@ GEOMETRIES = {"erp": (erp_dirs, erp_coords),
               "acp": (functools.partial(cmp_dirs, eac="acp"),
                       functools.partial(cmp_coords, eac="acp")),
               "eap": (eap_dirs, eap_coords),
+              "aep": (aep_dirs, aep_coords),
               "cpp": (cpp_dirs, cpp_coords),
+              "ssp": (ssp_dirs, ssp_coords),
+              "ecp": (ecp_dirs, ecp_coords),
+              "rsp": (rsp_dirs, rsp_coords),
+              "hec": (hec_dirs, hec_coords),
+              "gcmp": (gcmp_dirs, gcmp_coords),
               "fisheye": (fisheye_dirs, fisheye_coords)}
 
 
