@@ -187,3 +187,145 @@ def estimate_alf(orig: jnp.ndarray, recon: jnp.ndarray, lam: float,
     filtered = filter_frame(recon, cls4, jnp.asarray(coeffs), bit_depth)
     enable = region_decide(orig, recon, filtered, lam, bit_depth)
     return coeffs, np.asarray(enable), cls4
+
+
+# ---------------------------------------------------------------------------
+# Chroma ALF: 5x5 diamond, one filter per plane (reference:
+# AdaptiveLoopFilter.cpp filter5x5Blk — chroma uses the 5x5 diamond without
+# classification)
+# ---------------------------------------------------------------------------
+NUM_COEFF_C = 6
+DIAMOND_PAIRS_C = [(-2, 0), (-1, -1), (-1, 0), (-1, 1), (0, -2), (0, -1)]
+assert len(DIAMOND_PAIRS_C) == NUM_COEFF_C
+
+
+def _features_c(recon: jnp.ndarray) -> jnp.ndarray:
+    f = [(_shift2(recon, dy, dx) + _shift2(recon, -dy, -dx) - 2 * recon)
+         for (dy, dx) in DIAMOND_PAIRS_C]
+    return jnp.stack(f).astype(jnp.int32)
+
+
+@jax.jit
+def _stats_c(recon: jnp.ndarray, orig: jnp.ndarray):
+    f = _features_c(recon).astype(jnp.float32)
+    d = (orig - recon).astype(jnp.float32)
+    a = jnp.einsum("ihw,jhw->ij", f, f)
+    b = jnp.einsum("ihw,hw->i", f, d)
+    return a, b
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def filter_chroma(recon: jnp.ndarray, coeffs: jnp.ndarray,
+                  bit_depth: int = 8) -> jnp.ndarray:
+    f = _features_c(recon)
+    acc = jnp.einsum("ihw,i->hw", f, coeffs)
+    out = recon + ((acc + (1 << (COEFF_SHIFT - 1))) >> COEFF_SHIFT)
+    return jnp.clip(out, 0, (1 << bit_depth) - 1)
+
+
+def estimate_alf_chroma(orig: jnp.ndarray, recon: jnp.ndarray, lam: float,
+                        bit_depth: int = 8):
+    """Returns (coeffs (6,) int32, enable (gy,gx) bool) or (None, None) when
+    the filter does not pay for itself."""
+    a, b = _stats_c(recon, orig)
+    a = np.asarray(a) + np.eye(NUM_COEFF_C) * (1.0 + float(a.trace()) * 1e-4)
+    try:
+        c = np.linalg.solve(a, np.asarray(b))
+    except np.linalg.LinAlgError:
+        return None, None
+    coeffs = np.clip(np.round(c * (1 << COEFF_SHIFT)), -1024, 1023
+                     ).astype(np.int32)
+    if not coeffs.any():
+        return None, None
+    filtered = filter_chroma(recon, jnp.asarray(coeffs), bit_depth)
+    enable = np.asarray(region_decide(orig, recon, filtered, lam, bit_depth))
+    if not enable.any():
+        return None, None
+    return coeffs, enable
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def apply_alf_chroma(recon: jnp.ndarray, coeffs: jnp.ndarray,
+                     enable: jnp.ndarray, bit_depth: int = 8) -> jnp.ndarray:
+    h, w = recon.shape
+    filtered = filter_chroma(recon, coeffs, bit_depth)
+    en = jnp.repeat(jnp.repeat(enable, REGION, 0), REGION, 1)[:h, :w]
+    return jnp.where(en, filtered, recon)
+
+
+# ---------------------------------------------------------------------------
+# CC-ALF: cross-component filter — a correction for each chroma plane
+# derived from co-located luma high-frequency content (reference:
+# AdaptiveLoopFilter.cpp applyCcAlfFilter — 3x4 diamond on luma, 7 signaled
+# coefficients, output added to the chroma sample)
+# ---------------------------------------------------------------------------
+NUM_COEFF_CC = 7
+# luma offsets relative to the co-located sample (dy, dx); features are
+# differences to the co-located luma sample, keeping the filter DC-free as
+# the reference's constraint sum(c)=0 does
+CCALF_TAPS = [(-1, 0), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1), (2, 0)]
+assert len(CCALF_TAPS) == NUM_COEFF_CC
+
+
+def _ccalf_features(luma: jnp.ndarray, ch: int, cw: int) -> jnp.ndarray:
+    """(7, ch, cw) luma difference features at chroma resolution (4:2:0
+    co-located sample at (2y, 2x))."""
+    c0 = luma[::2, ::2][:ch, :cw]
+    f = []
+    for (dy, dx) in CCALF_TAPS:
+        f.append(_shift2(luma, dy, dx)[::2, ::2][:ch, :cw] - c0)
+    return jnp.stack(f).astype(jnp.int32)
+
+
+@jax.jit
+def _ccalf_stats(luma: jnp.ndarray, orig_c: jnp.ndarray,
+                 recon_c: jnp.ndarray):
+    ch, cw = recon_c.shape
+    f = _ccalf_features(luma, ch, cw).astype(jnp.float32)
+    d = (orig_c - recon_c).astype(jnp.float32)
+    a = jnp.einsum("ihw,jhw->ij", f, f)
+    b = jnp.einsum("ihw,hw->i", f, d)
+    return a, b
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def apply_ccalf(recon_c: jnp.ndarray, luma: jnp.ndarray,
+                coeffs: jnp.ndarray, enable: jnp.ndarray,
+                bit_depth: int = 8) -> jnp.ndarray:
+    ch, cw = recon_c.shape
+    f = _ccalf_features(luma, ch, cw)
+    acc = jnp.einsum("ihw,i->hw", f, coeffs)
+    out = jnp.clip(recon_c + ((acc + (1 << (COEFF_SHIFT - 1)))
+                              >> COEFF_SHIFT), 0, (1 << bit_depth) - 1)
+    en = jnp.repeat(jnp.repeat(enable, REGION, 0), REGION, 1)[:ch, :cw]
+    return jnp.where(en, out, recon_c)
+
+
+def estimate_ccalf(luma: jnp.ndarray, orig_c: jnp.ndarray,
+                   recon_c: jnp.ndarray, lam: float, bit_depth: int = 8):
+    """Returns (coeffs (7,) int32, enable) or (None, None)."""
+    a, b = _ccalf_stats(luma, orig_c, recon_c)
+    a = np.asarray(a) + np.eye(NUM_COEFF_CC) * (1.0 + float(a.trace())
+                                                * 1e-4)
+    try:
+        c = np.linalg.solve(a, np.asarray(b))
+    except np.linalg.LinAlgError:
+        return None, None
+    # reference signals CC-ALF coefficients as powers of two in {-64..64};
+    # quantize to the nearest signed power of two for the same bit cost
+    cq = np.round(c * (1 << COEFF_SHIFT))
+    mag = np.abs(cq)
+    p2 = np.where(mag >= 1, 2.0 ** np.round(np.log2(np.maximum(mag, 1))), 0)
+    coeffs = (np.sign(cq) * np.clip(p2, 0, 64)).astype(np.int32)
+    if not coeffs.any():
+        return None, None
+    ch, cw = recon_c.shape
+    f = _ccalf_features(luma, ch, cw)
+    acc = jnp.einsum("ihw,i->hw", f, jnp.asarray(coeffs))
+    filtered = jnp.clip(recon_c + ((acc + (1 << (COEFF_SHIFT - 1)))
+                                   >> COEFF_SHIFT), 0, (1 << bit_depth) - 1)
+    enable = np.asarray(region_decide(orig_c, recon_c, filtered, lam,
+                                      bit_depth))
+    if not enable.any():
+        return None, None
+    return coeffs, enable

@@ -239,6 +239,12 @@ class SliceHeader:
     sao_params: tuple | None = None
     # ALF params: (coeffs (25,12) int32, enable (gy,gx) bool), luma
     alf_params: tuple | None = None
+    # chroma ALF: ((coeffs (6,), enable) or None for Cb, same for Cr)
+    # (reference: 5x5 chroma ALF, AdaptiveLoopFilter filter5x5Blk)
+    alf_chroma_params: tuple | None = None
+    # CC-ALF: ((coeffs (7,), enable) or None for Cb, same for Cr)
+    # (reference: applyCcAlfFilter)
+    ccalf_params: tuple | None = None
     # explicit weighted prediction (reference: WeightPrediction.{cpp,h},
     # pred_weight_table): per-plane (weight, offset), log2 denom 6
     wp_params: tuple | None = None
@@ -293,6 +299,20 @@ class SliceHeader:
                 for y in range(gy):
                     for x in range(gx):
                         bw.write_flag(bool(enable[y, x]))
+            for params in (self.alf_chroma_params, self.ccalf_params):
+                bw.write_flag(params is not None)
+                if params is None:
+                    continue
+                for plane in params:
+                    bw.write_flag(plane is not None)
+                    if plane is None:
+                        continue
+                    coeffs, enable = plane
+                    for c in coeffs:
+                        bw.write_svlc(int(c))
+                    for y in range(enable.shape[0]):
+                        for x in range(enable.shape[1]):
+                            bw.write_flag(bool(enable[y, x]))
         bw.align()
 
     @classmethod
@@ -358,5 +378,29 @@ class SliceHeader:
                     for x in range(gx):
                         enable[y, x] = br.read_flag()
                 sh.alf_params = (coeffs, enable)
+            import numpy as np
+            from .alf import NUM_COEFF_C, NUM_COEFF_CC, REGION as AREG
+            from .typedefs import CHROMA_SCALE_X, CHROMA_SCALE_Y
+            ch = sps.height >> CHROMA_SCALE_Y[sps.chroma_format]
+            cw = sps.width >> CHROMA_SCALE_X[sps.chroma_format]
+            cgy, cgx = -(-ch // AREG), -(-cw // AREG)
+            for attr, ncoef in (("alf_chroma_params", NUM_COEFF_C),
+                                ("ccalf_params", NUM_COEFF_CC)):
+                if not br.read_flag():
+                    continue
+                planes = []
+                for _ in range(2):
+                    if not br.read_flag():
+                        planes.append(None)
+                        continue
+                    coeffs = np.asarray([br.read_svlc()
+                                         for _ in range(ncoef)],
+                                        dtype=np.int32)
+                    enable = np.zeros((cgy, cgx), dtype=bool)
+                    for y in range(cgy):
+                        for x in range(cgx):
+                            enable[y, x] = br.read_flag()
+                    planes.append((coeffs, enable))
+                setattr(sh, attr, tuple(planes))
         br.byte_align()
         return sh

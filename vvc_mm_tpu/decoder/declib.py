@@ -140,6 +140,22 @@ class DecLib:
             out_y = alf.apply_alf(recon["y"], cls4, jnp.asarray(coeffs),
                                   jnp.asarray(enable), self.sps.bit_depth)
             recon = dict(y=out_y, u=recon["u"], v=recon["v"])
+        if self.sps.alf and (sh.alf_chroma_params is not None
+                             or sh.ccalf_params is not None):
+            recon = dict(recon)
+            for i, key in enumerate(("u", "v")):
+                if sh.alf_chroma_params is not None \
+                        and sh.alf_chroma_params[i] is not None:
+                    c, e = sh.alf_chroma_params[i]
+                    recon[key] = alf.apply_alf_chroma(
+                        recon[key], jnp.asarray(c), jnp.asarray(e),
+                        self.sps.bit_depth)
+                if sh.ccalf_params is not None \
+                        and sh.ccalf_params[i] is not None:
+                    c, e = sh.ccalf_params[i]
+                    recon[key] = alf.apply_ccalf(
+                        recon[key], recon["y"], jnp.asarray(c),
+                        jnp.asarray(e), self.sps.bit_depth)
         return recon
 
     def _decode_slice(self, payload: bytes) -> None:

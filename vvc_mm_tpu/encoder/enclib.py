@@ -257,9 +257,12 @@ class EncLib:
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
         recon, sao_params = self._sao_stage(recon, planes, qp)
-        recon, alf_params = self._alf_stage(recon, planes[0], qp)
+        recon, alf_params = self._alf_stage(recon, planes[0], qp,
+                                    (planes[1], planes[2]))
         sh = SliceHeader(poc=poc, slice_type=SliceType.I, qp=qp,
-                         sao_params=sao_params, alf_params=alf_params)
+                         sao_params=sao_params, alf_params=alf_params,
+                         alf_chroma_params=self._pending_alf_chroma,
+                         ccalf_params=self._pending_ccalf)
         bw = BitWriter()
         sh.write(bw, self.sps)
         bw.write_bytes(payload)
@@ -387,10 +390,13 @@ class EncLib:
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
         recon, sao_params = self._sao_stage(recon, planes, qp)
-        recon, alf_params = self._alf_stage(recon, planes[0], qp)
+        recon, alf_params = self._alf_stage(recon, planes[0], qp,
+                                    (planes[1], planes[2]))
         sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=qp,
                          ref_pocs_l0=[ref_poc], epipole_delta=epipole_delta,
                          sao_params=sao_params, alf_params=alf_params,
+                         alf_chroma_params=self._pending_alf_chroma,
+                         ccalf_params=self._pending_ccalf,
                          wp_params=(None if not cfg.weighted_pred or
                                     wp is None else
                                     tuple((int(a), int(b)) for a, b in wp)))
@@ -439,12 +445,15 @@ class EncLib:
         stats (reference: EncGOP compressGOP tail per picture)."""
         cfg = self.cfg
         recon, sao_params = self._sao_stage(recon, planes, qp)
-        recon, alf_params = self._alf_stage(recon, planes[0], qp)
+        recon, alf_params = self._alf_stage(recon, planes[0], qp,
+                                    (planes[1], planes[2]))
         sh = SliceHeader(poc=poc, slice_type=slice_type, qp=qp,
                          temporal_id=tid, ref_pocs_l0=ref_pocs_l0,
                          ref_pocs_l1=ref_pocs_l1,
                          epipole_delta=epipole_delta,
-                         sao_params=sao_params, alf_params=alf_params)
+                         sao_params=sao_params, alf_params=alf_params,
+                         alf_chroma_params=self._pending_alf_chroma,
+                         ccalf_params=self._pending_ccalf)
         bw = BitWriter()
         sh.write(bw, self.sps)
         bw.write_bytes(payload)
@@ -536,11 +545,14 @@ class EncLib:
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
         recon, sao_params = self._sao_stage(recon, planes, qp)
-        recon, alf_params = self._alf_stage(recon, planes[0], qp)
+        recon, alf_params = self._alf_stage(recon, planes[0], qp,
+                                    (planes[1], planes[2]))
         sh = SliceHeader(poc=poc, slice_type=SliceType.B, qp=qp,
                          temporal_id=tid, ref_pocs_l0=[ref0_poc],
                          ref_pocs_l1=[ref1_poc], sao_params=sao_params,
-                         alf_params=alf_params)
+                         alf_params=alf_params,
+                         alf_chroma_params=self._pending_alf_chroma,
+                         ccalf_params=self._pending_ccalf)
         bw = BitWriter()
         sh.write(bw, self.sps)
         bw.write_bytes(payload)
@@ -714,29 +726,59 @@ class EncLib:
             return recon, None
         return out, tuple(params)
 
-    def _alf_stage(self, recon: dict, orig_y, qp: int):
+    def _alf_stage(self, recon: dict, orig_y, qp: int,
+                   orig_uv: tuple | None = None):
         """Estimate + apply luma ALF after SAO (reference: EncGOP.cpp:3527
-        ALFProcess)."""
+        ALFProcess); then 5x5 chroma ALF and CC-ALF when chroma originals
+        are supplied.  Returns (recon, alf_params).  Chroma/CC-ALF params
+        land on self._pending_alf_chroma / _pending_ccalf for the slice
+        header."""
+        self._pending_alf_chroma = None
+        self._pending_ccalf = None
         if not self.cfg.alf:
             return recon, None
         lam = quant.lambda_from_qp(qp, intra=False)
+        luma_params = None
         coeffs, enable, cls4 = alf.estimate_alf(
             jnp.asarray(orig_y), recon["y"], lam, self.cfg.bit_depth)
-        if not enable.any():
-            return recon, None
-        out_y = alf.apply_alf(recon["y"], cls4, jnp.asarray(coeffs),
-                              jnp.asarray(enable), self.cfg.bit_depth)
-        # frame-level RD gate: the 25x12 coefficient payload must pay for
-        # itself (reference: EncAdaptiveLoopFilter RD including APS bits)
-        o = jnp.asarray(orig_y)
-        gain = float(jnp.sum((o - recon["y"]) ** 2)
-                     - jnp.sum((o - out_y) ** 2))
-        coeff_bits = sum(2 * (abs(int(c)).bit_length() + 1)
-                         for c in coeffs.reshape(-1)) + enable.size
-        if gain < lam * coeff_bits:
-            return recon, None
-        recon = dict(y=out_y, u=recon["u"], v=recon["v"])
-        return recon, (coeffs, enable)
+        if enable.any():
+            out_y = alf.apply_alf(recon["y"], cls4, jnp.asarray(coeffs),
+                                  jnp.asarray(enable), self.cfg.bit_depth)
+            # frame-level RD gate: the 25x12 coefficient payload must pay
+            # for itself (reference: EncAdaptiveLoopFilter RD incl APS bits)
+            o = jnp.asarray(orig_y)
+            gain = float(jnp.sum((o - recon["y"]) ** 2)
+                         - jnp.sum((o - out_y) ** 2))
+            coeff_bits = sum(2 * (abs(int(c)).bit_length() + 1)
+                             for c in coeffs.reshape(-1)) + enable.size
+            if gain >= lam * coeff_bits:
+                recon = dict(y=out_y, u=recon["u"], v=recon["v"])
+                luma_params = (coeffs, enable)
+        if orig_uv is not None:
+            recon = dict(recon)
+            ch_params, cc_params = [], []
+            for key, orig_c in zip(("u", "v"), orig_uv):
+                oc = jnp.asarray(orig_c)
+                c, e = alf.estimate_alf_chroma(oc, recon[key], lam,
+                                               self.cfg.bit_depth)
+                if c is not None:
+                    recon[key] = alf.apply_alf_chroma(
+                        recon[key], jnp.asarray(c), jnp.asarray(e),
+                        self.cfg.bit_depth)
+                ch_params.append(None if c is None else (c, e))
+                # CC-ALF on top of chroma ALF, driven by the *final* luma
+                cc, ce = alf.estimate_ccalf(recon["y"], oc, recon[key],
+                                            lam, self.cfg.bit_depth)
+                if cc is not None:
+                    recon[key] = alf.apply_ccalf(
+                        recon[key], recon["y"], jnp.asarray(cc),
+                        jnp.asarray(ce), self.cfg.bit_depth)
+                cc_params.append(None if cc is None else (cc, ce))
+            if any(p is not None for p in ch_params):
+                self._pending_alf_chroma = tuple(ch_params)
+            if any(p is not None for p in cc_params):
+                self._pending_ccalf = tuple(cc_params)
+        return recon, luma_params
 
     def summary(self) -> dict:
         """reference: EncGOP::printOutSummary (EncGOP.cpp:4244)."""
