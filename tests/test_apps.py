@@ -84,3 +84,31 @@ def test_parcat_splice(yuv_file, tmp_path, capsys):
     dec = DecLib()
     decoded = dec.decode_bytes(open(out, "rb").read())
     assert [f.poc for f in decoded] == [0, 1, 2, 3, 4]
+
+
+def test_lost_picture_concealment(rng):
+    """Drop a reference picture's NAL: the decoder conceals it from the
+    nearest available picture instead of aborting (reference:
+    DecLib.cpp:1000 xCreateLostPicture)."""
+    import numpy as np
+    from vvc_mm_tpu.encoder.enclib import EncCfg, EncLib
+    from vvc_mm_tpu.decoder.declib import DecLib
+    from vvc_mm_tpu.common.bitstream import (read_annexb, write_annexb,
+                                             NAL_TRAIL)
+    from vvc_mm_tpu.utils.yuv_io import VideoFormat, synthetic_sequence
+    from vvc_mm_tpu.common.typedefs import ChromaFormat
+    fmt = VideoFormat(96, 64, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 4, motion=(2.0, 1.0))
+    enc = EncLib(EncCfg(width=96, height=64, qp=35, gop="LDP",
+                        picture_hash_sei=False))
+    bs = enc.encode_sequence(frames)
+    nalus = read_annexb(bs)
+    # drop the first P picture (poc 1)
+    dropped = [n for i, n in enumerate(nalus)
+               if not (n.nal_type == NAL_TRAIL
+                       and i == next(j for j, m in enumerate(nalus)
+                                     if m.nal_type == NAL_TRAIL))]
+    dec = DecLib()
+    out = dec.decode_bytes(write_annexb(dropped))
+    assert dec.concealed == [1]
+    assert len(out) == 3          # pocs 0, 2, 3 decoded

@@ -1,0 +1,58 @@
+"""Pallas MC kernel v2 vs the XLA reference formulation — bit-identical."""
+import numpy as np
+import jax.numpy as jnp
+
+from vvc_mm_tpu.common.mm import mc as mm_mc
+from vvc_mm_tpu.ops import mc_kernel
+
+
+def _setup(rng, h=64, w=128, m=40):
+    ref = jnp.asarray(rng.integers(0, 255, (h + 2 * m, w + 2 * m),
+                                   dtype=np.int32))
+    nsy, nsx = h // 4, w // 4
+    pos = np.stack([rng.integers(-m * 16, (w + m - 8) * 16, (nsy, nsx)),
+                    rng.integers(-m * 16, (h + m - 8) * 16, (nsy, nsx))],
+                   -1).astype(np.int32)
+    return ref, jnp.asarray(pos), m
+
+
+def test_mc_luma_kernel_bit_identical(rng):
+    ref, pos, m = _setup(rng)
+    want = np.asarray(mm_mc.mc_luma_positions(ref, pos, m, 8))
+    got = np.asarray(mc_kernel.mc_luma_positions(ref, pos, m, 8,
+                                                 interpret=True))
+    assert np.array_equal(want, got)
+
+
+def test_mc_luma_kernel_extreme_positions(rng):
+    """Positions far outside the padded area clamp identically."""
+    ref, _, m = _setup(rng)
+    nsy, nsx = 16, 32
+    pos = np.stack([rng.integers(-100000, 100000, (nsy, nsx)),
+                    rng.integers(-100000, 100000, (nsy, nsx))],
+                   -1).astype(np.int32)
+    pos = jnp.asarray(pos)
+    want = np.asarray(mm_mc.mc_luma_positions(ref, pos, m, 8))
+    got = np.asarray(mc_kernel.mc_luma_positions(ref, pos, m, 8,
+                                                 interpret=True))
+    assert np.array_equal(want, got)
+
+
+def test_sad_luma_kernel_matches_xla(rng):
+    ref, pos, m = _setup(rng)
+    h, w = 64, 128
+    orig = jnp.asarray(rng.integers(0, 255, (h, w), dtype=np.int32))
+    pred = np.asarray(mm_mc.mc_luma_positions(ref, pos, m, 8))
+    diff = np.abs(pred - np.asarray(orig))
+    want = diff.reshape(h // 4, 4, w // 4, 4).sum((1, 3))
+    got = np.asarray(mc_kernel.sad_luma_positions(ref, orig, pos, m, 8,
+                                                  interpret=True))
+    assert np.array_equal(want, got)
+
+
+def test_mc_chroma_kernel_bit_identical(rng):
+    ref, pos, m = _setup(rng)       # use as chroma plane: margin 40
+    want = np.asarray(mm_mc.mc_chroma_positions(ref, pos, m, 8))
+    got = np.asarray(mc_kernel.mc_chroma_positions(ref, pos, m, 8,
+                                                   interpret=True))
+    assert np.array_equal(want, got)

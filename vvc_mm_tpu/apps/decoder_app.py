@@ -24,6 +24,8 @@ def build_parser() -> OptionParser:
     p.add("ReconFile", "", "output YUV")
     p.add("OutputBitDepth", 0, "0 = keep internal")
     p.add("BitStats", False, "per-syntax bit statistics (analyser mode)")
+    p.add("FilmGrain", False, "apply film-grain SEI on output (reference: "
+          "SEIFilmGrainApp / DecApp FGS post-filter)")
     return p
 
 
@@ -60,7 +62,12 @@ def main(argv: list[str] | None = None) -> int:
                           sps.chroma_format)
         wr = YuvWriter(opts["ReconFile"], fmt)
         for fr in dec.output_frames():    # LMCS inverse-mapped if active
-            wr.write_frame(fr.planes)
+            planes = fr.planes
+            if opts["FilmGrain"] and dec.film_grain is not None:
+                from ..common.film_grain import apply_grain
+                planes = apply_grain(planes, dec.film_grain, fr.poc,
+                                     sps.bit_depth)
+            wr.write_frame(planes)
         wr.close()
     return 0
 

@@ -61,6 +61,7 @@ def build_parser() -> OptionParser:
     p.add("WeightedPredP", False, "explicit weighted prediction (P)")
     p.add("TransformSkip", False, "per-block transform skip")
     p.add("BDPCM", False, "block DPCM on transform-skip blocks")
+    p.add("FilmGrain", False, "film grain characteristics SEI (analyzer)")
     p.add("Lossless", False, "lossless intra coding (all-TS, qStep 1)")
     p.add("NumSubstreams", 4, "substream count for --WPP")
     p.add("WrapAround", False, "ERP horizontal wrap-around")
@@ -115,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
                  weighted_pred=opts["WeightedPredP"],
                  transform_skip=opts["TransformSkip"],
                  bdpcm=opts["BDPCM"], lossless=opts["Lossless"],
+                 film_grain=opts["FilmGrain"],
                  num_substreams=opts["NumSubstreams"],
                  target_bitrate_kbps=(opts["TargetBitrate"] // 1000
                                       if opts["RateControl"] else 0),

@@ -34,6 +34,26 @@ def _block_sad(diff_abs: jnp.ndarray, s: int) -> jnp.ndarray:
     return diff_abs.reshape(h // s, s, w // s, s).sum(axis=(1, 3))
 
 
+SAD_ROW_STEP = 2     # search-time SAD subsampling: every other 4-px row
+                     # band (reference: RdCost subShift; non-normative)
+
+
+def _subsample_rows(plane: jnp.ndarray, row_step: int) -> jnp.ndarray:
+    """Keep every row_step-th 4-pixel row band of a frame."""
+    h, w = plane.shape
+    return (plane.reshape(h // 4, 4, w)[::row_step]).reshape(-1, w)
+
+
+def _block_sad_sub(diff_abs: jnp.ndarray, s: int, row_step: int
+                   ) -> jnp.ndarray:
+    """Per-block SAD from a row-subsampled |diff| plane: each block keeps
+    s//4//row_step of its 4-px row bands; scaled back to full-SAD range."""
+    h, w = diff_abs.shape
+    rows_per_block = (s // 4 // row_step) * 4
+    return (diff_abs.reshape(h // rows_per_block, rows_per_block,
+                             w // s, s).sum(axis=(1, 3)) * row_step)
+
+
 def make_eval_fn(reproj: MVReprojection, model_id: int, block_size: int,
                  bit_depth: int, epipole=None):
     """Jitted (orig, ref_padded, mvs) -> (pred, sad-per-block) for one
@@ -63,24 +83,59 @@ _DIAMOND = np.array([(0, 0), (-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0),
 def make_eval_multi(reproj: MVReprojection, model_id: int, block_size: int,
                     bit_depth: int, epipole=None):
     """Jitted (orig, ref_padded, mv_cands (K,nby,nbx,2)) -> (K,nby,nbx)
-    SADs — all K candidates of a refinement step in ONE launch (vmapped
-    over the candidate axis) instead of K eager round trips."""
+    SADs — all K candidates of a refinement step in ONE launch.  Cached on
+    the reproj object per (model, block size, epipole) so repeated frames
+    reuse the traced function instead of rebuilding a jit closure (a
+    retrace costs ~1 s/frame/model at 2K)."""
+    ep_key = (None if epipole is None else
+              tuple(np.asarray(epipole, dtype=np.float64).round(12)))
+    key = (_geom_key(reproj), model_id, block_size, bit_depth, ep_key)
+    if key in _EVAL_CACHE:
+        return _EVAL_CACHE[key]
+    fn = _make_eval_multi_uncached(reproj, model_id, block_size, bit_depth,
+                                   epipole)
+    _EVAL_CACHE[key] = fn
+    return fn
+
+
+_EVAL_CACHE: dict = {}
+
+
+def _geom_key(reproj: MVReprojection):
+    """Geometry identity of an MVReprojection — jitted search/merge
+    closures are shared across encoder/decoder instances with the same
+    geometry (a fresh EncLib must not retrace ~1 s/model/frame)."""
+    return (reproj.proj, reproj.width, reproj.height, reproj.offset,
+            reproj.ged_flavor)
+
+
+def _make_eval_multi_uncached(reproj: MVReprojection, model_id: int,
+                              block_size: int, bit_depth: int, epipole=None):
     if model_id in (M.MPA_FRONT_BACK, M.MPA_LEFT_RIGHT, M.MPA_TOP_BOTTOM):
         reproj.mpa_cache(model_id)
 
+    row_step = SAD_ROW_STEP if block_size // 4 >= SAD_ROW_STEP else 1
+
     @jax.jit
     def eval_cands(orig, ref_padded, mv_cands):
+        orig_sub = _subsample_rows(orig, row_step)
+
         def one(mvs):
             if model_id == M.CLASSIC:
                 pos = mm_mc.classic_positions(reproj.offset, reproj.width,
-                                              reproj.height, mvs, block_size)
+                                              reproj.height, mvs, block_size,
+                                              row_step)
             else:
                 pos = reproj.reproject_frame(model_id, mvs, block_size,
-                                             epipole)
+                                             epipole, row_step)
             pred = mm_mc.mc_luma_positions(ref_padded, pos, MC_MARGIN,
                                            bit_depth)
-            return _block_sad(jnp.abs(orig - pred), block_size)
-        return jax.vmap(one)(mv_cands)
+            return _block_sad_sub(jnp.abs(orig_sub - pred), block_size,
+                                  row_step)
+        # static unroll, not vmap: the Pallas MC kernel's SMEM block specs
+        # do not admit a vmapped batch dimension
+        return jnp.stack([one(mv_cands[k])
+                          for k in range(mv_cands.shape[0])])
 
     return eval_cands
 
@@ -90,13 +145,23 @@ def diamond_search(eval_multi, orig, ref_padded, mv_init: jnp.ndarray,
                                                          jnp.ndarray]:
     """Batched diamond refinement in 1/16-pel units (steps 64..16 are
     integer-pel, below is fractional).  All blocks refine simultaneously;
-    each refinement step evaluates the center + 8 neighbors of every block
-    in a single launch."""
+    each step evaluates the 8 neighbors of every block in one launch (the
+    center's SAD is carried from the previous step)."""
     mv = mv_init.astype(jnp.int32)
     best = None
-    for step in steps:
-        cands = mv[None] + jnp.asarray(_DIAMOND * step)[:, None, None, :]
-        sads = eval_multi(orig, ref_padded, cands)       # (9, nby, nbx)
+    plus = np.array([(0, -1), (-1, 0), (1, 0), (0, 1)], dtype=np.int32)
+    for i, step in enumerate(steps):
+        if best is None:
+            cands = mv[None] + jnp.asarray(_DIAMOND * step)[:, None, None, :]
+            sads = eval_multi(orig, ref_padded, cands)   # (9, nby, nbx)
+        else:
+            # refinement steps use the 4-point plus pattern (the TZ small
+            # diamond) — half the evaluations of the full square
+            cands = mv[None] + jnp.asarray(
+                plus * step)[:, None, None, :]
+            sads = eval_multi(orig, ref_padded, cands)   # (4, nby, nbx)
+            cands = jnp.concatenate([mv[None], cands])
+            sads = jnp.concatenate([best[None], sads])
         k = jnp.argmin(sads, axis=0)                     # (nby, nbx)
         mv = jnp.take_along_axis(
             cands, k[None, ..., None].astype(jnp.int32), axis=0)[0]
@@ -147,18 +212,18 @@ def merged_positions(reproj: MVReprojection, active_models: list[int],
     ep_key = tuple(
         (m, tuple(np.asarray(e, dtype=np.float64).round(12)))
         for m, e in sorted((epipoles or {}).items()))
-    key = (tuple(active_models), block_size, ep_key)
-    cache = getattr(reproj, "_merged_jit_cache", None)
-    if cache is None:
-        cache = reproj._merged_jit_cache = {}
-    if key not in cache:
+    key = (_geom_key(reproj), tuple(active_models), block_size, ep_key)
+    if key not in _MERGED_CACHE:
         for m in active_models:
             if m in (M.MPA_FRONT_BACK, M.MPA_LEFT_RIGHT, M.MPA_TOP_BOTTOM):
                 reproj.mpa_cache(m)      # warm outside the trace
-        cache[key] = jax.jit(functools.partial(
+        _MERGED_CACHE[key] = jax.jit(functools.partial(
             _merged_positions, reproj, list(active_models), block_size,
             epipoles))
-    return cache[key](model_idx, mvs_stack)
+    return _MERGED_CACHE[key](model_idx, mvs_stack)
+
+
+_MERGED_CACHE: dict = {}
 
 
 def _merged_positions(reproj: MVReprojection, active_models: list[int],

@@ -33,9 +33,35 @@ def _assemble(blocks: jnp.ndarray, nsy: int, nsx: int, s: int) -> jnp.ndarray:
             .reshape(nsy * s, nsx * s))
 
 
-@functools.partial(jax.jit, static_argnames=("margin", "bit_depth"))
+@functools.lru_cache(maxsize=1)
+def _use_pallas() -> bool:
+    """True on real TPU hardware (the Pallas kernel path); CPU test meshes
+    use the XLA formulation, the kernel is covered by interpret-mode
+    tests.  Measured on v5e: XLA gather costs ~1.45 us per subblock
+    DESCRIPTOR (~190 ms/frame at 2K); the Pallas kernel is ~4.5x faster."""
+    import jax as _jax
+    try:
+        dev = _jax.devices()[0]
+        return "TPU" in getattr(dev, "device_kind", "")
+    except Exception:
+        return False
+
+
 def mc_luma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
                       margin: int, bit_depth: int = 8) -> jnp.ndarray:
+    """Position-based luma MC — Pallas kernel on TPU, XLA gather elsewhere
+    (bit-identical, tests/test_mc_kernel.py)."""
+    if _use_pallas() and positions.shape[1] % 32 == 0 \
+            and positions.shape[0] % 2 == 0:
+        from ...ops import mc_kernel
+        return mc_kernel.mc_luma_positions(ref_padded, positions, margin,
+                                           bit_depth)
+    return _mc_luma_positions_xla(ref_padded, positions, margin, bit_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("margin", "bit_depth"))
+def _mc_luma_positions_xla(ref_padded: jnp.ndarray, positions: jnp.ndarray,
+                           margin: int, bit_depth: int = 8) -> jnp.ndarray:
     """MC the whole luma plane from per-4x4-subblock absolute positions.
 
     Args:
@@ -61,9 +87,21 @@ def mc_luma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
     return _assemble(pix.transpose(2, 0, 1), nsy, nsx, 4)
 
 
-@functools.partial(jax.jit, static_argnames=("margin", "bit_depth"))
 def mc_chroma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
                         margin: int, bit_depth: int = 8) -> jnp.ndarray:
+    """Position-based chroma MC — Pallas kernel on TPU, XLA elsewhere."""
+    if _use_pallas() and positions.shape[1] % 64 == 0 \
+            and positions.shape[0] % 4 == 0:
+        from ...ops import mc_kernel
+        return mc_kernel.mc_chroma_positions(ref_padded, positions, margin,
+                                             bit_depth)
+    return _mc_chroma_positions_xla(ref_padded, positions, margin,
+                                    bit_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("margin", "bit_depth"))
+def _mc_chroma_positions_xla(ref_padded: jnp.ndarray, positions: jnp.ndarray,
+                             margin: int, bit_depth: int = 8) -> jnp.ndarray:
     """Chroma (4:2:0) variant: same position tensor, interpreted at 1/32-pel
     chroma precision over 2x2 subblocks (see reprojection.py chroma note)."""
     nsy, nsx, _ = positions.shape
@@ -82,7 +120,8 @@ def mc_chroma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
 
 
 def classic_positions(grid_offset: float, width: int, height: int,
-                      mvs: jnp.ndarray, block_size: int) -> jnp.ndarray:
+                      mvs: jnp.ndarray, block_size: int,
+                      row_step: int = 1) -> jnp.ndarray:
     """Per-subblock absolute positions for CLASSIC translation — lets the
     unified position-based MC handle mixed classic/MM frames in one pass.
 
@@ -91,9 +130,9 @@ def classic_positions(grid_offset: float, width: int, height: int,
     nsx, nsy = width // 4, height // 4
     rep = block_size // 4
     gx = jnp.arange(nsx, dtype=jnp.int32) * (4 * 16)
-    gy = jnp.arange(nsy, dtype=jnp.int32) * (4 * 16)
-    base_x = jnp.broadcast_to(gx[None, :], (nsy, nsx))
-    base_y = jnp.broadcast_to(gy[:, None], (nsy, nsx))
-    mv_x = jnp.repeat(jnp.repeat(mvs[..., 0], rep, 0), rep, 1)
-    mv_y = jnp.repeat(jnp.repeat(mvs[..., 1], rep, 0), rep, 1)
+    gy = jnp.arange(0, nsy, row_step, dtype=jnp.int32) * (4 * 16)
+    base_x = jnp.broadcast_to(gx[None, :], (gy.shape[0], nsx))
+    base_y = jnp.broadcast_to(gy[:, None], (gy.shape[0], nsx))
+    mv_x = jnp.repeat(jnp.repeat(mvs[..., 0], rep, 0), rep, 1)[::row_step]
+    mv_y = jnp.repeat(jnp.repeat(mvs[..., 1], rep, 0), rep, 1)[::row_step]
     return jnp.stack([base_x + mv_x, base_y + mv_y], -1).astype(jnp.int32)

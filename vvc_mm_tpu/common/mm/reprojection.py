@@ -79,13 +79,18 @@ class MVReprojection:
         return self._ged_rot[key]
 
     # -- the engine --------------------------------------------------------
-    def _subblock_mv_center(self, mvs: jnp.ndarray, block_size: int):
+    def _subblock_mv_center(self, mvs: jnp.ndarray, block_size: int,
+                            row_step: int = 1):
         """Broadcast per-block (nby, nbx, 2) 1/16-pel MVs and block centers
-        to the subblock grid -> per-subblock float mv/center arrays."""
+        to the subblock grid -> per-subblock float mv/center arrays.
+        row_step > 1 keeps only every row_step-th subblock row (subsampled
+        SAD during search, the reference's RdCost subShift analog)."""
         rep = block_size // SUBBLK
         mvf = mvs.astype(jnp.float32) / 16.0
-        mv_x = jnp.repeat(jnp.repeat(mvf[..., 0], rep, 0), rep, 1)
-        mv_y = jnp.repeat(jnp.repeat(mvf[..., 1], rep, 0), rep, 1)
+        mv_x = jnp.repeat(jnp.repeat(mvf[..., 0], rep, 0),
+                          rep, 1)[::row_step]
+        mv_y = jnp.repeat(jnp.repeat(mvf[..., 1], rep, 0),
+                          rep, 1)[::row_step]
         nby, nbx = mvs.shape[:2]
         cx = (np.arange(nbx, dtype=np.float32) * block_size
               + (block_size - 1) / 2.0)
@@ -93,30 +98,35 @@ class MVReprojection:
               + (block_size - 1) / 2.0)
         cx = jnp.repeat(jnp.asarray(cx)[None, :], nby, 0)
         cy = jnp.repeat(jnp.asarray(cy)[:, None], nbx, 1)
-        c_x = jnp.repeat(jnp.repeat(cx, rep, 0), rep, 1)
-        c_y = jnp.repeat(jnp.repeat(cy, rep, 0), rep, 1)
+        c_x = jnp.repeat(jnp.repeat(cx, rep, 0), rep, 1)[::row_step]
+        c_y = jnp.repeat(jnp.repeat(cy, rep, 0), rep, 1)[::row_step]
         return mv_x, mv_y, c_x, c_y
 
     def reproject_frame(self, model_id: int, mvs: jnp.ndarray,
-                        block_size: int, epipole=None) -> jnp.ndarray:
+                        block_size: int, epipole=None,
+                        row_step: int = 1) -> jnp.ndarray:
         """Model every subblock of the frame under `model_id`.
 
         Args:
           mvs: (nby, nbx, 2) int 1/16-pel motion vectors.
           epipole: (3,) for GEODESIC_CAMPOSE.
+          row_step: keep every row_step-th subblock row only (search-time
+            subsampled SAD; normative paths use 1).
         Returns:
           (nsy, nsx, 2) int32 absolute subblock target positions, 1/16-pel
           luma fixed point (see module docstring for chroma reuse).
         """
-        mv_x, mv_y, c_x, c_y = self._subblock_mv_center(mvs, block_size)
-        gx, gy = self.grid_x, self.grid_y
+        mv_x, mv_y, c_x, c_y = self._subblock_mv_center(mvs, block_size,
+                                                        row_step)
+        gx, gy = self.grid_x[::row_step], self.grid_y[::row_step]
         p = self.proj
         if model_id == M.CLASSIC:
             ox, oy = models.translational_motion(gx, gy, mv_x, mv_y)
         elif model_id in (M.MPA_FRONT_BACK, M.MPA_LEFT_RIGHT,
                           M.MPA_TOP_BOTTOM):
+            cache = tuple(c[::row_step] for c in self.mpa_cache(model_id))
             ox, oy = models.mpa_motion(p, model_id, gx, gy, mv_x, mv_y,
-                                       pers_cache=self.mpa_cache(model_id))
+                                       pers_cache=cache)
         elif model_id == M.THREE_D_TRANSLATIONAL:
             ox, oy = models.t3d_motion(p, gx, gy, mv_x, mv_y, c_x, c_y)
         elif model_id == M.TANGENTIAL:

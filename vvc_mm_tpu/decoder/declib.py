@@ -56,6 +56,8 @@ class DecLib:
         # POC -> "OK"/"MISMATCH" from decoded-picture-hash SEI (reference:
         # DecLib.cpp:868 calcAndPrintHashStatus)
         self.hash_status: dict[int, str] = {}
+        self.film_grain = None    # FilmGrainParams from an fgc SEI
+        self.concealed: list[int] = []  # POCs created by loss concealment
         # POC -> MV field (TMVP source, mirrors EncLib._mv_fields)
         self._mv_fields: dict[int, np.ndarray] = {}
 
@@ -89,7 +91,14 @@ class DecLib:
             elif nalu.nal_type == NAL_PPS:
                 self.pps = PPS.read(BitReader(nalu.payload))
             elif nalu.nal_type == NAL_SEI:
-                self._check_hash_sei(nalu.payload)
+                if nalu.payload and nalu.payload[0] == 19:
+                    # film grain characteristics (reference: SEIread fgc)
+                    from ..common.film_grain import FilmGrainParams
+                    br = BitReader(nalu.payload)
+                    br.read(8)
+                    self.film_grain = FilmGrainParams.read(br)
+                else:
+                    self._check_hash_sei(nalu.payload)
             elif nalu.nal_type in (NAL_IDR, NAL_TRAIL):
                 self._decode_slice(nalu.payload)
         self.frames.sort(key=lambda f: f.poc)
@@ -375,8 +384,25 @@ class DecLib:
             raise NotImplementedError(f"slice type {sh.slice_type}")
 
     def _ref_by_poc(self, poc: int) -> DecodedFrame:
-        """DPB lookup (reference: DecLib picture list m_cListPic)."""
+        """DPB lookup with lost-picture concealment (reference:
+        DecLib.cpp:1000 xCreateLostPicture — a missing reference is
+        concealed by cloning the nearest available picture at its POC so
+        decoding continues instead of aborting)."""
+        best = None
         for f in self.frames:
             if f.poc == poc:
                 return f
-        raise KeyError(f"reference POC {poc} not in DPB")
+            if best is None or abs(f.poc - poc) < abs(best.poc - poc):
+                best = f
+        cache = getattr(self, "_conceal_cache", None)
+        if cache is None:
+            cache = self._conceal_cache = {}
+        if poc in cache:
+            return cache[poc]
+        if best is not None:
+            self.concealed.append(poc)
+            clone = DecodedFrame(poc, [p.copy() for p in best.planes])
+            cache[poc] = clone
+            return clone
+        raise KeyError(f"reference POC {poc} not in DPB and no picture "
+                       "available for concealment")

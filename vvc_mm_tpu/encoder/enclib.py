@@ -94,6 +94,9 @@ class EncCfg:
                                   # (reference: transform_skip_flag;
                                   # --TransformSkip)
     bdpcm: bool = False          # BDPCM on TS blocks (--BDPCM)
+    film_grain: bool = False     # film grain characteristics SEI +
+                                 # analyzer (reference:
+                                 # SEIFilmGrainAnalyzer/Synthesizer)
     lossless: bool = False       # all-TS qStep-1 lossless intra coding
                                  # (--Lossless; forces QP 4, filters off)
 
@@ -194,6 +197,21 @@ class EncLib:
         # the SEI rides its picture's temporal id so temporal extraction
         # (apps/bitstream_extractor.py) drops them together
         return NalUnit(NAL_SEI, tid, bw.get_bytes())
+
+    def _film_grain_sei(self, planes, recon) -> NalUnit | None:
+        """Analyze source-vs-recon grain and emit an fgc SEI (reference:
+        SEIFilmGrainAnalyzer -> SEI payload type 19)."""
+        from ..common import film_grain as fg
+        params = fg.analyze(np.asarray(planes[0]), np.asarray(recon[0]),
+                            self.cfg.bit_depth)
+        if params is None:
+            return None
+        self.film_grain_params = params
+        bw = BitWriter()
+        bw.write(fg.SEI_FILM_GRAIN, 8)
+        params.write(bw)
+        bw.align()
+        return NalUnit(NAL_SEI, 0, bw.get_bytes())
 
     def encode_headers(self) -> list[NalUnit]:
         bw = BitWriter()
@@ -637,6 +655,10 @@ class EncLib:
             nal, res = self.encode_intra_frame(0, frames[0], qp=rc_qp("I"))
             rc_upd(res)
             nalus.append(nal)
+            if self.cfg.film_grain:
+                fg_nal = self._film_grain_sei(frames[0], res.recon)
+                if fg_nal is not None:
+                    nalus.append(fg_nal)
             if self.cfg.picture_hash_sei:
                 nalus.append(self._hash_sei(0, res.recon))
             dpb[0] = res.recon
@@ -673,6 +695,10 @@ class EncLib:
                 nal, res = self.encode_p_frame(poc, planes, last_rec,
                                                last_poc, qp=rc_qp("P"))
             rc_upd(res)
+            if poc == 0 and self.cfg.film_grain:
+                fg_nal = self._film_grain_sei(planes, res.recon)
+                if fg_nal is not None:
+                    nalus.append(fg_nal)
             last_rec, last_poc = res.recon, poc
             nalus.append(nal)
             if self.cfg.picture_hash_sei:

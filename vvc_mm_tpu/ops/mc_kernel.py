@@ -1,0 +1,373 @@
+"""Pallas TPU kernel v2: position-based subblock MC at VPU speed.
+
+Why this exists (measured on TPU v5e, this round): XLA lowers every
+per-subblock patch read to a gather whose cost is ~1.45 us per slice
+DESCRIPTOR regardless of slice size — 131k subblocks cost ~190 ms per
+frame-candidate no matter how the gather is phrased (advanced indexing,
+vmapped dynamic_slice, lax.gather with big slice_sizes: all ~200 ms).
+The MM search runs hundreds of candidate evaluations per frame, so the
+XLA formulation is the whole encoder's bottleneck (reference hot spot:
+InterPrediction.cpp:683-860 xPredInterBlkMM; SURVEY.md §3.3 "#1 Pallas
+kernel target").
+
+Design (the round-1 Mosaic blockers and their fixes):
+  * whole padded reference lives in VMEM (int32 2K ERP plane ~10 MB);
+    per-subblock reads are VECTOR LOADS, not DMA descriptors.
+  * dynamic loads must be 8-sublane / 128-lane aligned -> load an aligned
+    (24, 256) superpatch at (8*(y//8), 128*(x//128)) and rotate it into
+    place with pltpu.roll (dynamic rotate is supported); the (11, 11)
+    patch is then a static slice.
+  * stores must be lane-aligned -> per-subblock 4x4 results are rolled
+    into a (8, 128) accumulator register and flushed to the output row
+    every 32 subblocks at 128-aligned lane offsets.
+  * per-subblock scalars (aligned base, rotate amounts, filter phases)
+    are precomputed by the caller and streamed through SMEM row blocks;
+    the 16x8 filter table is read coefficient-by-coefficient from SMEM.
+
+Numerics are bit-identical to common/interp.py (same shift/round/clip),
+asserted by tests/test_mc_kernel.py in interpret mode and on hardware.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..common import interp
+from ..common.typedefs import NTAPS_LUMA, NTAPS_CHROMA
+
+SUP_H, SUP_W = 24, 256         # aligned superpatch (sublanes, lanes)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_ref(ref_padded: jnp.ndarray):
+    """Pad the reference so the kernel's aligned superpatch loads stay
+    in-bounds AND 8/128-aligned: height to a multiple of 8 (>= 24), width
+    to a multiple of 128 (>= 256).  The pad is never part of a result —
+    after the rolls only the original (11, 11) window survives."""
+    hp0, wp0 = ref_padded.shape
+    hp = max(_round_up(hp0, 8), SUP_H)
+    wp = max(_round_up(wp0, 128), SUP_W)
+    if (hp, wp) != (hp0, wp0):
+        ref_padded = jnp.pad(ref_padded, ((0, hp - hp0), (0, wp - wp0)))
+    return ref_padded
+
+
+def _prep_luma_scalars(orig_shape, padded_shape, positions, margin):
+    """Host/XLA-side: aligned bases + rotate amounts + phases, flattened.
+    Clips match the XLA path (mm/mc.py) on the ORIGINAL plane shape ->
+    bit-identical; the aligned base + rotate amounts satisfy dy <= 13,
+    dx <= 245 so the (11, 11) window always fits the (24, 256) superpatch."""
+    hp0, wp0 = orig_shape
+    hp, wp = padded_shape
+    pos = positions.reshape(-1, 2)
+    xi = (pos[:, 0] >> 4) + margin - (NTAPS_LUMA // 2 - 1)
+    yi = (pos[:, 1] >> 4) + margin - (NTAPS_LUMA // 2 - 1)
+    xi = jnp.clip(xi, 0, wp0 - (4 + NTAPS_LUMA - 1))
+    yi = jnp.clip(yi, 0, hp0 - (4 + NTAPS_LUMA - 1))
+    ys = jnp.minimum((yi // 8) * 8, hp - SUP_H)
+    xs = jnp.minimum((xi // 128) * 128, wp - SUP_W)
+    dy = (yi - ys).astype(jnp.int32)
+    dx = (xi - xs).astype(jnp.int32)
+    fx = (pos[:, 0] & 15).astype(jnp.int32)
+    fy = (pos[:, 1] & 15).astype(jnp.int32)
+    return (ys.astype(jnp.int32), xs.astype(jnp.int32), dy, dx, fx, fy)
+
+
+def _luma_filter_patch(patch, cx, cy, shift1, offs1):
+    """(11, 11) int32 patch + coefficient lists -> (4, 4) internal-precision
+    values (bit-identical to interp._separable_filter)."""
+    hsum = patch[:, 0:4] * cx[0]
+    for t in range(1, NTAPS_LUMA):
+        hsum = hsum + patch[:, t:t + 4] * cx[t]
+    if shift1 > 0:
+        hsum = (hsum + offs1) >> shift1
+    vsum = hsum[0:4, :] * cy[0]
+    for t in range(1, NTAPS_LUMA):
+        vsum = vsum + hsum[t:t + 4, :] * cy[t]
+    return vsum >> 6
+
+
+def _mc_luma_kernel(nsx: int, bit_depth: int, rows_per_step: int):
+    shift1 = bit_depth - 8
+    offs1 = (1 << (shift1 - 1)) if shift1 > 0 else 0
+    fin_shift = interp.IF_INTERNAL_PREC - bit_depth
+    fin_offs = 1 << (fin_shift - 1)
+    maxv = (1 << bit_depth) - 1
+    n_tiles = nsx // 32
+
+    def kernel(ys_ref, xs_ref, dy_ref, dx_ref, fx_ref, fy_ref, filt_ref,
+               ref_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+
+        for r in range(rows_per_step):          # static subblock row in step
+            def tile_body(tile, _):
+                def sb_body(ci, acc):
+                    c = tile * 32 + ci
+                    ys = pl.multiple_of(ys_ref[r * nsx + c], 8)
+                    xs = pl.multiple_of(xs_ref[r * nsx + c], 128)
+                    dy = dy_ref[r * nsx + c]
+                    dx = dx_ref[r * nsx + c]
+                    sp = ref_ref[pl.ds(ys, SUP_H), pl.ds(xs, SUP_W)]
+                    sp = pltpu.roll(sp, SUP_H - dy, 0)
+                    sp = pltpu.roll(sp, SUP_W - dx, 1)
+                    patch = sp[0:11, 0:11]
+                    fxv = fx_ref[r * nsx + c]
+                    fyv = fy_ref[r * nsx + c]
+                    cx = [filt_ref[fxv, t] for t in range(NTAPS_LUMA)]
+                    cy = [filt_ref[fyv, t] for t in range(NTAPS_LUMA)]
+                    val = _luma_filter_patch(patch, cx, cy, shift1, offs1)
+                    pix = jnp.clip((val + fin_offs) >> fin_shift, 0, maxv)
+                    pix8 = jnp.pad(pix, ((0, 4), (0, 124)))
+                    pix8 = jnp.where((row < 4) & (lane < 4), pix8, 0)
+                    return acc + pltpu.roll(pix8, 4 * ci, 1)
+
+                acc = jax.lax.fori_loop(
+                    0, 32, sb_body, jnp.zeros((8, 128), jnp.int32))
+                out_ref[pl.ds(4 * r, 4),
+                        pl.ds(pl.multiple_of(tile * 128, 128), 128)] = \
+                    acc[0:4, :]
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("margin", "bit_depth", "interpret"))
+def mc_luma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
+                      margin: int, bit_depth: int = 8,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Drop-in replacement for common.mm.mc.mc_luma_positions."""
+    nsy, nsx, _ = positions.shape
+    assert nsx % 32 == 0 and nsy % 2 == 0
+    orig_shape = ref_padded.shape
+    ref_padded = _pad_ref(ref_padded.astype(jnp.int32))
+    rows_per_step = 2                      # 8 output pixel rows per step
+    scal = _prep_luma_scalars(orig_shape, ref_padded.shape, positions,
+                              margin)
+    scal = [s.reshape(-1) for s in scal]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nsy // rows_per_step,),
+        in_specs=[pl.BlockSpec((rows_per_step * nsx,), lambda j: (j,),
+                               memory_space=pltpu.SMEM)] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM),     # filter table
+           pl.BlockSpec(memory_space=pltpu.VMEM)],    # whole ref plane
+        out_specs=pl.BlockSpec((rows_per_step * 4, nsx * 4),
+                               lambda j: (j, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _mc_luma_kernel(nsx, bit_depth, rows_per_step),
+        out_shape=jax.ShapeDtypeStruct((nsy * 4, nsx * 4), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*scal, jnp.asarray(interp.LUMA_FILTER), ref_padded)
+
+
+def _sad_luma_kernel(nsx: int, bit_depth: int, rows_per_step: int,
+                     tile_w: int):
+    shift1 = bit_depth - 8
+    offs1 = (1 << (shift1 - 1)) if shift1 > 0 else 0
+    fin_shift = interp.IF_INTERNAL_PREC - bit_depth
+    fin_offs = 1 << (fin_shift - 1)
+    maxv = (1 << bit_depth) - 1
+    n_tiles = nsx // tile_w
+
+    def kernel(ys_ref, xs_ref, dy_ref, dx_ref, fx_ref, fy_ref, filt_ref,
+               ref_ref, orig_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+
+        def tile_body(tile, _):
+            def sb_body(ci, acc):
+                c = tile * tile_w + ci
+                for r in range(rows_per_step):       # 8 subblocks / iter
+                    ys = pl.multiple_of(ys_ref[r * nsx + c], 8)
+                    xs = pl.multiple_of(xs_ref[r * nsx + c], 128)
+                    sp = ref_ref[pl.ds(ys, SUP_H), pl.ds(xs, SUP_W)]
+                    sp = pltpu.roll(sp, SUP_H - dy_ref[r * nsx + c], 0)
+                    sp = pltpu.roll(sp, SUP_W - dx_ref[r * nsx + c], 1)
+                    patch = sp[0:11, 0:11]
+                    fxv = fx_ref[r * nsx + c]
+                    fyv = fy_ref[r * nsx + c]
+                    cx = [filt_ref[fxv, t] for t in range(NTAPS_LUMA)]
+                    cy = [filt_ref[fyv, t] for t in range(NTAPS_LUMA)]
+                    val = _luma_filter_patch(patch, cx, cy, shift1, offs1)
+                    pix = jnp.clip((val + fin_offs) >> fin_shift, 0, maxv)
+                    ob = orig_ref[pl.ds(4 * r, 4), pl.ds(4 * c, 4)]
+                    sad = jnp.sum(jnp.abs(pix - ob))
+                    pad = jnp.where((row == r) & (lane == 0), sad, 0)
+                    acc = acc + pltpu.roll(pad, ci, 1)
+                return acc
+
+            acc = jax.lax.fori_loop(
+                0, tile_w, sb_body, jnp.zeros((8, 128), jnp.int32))
+            out_ref[:, pl.ds(pl.multiple_of(tile * tile_w, tile_w),
+                             tile_w)] = acc[:, 0:tile_w]
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("margin", "bit_depth", "interpret"))
+def sad_luma_positions(ref_padded: jnp.ndarray, orig: jnp.ndarray,
+                       positions: jnp.ndarray, margin: int,
+                       bit_depth: int = 8, interpret: bool = False
+                       ) -> jnp.ndarray:
+    """Fused predict+|diff| reduction: per-4x4-subblock SADs against the
+    original frame (the model-search inner loop) with no prediction
+    writeback.  Returns (nsy, nsx) int32."""
+    nsy, nsx, _ = positions.shape
+    tile_w = 128 if nsx % 128 == 0 else nsx
+    assert tile_w <= 128 and nsy % 8 == 0
+    orig_shape = ref_padded.shape
+    ref_padded = _pad_ref(ref_padded.astype(jnp.int32))
+    rows_per_step = 8
+    scal = _prep_luma_scalars(orig_shape, ref_padded.shape, positions,
+                              margin)
+    scal = [s.reshape(-1) for s in scal]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nsy // rows_per_step,),
+        in_specs=[pl.BlockSpec((rows_per_step * nsx,), lambda j: (j,),
+                               memory_space=pltpu.SMEM)] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM),
+           pl.BlockSpec(memory_space=pltpu.VMEM),
+           pl.BlockSpec((rows_per_step * 4, nsx * 4), lambda j: (j, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows_per_step, nsx), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _sad_luma_kernel(nsx, bit_depth, rows_per_step, tile_w),
+        out_shape=jax.ShapeDtypeStruct((nsy, nsx), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*scal, jnp.asarray(interp.LUMA_FILTER), ref_padded,
+      orig.astype(jnp.int32))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Chroma kernel: 2x2 subblocks, 4-tap, 1/32-pel (reference chroma MC path)
+# ---------------------------------------------------------------------------
+SUP_HC = 16
+
+
+def _prep_chroma_scalars(orig_shape, padded_shape, positions, margin):
+    hp0, wp0 = orig_shape
+    hp, wp = padded_shape
+    pos = positions.reshape(-1, 2)
+    xi = (pos[:, 0] >> 5) + margin - (NTAPS_CHROMA // 2 - 1)
+    yi = (pos[:, 1] >> 5) + margin - (NTAPS_CHROMA // 2 - 1)
+    xi = jnp.clip(xi, 0, wp0 - (2 + NTAPS_CHROMA - 1))
+    yi = jnp.clip(yi, 0, hp0 - (2 + NTAPS_CHROMA - 1))
+    ys = jnp.minimum((yi // 8) * 8, hp - SUP_HC)
+    xs = jnp.minimum((xi // 128) * 128, wp - SUP_W)
+    dy = (yi - ys).astype(jnp.int32)
+    dx = (xi - xs).astype(jnp.int32)
+    fx = (pos[:, 0] & 31).astype(jnp.int32)
+    fy = (pos[:, 1] & 31).astype(jnp.int32)
+    return (ys.astype(jnp.int32), xs.astype(jnp.int32), dy, dx, fx, fy)
+
+
+def _mc_chroma_kernel(nsx: int, bit_depth: int, rows_per_step: int,
+                      tile_w: int):
+    shift1 = bit_depth - 8
+    offs1 = (1 << (shift1 - 1)) if shift1 > 0 else 0
+    fin_shift = interp.IF_INTERNAL_PREC - bit_depth
+    fin_offs = 1 << (fin_shift - 1)
+    maxv = (1 << bit_depth) - 1
+    n_tiles = nsx // tile_w
+
+    def kernel(ys_ref, xs_ref, dy_ref, dx_ref, fx_ref, fy_ref, filt_ref,
+               ref_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+
+        for r in range(rows_per_step):
+            def tile_body(tile, _):
+                def sb_body(ci, acc):
+                    c = tile * tile_w + ci
+                    ys = pl.multiple_of(ys_ref[r * nsx + c], 8)
+                    xs = pl.multiple_of(xs_ref[r * nsx + c], 128)
+                    sp = ref_ref[pl.ds(ys, SUP_HC), pl.ds(xs, SUP_W)]
+                    sp = pltpu.roll(sp, SUP_HC - dy_ref[r * nsx + c], 0)
+                    sp = pltpu.roll(sp, SUP_W - dx_ref[r * nsx + c], 1)
+                    patch = sp[0:5, 0:5]
+                    fxv = fx_ref[r * nsx + c]
+                    fyv = fy_ref[r * nsx + c]
+                    cx = [filt_ref[fxv, t] for t in range(NTAPS_CHROMA)]
+                    cy = [filt_ref[fyv, t] for t in range(NTAPS_CHROMA)]
+                    hsum = patch[:, 0:2] * cx[0]
+                    for t in range(1, NTAPS_CHROMA):
+                        hsum = hsum + patch[:, t:t + 2] * cx[t]
+                    if shift1 > 0:
+                        hsum = (hsum + offs1) >> shift1
+                    vsum = hsum[0:2, :] * cy[0]
+                    for t in range(1, NTAPS_CHROMA):
+                        vsum = vsum + hsum[t:t + 2, :] * cy[t]
+                    val = vsum >> 6
+                    pix = jnp.clip((val + fin_offs) >> fin_shift, 0, maxv)
+                    pix8 = jnp.pad(pix, ((0, 6), (0, 126)))
+                    pix8 = jnp.where((row < 2) & (lane < 2), pix8, 0)
+                    return acc + pltpu.roll(pix8, 2 * ci, 1)
+
+                acc = jax.lax.fori_loop(
+                    0, tile_w, sb_body, jnp.zeros((8, 128), jnp.int32))
+                out_ref[pl.ds(2 * r, 2),
+                        pl.ds(pl.multiple_of(tile * 2 * tile_w,
+                                             2 * tile_w), 2 * tile_w)] = \
+                    acc[0:2, 0:2 * tile_w]
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("margin", "bit_depth", "interpret"))
+def mc_chroma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
+                        margin: int, bit_depth: int = 8,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Drop-in replacement for common.mm.mc.mc_chroma_positions (the shared
+    luma position tensor reinterpreted at 1/32-pel chroma precision)."""
+    nsy, nsx, _ = positions.shape
+    tile_w = 64 if nsx % 64 == 0 else nsx
+    assert tile_w <= 64 and nsy % 4 == 0
+    orig_shape = ref_padded.shape
+    ref_padded = _pad_ref(ref_padded.astype(jnp.int32))
+    rows_per_step = 4                      # 8 output pixel rows per step
+    scal = _prep_chroma_scalars(orig_shape, ref_padded.shape, positions,
+                                margin)
+    scal = [s.reshape(-1) for s in scal]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nsy // rows_per_step,),
+        in_specs=[pl.BlockSpec((rows_per_step * nsx,), lambda j: (j,),
+                               memory_space=pltpu.SMEM)] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM),
+           pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows_per_step * 2, nsx * 2),
+                               lambda j: (j, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _mc_chroma_kernel(nsx, bit_depth, rows_per_step, tile_w),
+        out_shape=jax.ShapeDtypeStruct((nsy * 2, nsx * 2), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*scal, jnp.asarray(interp.CHROMA_FILTER), ref_padded)
