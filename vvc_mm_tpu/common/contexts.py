@@ -84,6 +84,9 @@ _CTX_SETS: list[tuple[str, int]] = [
     ("EpipoleDelta", 2),
     ("ImvFlag", 5),
     ("BcwIdx", 1),
+    ("GeoFlag", 1),            # GPM vs plain BI (reference: merge GEO cu)
+    ("CiipFlag", 1),           # reference: ciip_flag
+    ("IbcFlag", 3),            # intra block copy (reference: Ctx::IBCFlag)
 ]
 
 CTX_OFFSET: dict[str, int] = {}

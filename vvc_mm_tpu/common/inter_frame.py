@@ -140,6 +140,55 @@ def _luma_combine(int0, int1, dirs, nby, nbx, bit_depth, bdof: bool):
     return _combine_bi(int0, int1, dirs, nby, nbx, bit_depth)
 
 
+def _pred_planes_ext(i0, i1, dirs, gpm_modes, nby, nbx, bit_depth,
+                     bdof: bool, use_gpm: bool, use_ciip: bool):
+    """All-plane prediction combine incl. GPM / CIIP block modes.
+
+    dirs: 0=L0, 1=L1, 2=BI, 3=GPM (per-block mask in gpm_modes), 4=CIIP
+    (bi inter + planar-from-prediction; reference: GEO weightedGeoBlk and
+    the CIIP blend, InterPrediction.cpp / DecCu.cpp).  GPM/CIIP overlay the
+    base uni/bi combine, so with both tools off this is exactly the
+    round-1 path."""
+    from . import gpm as gpm_mod
+    d = dirs.reshape(-1)[:, None, None]
+    # CIIP's inter component is the bi average
+    d_base = jnp.where(dirs == 4, 2, dirs) if use_ciip else dirs
+    pred_y = _luma_combine(i0[0], i1[0], d_base, nby, nbx, bit_depth, bdof)
+    pred_u = _combine_bi(i0[1], i1[1], d_base, nby, nbx, bit_depth)
+    pred_v = _combine_bi(i0[2], i1[2], d_base, nby, nbx, bit_depth)
+    if use_gpm:
+        g = gpm_modes.reshape(-1)
+        by = gpm_mod.gpm_blend(interp.finalize_uni(i0[0], bit_depth),
+                               interp.finalize_uni(i1[0], bit_depth), g)
+        bu = gpm_mod.gpm_blend_chroma(
+            interp.finalize_uni(i0[1], bit_depth),
+            interp.finalize_uni(i1[1], bit_depth), g)
+        bv = gpm_mod.gpm_blend_chroma(
+            interp.finalize_uni(i0[2], bit_depth),
+            interp.finalize_uni(i1[2], bit_depth), g)
+        s = by.shape[-1]
+        sc = s // 2
+        pred_y = _from_blocks(
+            jnp.where(d == 3, by, _to_blocks(pred_y, s)), nby, nbx)
+        pred_u = _from_blocks(
+            jnp.where(d == 3, bu, _to_blocks(pred_u, sc)), nby, nbx)
+        pred_v = _from_blocks(
+            jnp.where(d == 3, bv, _to_blocks(pred_v, sc)), nby, nbx)
+    if use_ciip:
+        s = pred_y.shape[0] // nby
+        sc = s // 2
+        cy = gpm_mod.ciip_from_pred(pred_y, s)
+        cu = gpm_mod.ciip_from_pred(pred_u, sc)
+        cv = gpm_mod.ciip_from_pred(pred_v, sc)
+        pred_y = _from_blocks(
+            jnp.where(d == 4, cy, _to_blocks(pred_y, s)), nby, nbx)
+        pred_u = _from_blocks(
+            jnp.where(d == 4, cu, _to_blocks(pred_u, sc)), nby, nbx)
+        pred_v = _from_blocks(
+            jnp.where(d == 4, cv, _to_blocks(pred_v, sc)), nby, nbx)
+    return pred_y, pred_u, pred_v
+
+
 def _combine_bi(int0, int1, dirs, nby, nbx, bit_depth):
     """Per-block uni/bi finalize: dirs (nby, nbx) 0=L0, 1=L1, 2=BI."""
     d = dirs.reshape(-1)[:, None, None]
@@ -152,16 +201,19 @@ def _combine_bi(int0, int1, dirs, nby, nbx, bit_depth):
 
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
                                              "wrap_around", "bdof",
-                                             "dmvr"))
+                                             "dmvr", "gpm", "ciip"))
 def bpred_and_residual(orig_y, orig_u, orig_v, ref0, ref1, mv0, mv1, dirs,
                        qp: int, block_size: int, bit_depth: int,
                        wrap_around: bool, bdof: bool = False,
-                       dmvr: bool = False):
+                       dmvr: bool = False, gpm_modes=None,
+                       gpm: bool = False, ciip: bool = False):
     """Shared B prediction+residual path (encoder passes orig; decoder uses
     reconstruct_b_frame below)."""
     s = block_size
     h, w = orig_y.shape
     nby, nbx = h // s, w // s
+    if gpm_modes is None:
+        gpm_modes = jnp.zeros((nby, nbx), dtype=jnp.int32)
     if dmvr:
         from .dmvr import dmvr_refine
         mv0, mv1 = dmvr_refine(pad_ref(ref0[0], MC_MARGIN, wrap_around),
@@ -169,9 +221,8 @@ def bpred_and_residual(orig_y, orig_u, orig_v, ref0, ref1, mv0, mv1, dirs,
                                mv0, mv1, dirs, s, MC_MARGIN)
     i0 = _mc_planes_internal(*ref0, mv0, s, bit_depth, wrap_around)
     i1 = _mc_planes_internal(*ref1, mv1, s, bit_depth, wrap_around)
-    pred_y = _luma_combine(i0[0], i1[0], dirs, nby, nbx, bit_depth, bdof)
-    pred_u = _combine_bi(i0[1], i1[1], dirs, nby, nbx, bit_depth)
-    pred_v = _combine_bi(i0[2], i1[2], dirs, nby, nbx, bit_depth)
+    pred_y, pred_u, pred_v = _pred_planes_ext(
+        i0, i1, dirs, gpm_modes, nby, nbx, bit_depth, bdof, gpm, ciip)
     lev_y, rec_y = _residual_pass(orig_y, pred_y, s, qp, bit_depth)
     lev_u, rec_u = _residual_pass(orig_u, pred_u, s // 2, qp, bit_depth)
     lev_v, rec_v = _residual_pass(orig_v, pred_v, s // 2, qp, bit_depth)
@@ -179,12 +230,16 @@ def bpred_and_residual(orig_y, orig_u, orig_v, ref0, ref1, mv0, mv1, dirs,
 
 
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
-                                             "search_range", "wrap_around"))
+                                             "search_range", "wrap_around",
+                                             "gpm", "ciip"))
 def search_b_frame(orig_y, ref0_y, ref1_y, qp: int, block_size: int,
-                   bit_depth: int, search_range: int, wrap_around: bool):
+                   bit_depth: int, search_range: int, wrap_around: bool,
+                   gpm: bool = False, ciip: bool = False):
     """Per-list ME + per-block prediction-direction decision (reference:
     InterSearch::predInterSearch uni L0/L1 + bi iteration; round-1 bi uses
-    the uni-best MVs without iterative refinement)."""
+    the uni-best MVs without iterative refinement).  With gpm/ciip the
+    decision extends to dirs 3 (GPM, mask by batched SAD over all masks)
+    and 4 (CIIP).  Returns (mv0, mv1, dirs, gpm_modes)."""
     from ..encoder import me as me_mod
     s = block_size
     h, w = orig_y.shape
@@ -215,23 +270,48 @@ def search_b_frame(orig_y, ref0_y, ref1_y, qp: int, block_size: int,
     cost0 = sads[0]
     cost1 = sads[1]
     cost_bi = sad_bi + mv_bits
-    dirs = jnp.argmin(jnp.stack([cost0, cost1, cost_bi]), axis=0
-                      ).astype(jnp.int32)
-    return mvs[0], mvs[1], dirs
+    costs = [cost0, cost1, cost_bi]
+    gpm_modes = jnp.zeros((nby, nbx), dtype=jnp.int32)
+    if gpm or ciip:
+        from . import gpm as gpm_mod
+        big = jnp.int32(1 << 30)
+        u0 = interp.finalize_uni(preds[0], bit_depth)
+        u1 = interp.finalize_uni(preds[1], bit_depth)
+        if gpm:
+            gmode, gsad = gpm_mod.gpm_search(ob, u0, u1)
+            gpm_modes = gmode.reshape(nby, nbx)
+            # GPM pays two mvds + the 4-bit mask index
+            costs.append(gsad.reshape(nby, nbx) + mv_bits
+                         + (mv_bits >> 1))
+        else:
+            costs.append(jnp.full((nby, nbx), big))
+        if ciip:
+            cblk = gpm_mod.ciip_from_pred(
+                _from_blocks(bi_pix, nby, nbx), s)
+            csad = jnp.sum(jnp.abs(cblk - ob), axis=(1, 2))
+            costs.append(csad.reshape(nby, nbx) + mv_bits)
+        else:
+            costs.append(jnp.full((nby, nbx), big))
+    dirs = jnp.argmin(jnp.stack(costs), axis=0).astype(jnp.int32)
+    return mvs[0], mvs[1], dirs, gpm_modes
 
 
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
                                              "wrap_around", "bdof",
-                                             "dmvr"))
+                                             "dmvr", "gpm", "ciip"))
 def reconstruct_b_frame(mv0, mv1, dirs, lev_y, lev_u, lev_v,
                         ref0, ref1, qp: int, block_size: int,
                         bit_depth: int = 8, wrap_around: bool = False,
-                        bdof: bool = False, dmvr: bool = False):
+                        bdof: bool = False, dmvr: bool = False,
+                        gpm_modes=None, gpm: bool = False,
+                        ciip: bool = False):
     """Decoder-side B reconstruction (shared with encoder recon)."""
     s = block_size
     sc = s // 2
     h, w = ref0[0].shape
     nby, nbx = h // s, w // s
+    if gpm_modes is None:
+        gpm_modes = jnp.zeros((nby, nbx), dtype=jnp.int32)
     if dmvr:
         from .dmvr import dmvr_refine
         mv0, mv1 = dmvr_refine(pad_ref(ref0[0], MC_MARGIN, wrap_around),
@@ -239,9 +319,8 @@ def reconstruct_b_frame(mv0, mv1, dirs, lev_y, lev_u, lev_v,
                                mv0, mv1, dirs, s, MC_MARGIN)
     i0 = _mc_planes_internal(*ref0, mv0, s, bit_depth, wrap_around)
     i1 = _mc_planes_internal(*ref1, mv1, s, bit_depth, wrap_around)
-    pred_y = _luma_combine(i0[0], i1[0], dirs, nby, nbx, bit_depth, bdof)
-    pred_u = _combine_bi(i0[1], i1[1], dirs, nby, nbx, bit_depth)
-    pred_v = _combine_bi(i0[2], i1[2], dirs, nby, nbx, bit_depth)
+    pred_y, pred_u, pred_v = _pred_planes_ext(
+        i0, i1, dirs, gpm_modes, nby, nbx, bit_depth, bdof, gpm, ciip)
 
     def rec_plane(pred, lev, size):
         log2s = size.bit_length() - 1

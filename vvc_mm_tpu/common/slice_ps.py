@@ -83,6 +83,12 @@ class SPS:
     alf: bool = True              # adaptive loop filter enable
     bdof: bool = False            # bi-directional optical flow (B slices)
     dmvr: bool = False            # decoder-side MV refinement (B slices)
+    gpm: bool = False             # geometric partitioning (reference:
+                                  # sps_gpm_enabled_flag, GEO merge mode)
+    ciip: bool = False            # combined inter/intra prediction
+                                  # (reference: sps_ciip_enabled_flag)
+    ibc: bool = False             # intra block copy (reference:
+                                  # sps_ibc_enabled_flag, IbcHashMap)
     lmcs: bool = False            # luma mapping (reshaper) enable
     lmcs_cw: tuple = ()           # 16 signaled codeword counts
     dep_quant: bool = False       # dependent quantization (reference:
@@ -130,6 +136,9 @@ class SPS:
         bw.write_flag(self.alf)
         bw.write_flag(self.bdof)
         bw.write_flag(self.dmvr)
+        bw.write_flag(self.gpm)
+        bw.write_flag(self.ciip)
+        bw.write_flag(self.ibc)
         bw.write_flag(self.lmcs)
         if self.lmcs:
             for c in self.lmcs_cw:
@@ -180,6 +189,9 @@ class SPS:
         sps.alf = br.read_flag()
         sps.bdof = br.read_flag()
         sps.dmvr = br.read_flag()
+        sps.gpm = br.read_flag()
+        sps.ciip = br.read_flag()
+        sps.ibc = br.read_flag()
         sps.lmcs = br.read_flag()
         if sps.lmcs:
             sps.lmcs_cw = tuple(br.read_uvlc() for _ in range(16))

@@ -37,6 +37,17 @@ from .rdcost import satd as satd_fn
 
 MARGIN = 64            # intra buffer margin (>= 2*S + slack)
 
+# Intra block copy: block-aligned BV candidates (in block units), all causal
+# under the wavefront order d = 2*by + bx (every candidate block has
+# 2*dy + dx < 0, i.e. lies on an earlier anti-diagonal).  reference: IBC /
+# IbcHashMap hash-ME over the reconstructed area (Hash.cpp, InterSearch IBC
+# search); here a fixed candidate set evaluated batched, closed-loop.
+IBC_BVS: tuple[tuple[int, int], ...] = (
+    (0, -1), (0, -2), (0, -3), (0, -4),
+    (-1, 0), (-1, -1), (-1, 1), (-1, -2),
+    (-2, 0), (-2, 1), (-2, -1), (-2, 2))
+IBC_BASE = 128         # block modes >= IBC_BASE are IBC (mode - base = BV idx)
+
 
 @functools.lru_cache(maxsize=None)
 def wavefront_coords(nby: int, nbx: int) -> tuple[np.ndarray, np.ndarray]:
@@ -294,14 +305,15 @@ def _bdpcm_cumsum(d: jnp.ndarray, horizontal: bool) -> jnp.ndarray:
                                              "dep_quant", "use_cclm",
                                              "use_mip", "use_lfnst",
                                              "use_mrl", "use_ts",
-                                             "use_bdpcm", "lossless"))
+                                             "use_bdpcm", "lossless",
+                                             "use_ibc"))
 def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                        orig_v: jnp.ndarray, qp: int, block_size: int = 8,
                        bit_depth: int = 8, dep_quant: bool = False,
                        use_cclm: bool = False, use_mip: bool = False,
                        use_lfnst: bool = False, use_mrl: bool = False,
                        use_ts: bool = False, use_bdpcm: bool = False,
-                       lossless: bool = False):
+                       lossless: bool = False, use_ibc: bool = False):
     """Closed-loop wavefront intra encode of one frame.
 
     Returns dict with per-block modes (nby, nbx), levels for Y/U/V, and the
@@ -378,6 +390,32 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
             pred = jnp.where(mrl[:, None, None] > 0, pred1, pred)
         else:
             mrl = jnp.zeros(y0.shape, jnp.int32)
+        if use_ibc:
+            # batched BV candidate evaluation over the causal region
+            pstack = jnp.stack(
+                [_gather_blocks(ry, y0 + dy * s, x0 + dx * s, s)
+                 for dy, dx in IBC_BVS], 1)            # (B, K, s, s)
+            d_ibc = satd_fn(pstack, ob[:, None]).astype(jnp.float32)
+            ok = jnp.stack(
+                [(by + dy >= 0) & (bx + dx >= 0) & (bx + dx < nbx)
+                 for dy, dx in IBC_BVS], 1)
+            d_ibc = jnp.where(ok, d_ibc, jnp.float32(1e18))
+            kbv = jnp.argmin(d_ibc, 1).astype(jnp.int32)
+            # ibc pays flag + 4-bit BV index vs ~1-bit flag on intra
+            cost_ibc = jnp.min(d_ibc, 1) + lam_satd * 5.0
+            d_cur = satd_fn(pred[:, None], ob[:, None])[:, 0] \
+                .astype(jnp.float32)
+            is_ibc = cost_ibc < d_cur
+            pred = jnp.where(
+                is_ibc[:, None, None],
+                jnp.take_along_axis(pstack, kbv[:, None, None, None],
+                                    1)[:, 0], pred)
+            mode = jnp.where(is_ibc, IBC_BASE + kbv, mode)
+            if use_mrl:
+                mrl = jnp.where(is_ibc, 0, mrl)
+        else:
+            is_ibc = jnp.zeros(y0.shape, bool)
+            kbv = jnp.zeros(y0.shape, jnp.int32)
         maxv = (1 << bit_depth) - 1
         if lossless:
             # all-transform-skip at qStep 1: exact residual pass-through
@@ -435,6 +473,12 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                                                sel(3))
                 if use_mrl:
                     mrl = jnp.where(tsm > 0, 0, mrl)
+        if use_ibc:
+            # re-derive from the *final* mode (a BDPCM pick may have
+            # replaced an IBC choice) so chroma matches the decoder, which
+            # only sees the signaled mode
+            is_ibc = mode >= IBC_BASE
+            kbv = jnp.clip(mode - IBC_BASE, 0, len(IBC_BVS) - 1)
         ry = _scatter_blocks(ry, y0, x0, rec)
         # invalid lanes target the never-read pad cell (0,0) so scatter
         # duplicates stay deterministic
@@ -453,9 +497,20 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
         for plane_o, plane_r in ((ou, ru), (ov, rv)):
             crefc = _gather_cref(plane_r, y0c, x0c, sc)
             predc = intra.predict_mode(crefc, nb_mode, sc, sc)
+            if use_ibc:
+                # chroma rides the luma BV (block-aligned -> chroma offset
+                # is bv * sc exactly)
+                cstack = jnp.stack(
+                    [_gather_blocks(plane_r, y0c + dy * sc, x0c + dx * sc,
+                                    sc) for dy, dx in IBC_BVS], 1)
+                cpatch = jnp.take_along_axis(
+                    cstack, kbv[:, None, None, None], 1)[:, 0]
+                predc = jnp.where(is_ibc[:, None, None], cpatch, predc)
             obc = _gather_blocks(plane_o, y0c, x0c, sc)
             predlm = (_cclm_pred(plane_r, y0c, x0c, sc, dsl, border_l,
                                  bit_depth) if use_cclm else predc)
+            if use_cclm and use_ibc:
+                predlm = jnp.where(is_ibc[:, None, None], predc, predlm)
             preds.append((predc, predlm))
             obcs.append(obc)
         if use_cclm:
@@ -464,6 +519,8 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
             ssd_l = sum(((o - p[1]) ** 2).sum((1, 2))
                         for o, p in zip(obcs, preds))
             lm_flag = (ssd_l < ssd_d).astype(jnp.int32)
+            if use_ibc:
+                lm_flag = jnp.where(is_ibc, 0, lm_flag)
         else:
             lm_flag = jnp.zeros(y0.shape, jnp.int32)
         lev_c = []
@@ -500,7 +557,8 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                                              "height", "width", "dep_quant",
                                              "use_cclm", "use_mip",
                                              "use_lfnst", "use_mrl",
-                                             "use_ts", "lossless"))
+                                             "use_ts", "lossless",
+                                             "use_ibc"))
 def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                        lev_u: jnp.ndarray, lev_v: jnp.ndarray,
                        qp: int, height: int, width: int, block_size: int = 8,
@@ -513,7 +571,7 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                        mrl_steps: jnp.ndarray | None = None,
                        use_ts: bool = False,
                        ts_steps: jnp.ndarray | None = None,
-                       lossless: bool = False):
+                       lossless: bool = False, use_ibc: bool = False):
     """Wavefront intra decode: same scan as the encoder with parsed
     modes/levels; identical reconstruction math -> bit-exact recon."""
     s = block_size
@@ -559,7 +617,18 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
             pmip = mip.predict_mip_mode(
                 cref, jnp.clip(mode - 67, 0, mip.N_MIP_MODES - 1), s,
                 bit_depth)
-            pred = jnp.where((mode >= 67)[:, None, None], pmip, pred)
+            pred = jnp.where(((mode >= 67) & (mode < IBC_BASE))
+                             [:, None, None], pmip, pred)
+        if use_ibc:
+            is_ibc = mode >= IBC_BASE
+            kbv = jnp.clip(mode - IBC_BASE, 0, len(IBC_BVS) - 1)
+            pstack = jnp.stack(
+                [_gather_blocks(ry, y0 + dy * s, x0 + dx * s, s)
+                 for dy, dx in IBC_BVS], 1)
+            pred = jnp.where(
+                is_ibc[:, None, None],
+                jnp.take_along_axis(pstack, kbv[:, None, None, None],
+                                    1)[:, 0], pred)
         maxv = (1 << bit_depth) - 1
         if lossless:
             rec = jnp.clip(pred + quant.dequantize_ts(ly, qp), 0, maxv)
@@ -594,6 +663,13 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                 predlm = _cclm_pred(buf, y0c, x0c, sc, dsl, border_l,
                                     bit_depth)
                 predc = jnp.where(lmflag[:, None, None] > 0, predlm, predc)
+            if use_ibc:
+                cstack = jnp.stack(
+                    [_gather_blocks(buf, y0c + dy * sc, x0c + dx * sc, sc)
+                     for dy, dx in IBC_BVS], 1)
+                cpatch = jnp.take_along_axis(
+                    cstack, kbv[:, None, None, None], 1)[:, 0]
+                predc = jnp.where(is_ibc[:, None, None], cpatch, predc)
             if lossless:
                 recc = jnp.clip(predc + quant.dequantize_ts(lev, qp),
                                 0, maxv)

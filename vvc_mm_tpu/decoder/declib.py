@@ -181,7 +181,8 @@ class DecLib:
             modes, lm, lf, mr, tsg, ly, lu, lv = parse(
                 cabac_bytes, nby, nbx, s, stats=self.stats, cclm=sps.cclm,
                 mip=sps.mip, lfnst=sps.lfnst, mrl=sps.mrl,
-                ts=sps.ts and not sps.lossless, bdpcm=sps.bdpcm)
+                ts=sps.ts and not sps.lossless, bdpcm=sps.bdpcm,
+                ibc=sps.ibc)
             if sps.lossless:
                 tsg = np.ones_like(tsg)
             coords, valid = wavefront.wavefront_coords(nby, nbx)
@@ -202,7 +203,7 @@ class DecLib:
                 use_lfnst=sps.lfnst, lfnst_steps=jnp.asarray(lf_steps),
                 use_mrl=sps.mrl, mrl_steps=jnp.asarray(mr_steps),
                 use_ts=sps.ts, ts_steps=jnp.asarray(ts_steps),
-                lossless=sps.lossless)
+                lossless=sps.lossless, use_ibc=sps.ibc)
             if sps.deblocking:
                 # reference: DecLib.cpp:669 executeLoopFilters
                 bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)
@@ -353,16 +354,17 @@ class DecLib:
                     planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
                             np.asarray(recon["v"])]))
                 return
-            mv0, mv1, dirs, ly, lu, lv = decode_b_slice(cabac_bytes, nby,
-                                                        nbx, s,
-                                                        stats=self.stats)
+            mv0, mv1, dirs, ly, lu, lv, gpm_modes = decode_b_slice(
+                cabac_bytes, nby, nbx, s, stats=self.stats,
+                use_gpm=sps.gpm, use_ciip=sps.ciip)
             r0 = tuple(jnp.asarray(p) for p in ref0.planes)
             r1 = tuple(jnp.asarray(p) for p in ref1.planes)
             recon = inter_frame.reconstruct_b_frame(
                 jnp.asarray(mv0), jnp.asarray(mv1), jnp.asarray(dirs),
                 jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
                 r0, r1, sh.qp, s, sps.bit_depth, sps.wrap_around,
-                sps.bdof, sps.dmvr)
+                sps.bdof, sps.dmvr, gpm_modes=jnp.asarray(gpm_modes),
+                gpm=sps.gpm, ciip=sps.ciip)
             if sps.deblocking:
                 has_resid = (np.any(ly != 0, axis=(2, 3))
                              | np.any(lu != 0, axis=(2, 3))

@@ -278,16 +278,19 @@ def decode_b_slice_qt(data: bytes, h: int, w: int, top: int, depth: int,
     return coded0, coded1, dirs_u, levels, has_resid, leaf_id
 
 
-def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
+def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
+                   use_gpm: bool = False, use_ciip: bool = False
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
-                              np.ndarray, np.ndarray, np.ndarray]:
+                              np.ndarray, np.ndarray, np.ndarray,
+                              np.ndarray]:
     """Exact inverse of encoder.inter_coder.encode_b_slice.  Returns
-    (mv0, mv1, dirs, lev_y, lev_u, lev_v)."""
+    (mv0, mv1, dirs, lev_y, lev_u, lev_v, gpm_modes)."""
     dec = _make(data, stats)
     sc = s // 2
     mv0 = np.zeros((nby, nbx, 2), dtype=np.int64)
     mv1 = np.zeros((nby, nbx, 2), dtype=np.int64)
     dirs = np.zeros((nby, nbx), dtype=np.int32)
+    gpm_modes = np.zeros((nby, nbx), dtype=np.int32)
     lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
     lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
     lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
@@ -297,6 +300,7 @@ def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
             pred1 = mvp_median(mv1, by, bx)
             d_pred = (int(dirs[by, bx - 1]) if bx > 0
                       else int(dirs[by - 1, bx]) if by > 0 else 0)
+            d_pred = min(d_pred, 2)
             if (_lbl(dec, "skip_flag") or dec.decode_bin(ctx_id("SkipFlag"))):
                 dirs[by, bx] = d_pred
                 mv0[by, bx] = pred0
@@ -304,6 +308,24 @@ def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
                 continue
             if dec.decode_bin(ctx_id("InterDir", 0)):
                 d = 2
+                if use_gpm and use_ciip:
+                    _lbl(dec, "geo_flag")
+                    if dec.decode_bin(ctx_id("GeoFlag")):
+                        d = 4 if dec.decode_bin(ctx_id("CiipFlag")) else 3
+                elif use_gpm:
+                    _lbl(dec, "geo_flag")
+                    if dec.decode_bin(ctx_id("GeoFlag")):
+                        d = 3
+                elif use_ciip:
+                    _lbl(dec, "ciip_flag")
+                    if dec.decode_bin(ctx_id("CiipFlag")):
+                        d = 4
+                if d == 3:
+                    _lbl(dec, "gpm_mode")
+                    g = 0
+                    for _ in range(4):
+                        g = (g << 1) | dec.decode_bin_ep()
+                    gpm_modes[by, bx] = g
             else:
                 d = dec.decode_bin(ctx_id("InterDir", 1))
             dirs[by, bx] = d
@@ -335,7 +357,7 @@ def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None
                     _lbl(dec, "residual_" + comp)
                     lev[by, bx] = coeffs_decode(dec, size, size,
                                                 chroma=(comp != "y"))
-    return mv0, mv1, dirs, lev_y, lev_u, lev_v
+    return mv0, mv1, dirs, lev_y, lev_u, lev_v, gpm_modes
 
 
 def decode_p_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,

@@ -12,7 +12,7 @@ from ..common.cabac import BinDecoder
 from ..utils.native import coeffs_decode, make_decoder
 from ..common.contexts import ctx_id
 from ..common.residual_coding import decode_coeffs
-from ..common.wavefront import mpm3_host
+from ..common.wavefront import IBC_BASE, mpm3_host
 
 
 def decode_intra_mode(dec: BinDecoder, left: int, above: int) -> int:
@@ -39,7 +39,8 @@ def _nb(m: int) -> int:
 def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
                        cclm: bool = False, mip: bool = False,
                        lfnst: bool = False, mrl: bool = False,
-                       ts: bool = False, bdpcm: bool = False):
+                       ts: bool = False, bdpcm: bool = False,
+                       ibc: bool = False):
     """Returns (modes, cclm_flags, lfnst_idx, lev_y, lev_u, lev_v) dense
     grids.  With `stats` (utils.trace.BitStats) the Python spec coder runs
     with per-syntax accounting (DecoderAnalyserApp analog)."""
@@ -50,14 +51,15 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
         dec = make_decoder(data)
     grids = _alloc_grids(nby, nbx, s)
     _decode_intra_rows(dec, grids, s, cclm, mip, lfnst, 0, nby, mrl, ts,
-                       bdpcm)
+                       bdpcm, ibc)
     return grids
 
 
 def decode_intra_slice_wpp(data: bytes, nby: int, nbx: int, s: int,
                            stats=None, cclm: bool = False, mip: bool = False,
                            lfnst: bool = False, mrl: bool = False,
-                           ts: bool = False, bdpcm: bool = False):
+                           ts: bool = False, bdpcm: bool = False,
+                           ibc: bool = False):
     """Entry-point substream variant (mirrors
     encoder/intra_coder.py encode_intra_slice_wpp: u16 count, u32 lengths,
     independent per-row-group CABAC streams with fresh contexts)."""
@@ -76,7 +78,7 @@ def decode_intra_slice_wpp(data: bytes, nby: int, nbx: int, s: int,
         else:
             dec = make_decoder(sub)
         _decode_intra_rows(dec, grids, s, cclm, mip, lfnst,
-                           bounds[i], bounds[i + 1], mrl, ts, bdpcm)
+                           bounds[i], bounds[i + 1], mrl, ts, bdpcm, ibc)
     return grids
 
 
@@ -94,7 +96,8 @@ def _alloc_grids(nby: int, nbx: int, s: int):
 
 def _decode_intra_rows(dec, grids, s: int, cclm: bool, mip: bool,
                        lfnst: bool, r0: int, r1: int, mrl: bool = False,
-                       ts: bool = False, bdpcm: bool = False) -> None:
+                       ts: bool = False, bdpcm: bool = False,
+                       ibc: bool = False) -> None:
     modes, lm, lf, mr, tsg, lev_y, lev_u, lev_v = grids
     nby, nbx = modes.shape
     sc = s // 2
@@ -103,18 +106,26 @@ def _decode_intra_rows(dec, grids, s: int, cclm: bool, mip: bool,
             left = _nb(int(modes[by, bx - 1])) if bx > 0 else -1
             above = _nb(int(modes[by - 1, bx])) if by > 0 else -1
             _lbl(dec, "intra_mode")
+            is_ibc = False
+            if ibc:
+                _lbl(dec, "ibc_flag")
+                is_ibc = bool(dec.decode_bin(ctx_id("IbcFlag", 0)))
+                if is_ibc:
+                    modes[by, bx] = IBC_BASE + dec.decode_bins_ep(4)
             is_mip = False
-            if mip:
-                _lbl(dec, "mip_flag")
-                is_mip = bool(dec.decode_bin(ctx_id("MipFlag")))
-            if is_mip:
-                modes[by, bx] = 67 + dec.decode_bins_ep(3)
-            else:
-                modes[by, bx] = decode_intra_mode(dec, left, above)
-                if mrl:
-                    _lbl(dec, "mrl_idx")
-                    mr[by, bx] = dec.decode_bin(ctx_id("MultiRefLineIdx"))
-            if cclm:
+            if not is_ibc:
+                if mip:
+                    _lbl(dec, "mip_flag")
+                    is_mip = bool(dec.decode_bin(ctx_id("MipFlag")))
+                if is_mip:
+                    modes[by, bx] = 67 + dec.decode_bins_ep(3)
+                else:
+                    modes[by, bx] = decode_intra_mode(dec, left, above)
+                    if mrl:
+                        _lbl(dec, "mrl_idx")
+                        mr[by, bx] = dec.decode_bin(
+                            ctx_id("MultiRefLineIdx"))
+            if cclm and not is_ibc:
                 _lbl(dec, "cclm_flag")
                 lm[by, bx] = dec.decode_bin(ctx_id("IntraChromaPredMode"))
             if ts:

@@ -74,6 +74,12 @@ class EncCfg:
                                  # of bi-predicted blocks (common/bdof.py)
     dmvr: bool = False           # decoder-side MV refinement by bilateral
                                  # matching (common/dmvr.py)
+    gpm: bool = False            # geometric partitioning merge blend
+                                 # (common/gpm.py; reference: --Geo)
+    ciip: bool = False           # combined inter/intra prediction
+                                 # (common/gpm.py; reference: --CIIP)
+    ibc: bool = False            # intra block copy (wavefront BV search;
+                                 # reference: --IBC, IbcHashMap)
     dep_quant: bool = False      # dependent quantization trellis
                                  # (common/depquant.py; reference:
                                  # DepQuant.cpp, --DepQuant)
@@ -108,7 +114,8 @@ class EncCfg:
                    wrap_around=self.wrap_around, deblocking=self.deblocking,
                    sao=self.sao, alf=self.alf, mm=self.mm,
                    inter_qt_depth=self.qt_depth, affine=self.affine,
-                   bdof=self.bdof, dmvr=self.dmvr,
+                   bdof=self.bdof, dmvr=self.dmvr, gpm=self.gpm,
+                   ciip=self.ciip, ibc=self.ibc,
                    dep_quant=self.dep_quant, cclm=self.cclm, mip=self.mip,
                    lfnst=self.lfnst, tmvp=self.tmvp, mrl=self.mrl,
                    wpp=self.wpp,
@@ -235,7 +242,7 @@ class EncLib:
             dep_quant=cfg.dep_quant, use_cclm=cfg.cclm,
             use_mip=cfg.mip, use_lfnst=cfg.lfnst, use_mrl=cfg.mrl,
             use_ts=cfg.transform_skip and not cfg.lossless,
-            use_bdpcm=cfg.bdpcm, lossless=cfg.lossless)
+            use_bdpcm=cfg.bdpcm, lossless=cfg.lossless, use_ibc=cfg.ibc)
         # narrow dtypes before the device->host hop (levels fit int16,
         # modes uint8) — D2H bandwidth is the scarce resource
         modes_steps = np.asarray(outs[0].astype(jnp.uint8)).astype(np.int32)
@@ -261,7 +268,7 @@ class EncLib:
                           lfnst=lf if cfg.lfnst else None,
                           mrl=mrl if cfg.mrl else None,
                           ts=tsg if use_ts_syntax else None,
-                          bdpcm=cfg.bdpcm)
+                          bdpcm=cfg.bdpcm, ibc=cfg.ibc)
         if cfg.wpp:
             payload = encode_intra_slice_wpp(
                 modes, ly, lu, lv, num_substreams=cfg.num_substreams,
@@ -532,24 +539,27 @@ class EncLib:
             return self._finish_slice(poc, planes, recon, payload, qp, t0,
                                       SliceType.B, [ref0_poc], [ref1_poc],
                                       None, tid)
-        mv0, mv1, dirs = inter_frame.search_b_frame(
+        mv0, mv1, dirs, gpm_modes = inter_frame.search_b_frame(
             oy, r0[0], r1[0], qp, s, cfg.bit_depth, cfg.search_range,
-            cfg.wrap_around)
+            cfg.wrap_around, cfg.gpm, cfg.ciip)
         ly, lu, lv, _ = inter_frame.bpred_and_residual(
             oy, ou, ov, tuple(r0), tuple(r1), mv0, mv1, dirs, qp, s,
-            cfg.bit_depth, cfg.wrap_around, cfg.bdof, cfg.dmvr)
+            cfg.bit_depth, cfg.wrap_around, cfg.bdof, cfg.dmvr,
+            gpm_modes=gpm_modes, gpm=cfg.gpm, ciip=cfg.ciip)
         lyh, luh, lvh = (np.asarray(l.astype(jnp.int16)).astype(np.int32)
                          for l in (ly, lu, lv))
         payload, coded0, coded1 = encode_b_slice(
             np.asarray(mv0), np.asarray(mv1), np.asarray(dirs), lyh, luh,
-            lvh)
+            lvh, gpm_modes=np.asarray(gpm_modes), use_gpm=cfg.gpm,
+            use_ciip=cfg.ciip)
         # reconstruct with the *coded* grids (unused-list entries replaced
         # by MVPs) so the decoder's deblock inputs match bit-exactly
         recon = inter_frame.reconstruct_b_frame(
             jnp.asarray(coded0), jnp.asarray(coded1), dirs,
             jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
             tuple(r0), tuple(r1), qp, s, cfg.bit_depth, cfg.wrap_around,
-            cfg.bdof, cfg.dmvr)
+            cfg.bdof, cfg.dmvr, gpm_modes=gpm_modes, gpm=cfg.gpm,
+            ciip=cfg.ciip)
         if cfg.deblocking:
             has_resid = (jnp.any(jnp.asarray(ly) != 0, axis=(2, 3))
                          | jnp.any(jnp.asarray(lu) != 0, axis=(2, 3))

@@ -435,14 +435,20 @@ def encode_b_slice_qt(splits, mv0s, mv1s, dirss, levels, top: int,
 
 
 def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
-                   lev_y: np.ndarray, lev_u: np.ndarray, lev_v: np.ndarray
+                   lev_y: np.ndarray, lev_u: np.ndarray, lev_v: np.ndarray,
+                   gpm_modes: np.ndarray | None = None,
+                   use_gpm: bool = False, use_ciip: bool = False
                    ) -> tuple[bytes, np.ndarray, np.ndarray]:
     """B-slice entropy coding: skip / inter_dir / per-list mvd / residual
-    (reference: CABACWriter inter_pred_idc + mvd_coding per list).
+    (reference: CABACWriter inter_pred_idc + mvd_coding per list; GEO
+    merge_gpm_partition_idx and ciip_flag, CABACWriter.cpp merge_data).
 
-    Unused-list entries in the coded MV grids are replaced by their MVP so
-    the dense grid evolves identically on the decoder; returns the coded
-    grids (used for deblocking boundary strengths on both sides)."""
+    dirs 3 (GPM) and 4 (CIIP) are signaled as a both-list mode with a
+    sub-type bin gated by the SPS tool flags; GPM adds a 4-bit EP mask
+    index.  Unused-list entries in the coded MV grids are replaced by
+    their MVP so the dense grid evolves identically on the decoder;
+    returns the coded grids (used for deblocking boundary strengths on
+    both sides)."""
     enc = make_encoder()
     nby, nbx = dirs.shape
     coded0 = mv0.astype(np.int64).copy()
@@ -460,17 +466,35 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
             mvd1 = coded1[by, bx] - pred1
             levels = (lev_y[by, bx], lev_u[by, bx], lev_v[by, bx])
             no_resid = all(not np.any(l != 0) for l in levels)
+            # skip inherits the neighbour direction clamped to BI (GPM/CIIP
+            # blocks never skip: the mask/intra state is not inherited)
             d_pred = (int(dirs[by, bx - 1]) if bx > 0
                       else int(dirs[by - 1, bx]) if by > 0 else 0)
+            d_pred = min(d_pred, 2)
             used_zero = (((d != 1) <= (mvd0 == 0).all())
                          and ((d != 0) <= (mvd1 == 0).all()))
             skip = no_resid and d == d_pred and used_zero
             enc.encode_bin(int(skip), ctx_id("SkipFlag"))
             if skip:
                 continue
-            enc.encode_bin(int(d == 2), ctx_id("InterDir", 0))
-            if d != 2:
+            enc.encode_bin(int(d >= 2), ctx_id("InterDir", 0))
+            if d < 2:
                 enc.encode_bin(d, ctx_id("InterDir", 1))
+            else:
+                if use_gpm and use_ciip:
+                    enc.encode_bin(int(d != 2), ctx_id("GeoFlag"))
+                    if d != 2:
+                        enc.encode_bin(int(d == 4), ctx_id("CiipFlag"))
+                elif use_gpm:
+                    enc.encode_bin(int(d == 3), ctx_id("GeoFlag"))
+                elif use_ciip:
+                    enc.encode_bin(int(d == 4), ctx_id("CiipFlag"))
+                if d == 3:
+                    # GPM mask index, fixed-length EP (reference:
+                    # merge_gpm_partition_idx)
+                    g = int(gpm_modes[by, bx])
+                    for bit in range(3, -1, -1):
+                        enc.encode_bin_ep((g >> bit) & 1)
             # SMVD: mirrored bi-prediction sends one mvd (reference:
             # sym_mvd_flag, CABACWriter smvd_mode; mvd1 = -mvd0)
             smvd = (d == 2 and (mvd1 == -mvd0).all())

@@ -13,7 +13,7 @@ from ..common.cabac import BinEncoder
 from ..utils.native import coeffs_encode, make_encoder
 from ..common.contexts import ctx_id
 from ..common.residual_coding import encode_coeffs
-from ..common.wavefront import mpm3_host
+from ..common.wavefront import IBC_BASE, mpm3_host
 
 
 def encode_intra_mode(enc: BinEncoder, mode: int, left: int, above: int
@@ -32,7 +32,7 @@ def encode_intra_mode(enc: BinEncoder, mode: int, left: int, above: int
 
 
 def _nb(m: int) -> int:
-    """Neighbor mode for MPM purposes: MIP acts as planar (reference:
+    """Neighbor mode for MPM purposes: MIP/IBC act as planar (reference:
     UnitTools getIntraDirLuma MIP->PLANAR mapping)."""
     return 0 if m >= 67 else m
 
@@ -44,7 +44,7 @@ def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
                        lfnst: np.ndarray | None = None,
                        mrl: np.ndarray | None = None,
                        ts: np.ndarray | None = None,
-                       bdpcm: bool = False) -> bytes:
+                       bdpcm: bool = False, ibc: bool = False) -> bytes:
     """modes (nby, nbx); lev_* (nby, nbx, s, s).  Raster block order.
     cclm: optional (nby, nbx) chroma-LM flags (SPS-gated; reference:
     CABACWriter intra_chroma_pred_mode LM branch).  mip: SPS MIP enable —
@@ -54,13 +54,13 @@ def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
     intra_bdpcm_luma_flag)."""
     enc = make_encoder()
     _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
-                       0, modes.shape[0], mrl, ts, bdpcm)
+                       0, modes.shape[0], mrl, ts, bdpcm, ibc)
     return enc.finish()
 
 
 def _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
                        r0: int, r1: int, mrl=None, ts=None,
-                       bdpcm: bool = False) -> None:
+                       bdpcm: bool = False, ibc: bool = False) -> None:
     """Code block rows [r0, r1) into `enc` (one substream's worth)."""
     nby, nbx = modes.shape
     for by in range(r0, r1):
@@ -68,16 +68,24 @@ def _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
             left = _nb(int(modes[by, bx - 1])) if bx > 0 else -1
             above = _nb(int(modes[by - 1, bx])) if by > 0 else -1
             mode = int(modes[by, bx])
-            if mip:
-                enc.encode_bin(int(mode >= 67), ctx_id("MipFlag"))
-            if mode >= 67:
-                enc.encode_bins_ep(mode - 67, 3)
-            else:
-                encode_intra_mode(enc, mode, left, above)
-                if mrl is not None:
-                    enc.encode_bin(int(mrl[by, bx] != 0),
-                                   ctx_id("MultiRefLineIdx"))
-            if cclm is not None:
+            is_ibc = mode >= IBC_BASE
+            if ibc:
+                # pred_mode_ibc_flag + 4-bit BV index (reference:
+                # CABACReader pred_mode + IBC merge/BV syntax)
+                enc.encode_bin(int(is_ibc), ctx_id("IbcFlag", 0))
+                if is_ibc:
+                    enc.encode_bins_ep(mode - IBC_BASE, 4)
+            if not is_ibc:
+                if mip:
+                    enc.encode_bin(int(mode >= 67), ctx_id("MipFlag"))
+                if mode >= 67:
+                    enc.encode_bins_ep(mode - 67, 3)
+                else:
+                    encode_intra_mode(enc, mode, left, above)
+                    if mrl is not None:
+                        enc.encode_bin(int(mrl[by, bx] != 0),
+                                       ctx_id("MultiRefLineIdx"))
+            if cclm is not None and not is_ibc:
                 enc.encode_bin(int(cclm[by, bx] != 0),
                                ctx_id("IntraChromaPredMode"))
             tsm = int(ts[by, bx]) if ts is not None else 0
@@ -110,7 +118,7 @@ def encode_intra_slice_wpp(modes: np.ndarray, lev_y: np.ndarray,
                            lfnst: np.ndarray | None = None,
                            mrl: np.ndarray | None = None,
                            ts: np.ndarray | None = None,
-                           bdpcm: bool = False,
+                           bdpcm: bool = False, ibc: bool = False,
                            num_substreams: int = 4) -> bytes:
     """Wavefront/tile-style entropy substreams with entry points.
 
@@ -135,7 +143,8 @@ def encode_intra_slice_wpp(modes: np.ndarray, lev_y: np.ndarray,
     def one(i: int) -> bytes:
         enc = make_encoder()
         _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip,
-                           lfnst, bounds[i], bounds[i + 1], mrl, ts, bdpcm)
+                           lfnst, bounds[i], bounds[i + 1], mrl, ts, bdpcm,
+                           ibc)
         return enc.finish()
 
     with cf.ThreadPoolExecutor(max_workers=min(n, 8)) as ex:
