@@ -180,3 +180,41 @@ def test_s_psnr_i_and_viewport_and_msssim(rng):
     m = mt.metrics_360(orig, noisy, viewport=True)
     assert set(m) >= {"ws_psnr", "s_psnr_nn", "s_psnr_i", "cpp_psnr",
                       "viewport_psnr"}
+
+
+def test_round3_geometry_inverses():
+    """OHP / ISP / TSP inverse consistency (reference: TOctahedron /
+    TIcosahedron / TTsp map2DTo3D <-> map3DTo2D)."""
+    from vvc_mm_tpu.lib360 import geometry as g
+    for name, (w, h) in (("ohp", (64, 16)), ("isp", (80, 32)),
+                         ("tsp", (64, 32))):
+        dirs_fn, coords_fn = g.GEOMETRIES[name]
+        dirs = dirs_fn(w, h)
+        assert np.allclose(np.linalg.norm(dirs, axis=-1), 1.0,
+                           atol=1e-6), name
+        xy = coords_fn(dirs, w, h)
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        err = np.abs(np.stack([xx, yy], -1) - xy)
+        if name in ("ohp", "isp"):
+            # triangle-pair diagonals: a pixel straddling the shared edge
+            # may resolve to its twin; demand a large consistent majority
+            m = err.max(-1) < 0.51
+            assert m.mean() > 0.9, (name, m.mean())
+        else:
+            assert err.max() < 0.51, (name, err.max())
+
+
+def test_round3_geo_convert_roundtrip():
+    from vvc_mm_tpu.lib360 import geometry as g
+    h, w = 64, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    plane = (128 + 90 * np.sin(2 * np.pi * xx / w)
+             * np.cos(np.pi * (yy + 0.5 - h / 2) / h)).astype(np.int32)
+    for fmt, size in (("ohp", (32, 128)), ("isp", (64, 160)),
+                      ("tsp", (48, 96))):
+        conv = g.geo_convert(plane, "erp", fmt, size, method="bilinear")
+        back = g.geo_convert(conv, fmt, "erp", (h, w), method="bilinear")
+        a = plane[10:-10].astype(np.float64)
+        b = back[10:-10].astype(np.float64)
+        rmse = np.sqrt(((a - b) ** 2).mean())
+        assert rmse < 16.0, (fmt, rmse)

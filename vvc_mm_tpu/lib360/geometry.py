@@ -551,6 +551,205 @@ def gcmp_coords(dirs: np.ndarray, width: int, height: int,
     return np.stack([px, py], -1)
 
 
+# ---------------------------------------------------------------------------
+# Triangle-face polyhedra: octahedron (OHP) and icosahedron (ISP).
+# reference: TOctahedron.cpp / TIcosahedron.cpp — gnomonic projection onto
+# triangular faces, compactly packed.  Packing here: each packed fxf square
+# holds two faces that share an edge, split along the square's main
+# anti-diagonal (v00 | shared edge v10-v01 | v11) — the standard
+# triangle-pair compaction.  Forward map is barycentric interpolation of
+# the face vertices + normalization (gnomonic); inverse solves the 3x3
+# barycentric system for every face and picks the face with non-negative
+# weights (vectorized over all faces at once).
+# ---------------------------------------------------------------------------
+def _poly_quads_ohp() -> np.ndarray:
+    """(4, 4, 3) vertex quads [v00, v10, v01, v11] per packed square."""
+    n = np.array([0.0, 0.0, 1.0])
+    s = -n
+    ring = [np.array([math.cos(k * PI / 2), math.sin(k * PI / 2), 0.0])
+            for k in range(5)]
+    return np.stack([np.stack([n, ring[q], ring[q + 1], s])
+                     for q in range(4)])
+
+
+def _poly_quads_isp() -> np.ndarray:
+    """(10, 4, 3) icosahedron packed-square vertex quads: row-0 squares
+    hold (top_k, upper-mid_k), row-1 squares (lower-mid_k, bottom_k)."""
+    n = np.array([0.0, 0.0, 1.0])
+    s = -n
+    latu = math.atan(0.5)
+    up = [np.array([math.cos(latu) * math.cos(2 * PI * k / 5),
+                    math.cos(latu) * math.sin(2 * PI * k / 5),
+                    math.sin(latu)]) for k in range(6)]
+    lo = [np.array([math.cos(latu) * math.cos(2 * PI * (k + 0.5) / 5),
+                    math.cos(latu) * math.sin(2 * PI * (k + 0.5) / 5),
+                    -math.sin(latu)]) for k in range(6)]
+    quads = [np.stack([n, up[k], up[k + 1], lo[k]]) for k in range(5)]
+    quads += [np.stack([up[k + 1], lo[k], lo[k + 1], s]) for k in range(5)]
+    return np.stack(quads)
+
+
+def _poly_dirs(quads: np.ndarray, cols: int, width: int, height: int
+               ) -> np.ndarray:
+    """Forward map for a triangle-pair packing: quads (Q, 4, 3), packed as
+    `cols` squares per row."""
+    rows = len(quads) // cols
+    f = width // cols
+    assert width == cols * f and height == rows * f
+    xx, yy = np.meshgrid((np.arange(width) + 0.5) / f,
+                         (np.arange(height) + 0.5) / f)
+    q = (yy.astype(int) // 1) * 0  # placeholder shape
+    qi = np.minimum((xx).astype(int), cols - 1) \
+        + np.minimum((yy).astype(int), rows - 1) * cols
+    a = xx - np.floor(xx)
+    b = yy - np.floor(yy)
+    v00, v10, v01, v11 = (quads[qi, i] for i in range(4))
+    upper = (a + b) <= 1.0
+    wa = np.where(upper, a, 1.0 - b)
+    wb = np.where(upper, b, 1.0 - a)
+    w0 = np.where(upper, 1.0 - a - b, a + b - 1.0)
+    apex = np.where(upper[..., None], v00, v11)
+    p = (apex * w0[..., None] + v10 * wa[..., None] + v01 * wb[..., None])
+    return p / (np.linalg.norm(p, axis=-1, keepdims=True) + 1e-12)
+
+
+def _poly_coords(quads: np.ndarray, cols: int, dirs: np.ndarray,
+                 width: int, height: int) -> np.ndarray:
+    """Inverse map: solve barycentrics for all 2Q triangle faces, select
+    the face containing each direction."""
+    rows = len(quads) // cols
+    f = width // cols
+    tris = []        # (T, 3, 3): [apex, v10, v01]
+    meta = []        # (square, upper?)
+    for qi, (v00, v10, v01, v11) in enumerate(quads):
+        tris.append(np.stack([v00, v10, v01]))
+        meta.append((qi, True))
+        tris.append(np.stack([v11, v10, v01]))
+        meta.append((qi, False))
+    tinv = np.stack([np.linalg.inv(t.T) for t in tris])      # (T, 3, 3)
+    d = dirs.reshape(-1, 3)
+    w = np.einsum("tij,nj->nti", tinv, d)                    # (N, T, 3)
+    ws = w.sum(-1, keepdims=True)
+    w = w / np.where(np.abs(ws) < 1e-12, 1e-12, ws)
+    score = np.min(w, -1)
+    # the antipodal face yields all-negative weights whose sum-normalized
+    # form looks valid — reject faces behind the ray (sum <= 0)
+    score = np.where(ws[..., 0] > 0, score, -np.inf)
+    pick = np.argmax(score, axis=1)                          # (N,)
+    wsel = np.take_along_axis(w, pick[:, None, None], 1)[:, 0]
+    sq = np.array([m[0] for m in meta])[pick]
+    up = np.array([m[1] for m in meta])[pick]
+    a = np.where(up, wsel[:, 1], 1.0 - wsel[:, 2])
+    b = np.where(up, wsel[:, 2], 1.0 - wsel[:, 1])
+    px = (sq % cols + a) * f - 0.5
+    py = (sq // cols + b) * f - 0.5
+    return np.stack([px, py], -1).reshape(dirs.shape[:-1] + (2,))
+
+
+def ohp_dirs(width: int, height: int) -> np.ndarray:
+    """Octahedron projection, 4x1 triangle-pair squares (reference:
+    TOctahedron.cpp map2DTo3D — gnomonic on 8 faces)."""
+    return _poly_dirs(_poly_quads_ohp(), 4, width, height)
+
+
+def ohp_coords(dirs: np.ndarray, width: int, height: int) -> np.ndarray:
+    return _poly_coords(_poly_quads_ohp(), 4, dirs, width, height)
+
+
+def isp_dirs(width: int, height: int) -> np.ndarray:
+    """Icosahedron projection, 5x2 triangle-pair squares (reference:
+    TIcosahedron.cpp — gnomonic on 20 faces)."""
+    return _poly_dirs(_poly_quads_isp(), 5, width, height)
+
+
+def isp_coords(dirs: np.ndarray, width: int, height: int) -> np.ndarray:
+    return _poly_coords(_poly_quads_isp(), 5, dirs, width, height)
+
+
+# Truncated square pyramid (TSP) — reference: TTsp.cpp (JVET-D0071): the
+# cube re-parameterized so the front face (+x) keeps full resolution (left
+# half of the frame) and the back face (-x) shrinks to the central square
+# of the right half, with the four side faces as frustum trapezoids
+# between the right half's border and the back square.
+_TSP_B0, _TSP_B1 = 0.25, 0.75          # back-face extent in the right half
+
+
+def tsp_dirs(width: int, height: int) -> np.ndarray:
+    f = width // 2
+    assert width == 2 * f and height == f, "TSP expects 2x1 packing"
+    b0, b1 = _TSP_B0, _TSP_B1
+    xx, yy = np.meshgrid((np.arange(width) + 0.5) / f,
+                         (np.arange(height) + 0.5) / f)
+    front = xx < 1.0
+    u = np.clip(xx - 1.0, 0.0, 1.0)      # right-half local coords
+    v = yy
+    # sector classification by the two diagonals of the right half (the
+    # back square's corners lie on them)
+    back = (u >= b0) & (u < b1) & (v >= b0) & (v < b1)
+    left = (v >= u) & (v <= 1 - u) & ~back
+    right = (v <= u) & (v >= 1 - u) & ~back
+    top = (v <= u) & (v <= 1 - u) & ~back
+    bot = (v >= u) & (v >= 1 - u) & ~back
+    eps = 1e-12
+    # left trapezoid: depth t = u/b0 in [0,1], lateral s = (v-u)/(1-2u)
+    t_l, s_l = u / b0, (v - u) / np.maximum(1 - 2 * u, eps)
+    t_r, s_r = (1 - u) / b0, (v - 1 + u) / np.maximum(2 * u - 1, eps)
+    t_t, s_t = v / b0, (u - v) / np.maximum(1 - 2 * v, eps)
+    t_b, s_b = (1 - v) / b0, (u - 1 + v) / np.maximum(2 * v - 1, eps)
+    sb_u = (u - b0) / (b1 - b0)
+    sb_v = (v - b0) / (b1 - b0)
+    x = np.select(
+        [front, back, left, right, top, bot],
+        [np.ones_like(u), -np.ones_like(u), 1 - 2 * t_l, 1 - 2 * t_r,
+         1 - 2 * t_t, 1 - 2 * t_b])
+    y = np.select(
+        [front, back, left, right, top, bot],
+        [1 - 2 * xx, 1 - 2 * sb_u, np.ones_like(u), -np.ones_like(u),
+         1 - 2 * s_t, 1 - 2 * s_b])
+    z = np.select(
+        [front, back, left, right, top, bot],
+        [1 - 2 * yy, 1 - 2 * sb_v, 1 - 2 * s_l, 1 - 2 * s_r,
+         np.ones_like(u), -np.ones_like(u)])
+    p = np.stack([x, y, z], -1)
+    return p / (np.linalg.norm(p, axis=-1, keepdims=True) + 1e-12)
+
+
+def tsp_coords(dirs: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Exact inverse of tsp_dirs (cube-face classification, then the
+    per-region linear maps inverted)."""
+    f = width // 2
+    b0, b1 = _TSP_B0, _TSP_B1
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    m = np.maximum(ax, np.maximum(ay, az)) + 1e-12
+    front = (ax >= ay) & (ax >= az) & (x > 0)
+    back = (ax >= ay) & (ax >= az) & (x <= 0)
+    left = (ay >= ax) & (ay >= az) & (y > 0) & ~front & ~back
+    right = (ay >= ax) & (ay >= az) & (y <= 0) & ~front & ~back
+    top = (az > ay) & (az >= ax) & (z > 0) & ~front & ~back
+    bot = (az > ay) & (az >= ax) & (z <= 0) & ~front & ~back
+    xn, yn, zn = x / m, y / m, z / m
+    t = np.clip((1 - xn) / 2, 0.0, 1.0)      # frustum depth on side faces
+    # left: u = t*b0, v = u + s*(1-2u), s = (1-zn)/2
+    u_l = t * b0
+    v_l = u_l + (1 - zn) / 2 * (1 - 2 * u_l)
+    u_r = 1 - t * b0
+    v_r = (1 - u_r) + (1 - zn) / 2 * (2 * u_r - 1)
+    v_t = t * b0
+    u_t = v_t + (1 - yn) / 2 * (1 - 2 * v_t)
+    v_b = 1 - t * b0
+    u_b = (1 - v_b) + (1 - yn) / 2 * (2 * v_b - 1)
+    u_bk = b0 + (1 - yn) / 2 * (b1 - b0)
+    v_bk = b0 + (1 - zn) / 2 * (b1 - b0)
+    px = np.select(
+        [front, back, left, right, top, bot],
+        [(1 - yn) / 2, 1 + u_bk, 1 + u_l, 1 + u_r, 1 + u_t, 1 + u_b])
+    py = np.select(
+        [front, back, left, right, top, bot],
+        [(1 - zn) / 2, v_bk, v_l, v_r, v_t, v_b])
+    return np.stack([px * f - 0.5, py * f - 0.5], -1)
+
+
 GEOMETRIES = {"erp": (erp_dirs, erp_coords),
               "cmp": (cmp_dirs, cmp_coords),
               "eac": (functools.partial(cmp_dirs, eac=True),
@@ -566,6 +765,9 @@ GEOMETRIES = {"erp": (erp_dirs, erp_coords),
               "rsp": (rsp_dirs, rsp_coords),
               "hec": (hec_dirs, hec_coords),
               "gcmp": (gcmp_dirs, gcmp_coords),
+              "ohp": (ohp_dirs, ohp_coords),
+              "isp": (isp_dirs, isp_coords),
+              "tsp": (tsp_dirs, tsp_coords),
               "fisheye": (fisheye_dirs, fisheye_coords)}
 
 
