@@ -336,6 +336,32 @@ def reconstruct_b_frame(mv0, mv1, dirs, lev_y, lev_u, lev_v,
                 v=rec_plane(pred_v, lev_v, sc))
 
 
+def mcts_clamp(mvs: jnp.ndarray, s: int, w: int, h: int,
+               tiles: tuple[int, int]) -> jnp.ndarray:
+    """Motion-constrained tile sets: clamp every block's MV so its MC read
+    window (8-tap support included) stays inside the block's own tile
+    (reference: MCTS.{cpp,h} — MV restriction enabling tile-parallel
+    decode/extraction; the TPU analog keeps cross-chip reference reads
+    shard-local, SURVEY.md §2.8).
+
+    mvs: (nby, nbx, 2) 1/16-pel (x, y).  tiles: (cols, rows)."""
+    ncx, ncy = tiles
+    tw, th = w // ncx, h // ncy
+    nby, nbx = mvs.shape[:2]
+    bx = jnp.arange(nbx, dtype=jnp.int32) * s
+    by = jnp.arange(nby, dtype=jnp.int32) * s
+    tx0 = (bx // tw) * tw
+    ty0 = (by // th) * th
+    # filter support: 3/4 luma taps + chroma 4-tap at half res -> 4/5
+    lo_x = (tx0 - bx + 4) * 16
+    hi_x = (tx0 + tw - bx - s - 5) * 16
+    lo_y = (ty0 - by + 4) * 16
+    hi_y = (ty0 + th - by - s - 5) * 16
+    mvx = jnp.clip(mvs[..., 0], lo_x[None, :], jnp.maximum(hi_x, lo_x)[None, :])
+    mvy = jnp.clip(mvs[..., 1], lo_y[:, None], jnp.maximum(hi_y, lo_y)[:, None])
+    return jnp.stack([mvx, mvy], -1)
+
+
 def apply_wp(plane: jnp.ndarray, w, o, bit_depth: int) -> jnp.ndarray:
     """Explicit weighted prediction, log2Wd = 6 (reference:
     WeightPrediction.cpp — pred' = clip(((pred*w + 32) >> 6) + o))."""
