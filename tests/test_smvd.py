@@ -19,7 +19,7 @@ def _grids(rng, nby=4, nbx=4, s=16, mirror=True):
 def test_bi_roundtrip_with_smvd(rng):
     mv0, mv1, dirs, ly, lu, lv = _grids(rng, mirror=True)
     data, c0, c1 = encode_b_slice(mv0, mv1, dirs, ly, lu, lv)
-    m0, m1, d2, ly2, lu2, lv2 = decode_b_slice(data, 4, 4, 16)
+    m0, m1, d2, ly2, lu2, lv2, _ = decode_b_slice(data, 4, 4, 16)
     np.testing.assert_array_equal(m0, c0)
     np.testing.assert_array_equal(m1, c1)
     np.testing.assert_array_equal(d2, dirs)

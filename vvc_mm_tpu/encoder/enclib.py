@@ -25,6 +25,7 @@ from ..common.picture import psnr
 from ..common.slice_ps import MMConfig, PPS, SPS, SliceHeader
 from ..common.typedefs import MotionModelID, SliceType
 from ..lib360.projection import make_projection
+from ..utils import xfer
 from .intra_coder import (encode_intra_slice,
                           encode_intra_slice_wpp)
 from .inter_coder import (encode_b_slice, encode_p_slice, encode_p_slice_mm,
@@ -162,6 +163,10 @@ class EncLib:
         # POC -> decoded MV field of P frames (TMVP co-located source;
         # reference: the DPB's 4x4 motion buffer, CodingStructure.h:273)
         self._mv_fields: dict[int, np.ndarray] = {}
+        # POC -> device-resident reconstruction (y, u, v) jnp arrays: the
+        # DPB stays on the TPU so reference planes never re-cross the
+        # host<->device tunnel (utils/xfer.py rationale)
+        self._dpb_dev: dict[int, tuple] = {}
         self.reproj: MVReprojection | None = None
         self.epipole_list = epipole_mod.EpipoleList(cfg.mm.global_epipole)
         # decoder-mirror list: only epipoles already signaled in PHs — the
@@ -236,22 +241,17 @@ class EncLib:
         qp = self.cfg.qp if qp is None else qp
         t0 = time.time()
         s = cfg.intra_block_size
+        dev = xfer.upload_planes(planes, cfg.bit_depth)
         outs, recon = wavefront.encode_intra_frame(
-            jnp.asarray(planes[0]), jnp.asarray(planes[1]),
-            jnp.asarray(planes[2]), qp, s, cfg.bit_depth,
+            dev[0], dev[1], dev[2], qp, s, cfg.bit_depth,
             dep_quant=cfg.dep_quant, use_cclm=cfg.cclm,
             use_mip=cfg.mip, use_lfnst=cfg.lfnst, use_mrl=cfg.mrl,
             use_ts=cfg.transform_skip and not cfg.lossless,
             use_bdpcm=cfg.bdpcm, lossless=cfg.lossless, use_ibc=cfg.ibc)
-        # narrow dtypes before the device->host hop (levels fit int16,
-        # modes uint8) — D2H bandwidth is the scarce resource
-        modes_steps = np.asarray(outs[0].astype(jnp.uint8)).astype(np.int32)
-        lm_steps = np.asarray(outs[1].astype(jnp.uint8)).astype(np.int32)
-        lf_steps = np.asarray(outs[2].astype(jnp.uint8)).astype(np.int32)
-        mrl_steps = np.asarray(outs[3].astype(jnp.uint8)).astype(np.int32)
-        ts_steps = np.asarray(outs[4].astype(jnp.uint8)).astype(np.int32)
-        ly, lu, lv = (np.asarray(o.astype(jnp.int16)).astype(np.int32)
-                      for o in outs[5:])
+        # ONE packed int16 D2H hop for all mode/level outputs (levels fit
+        # int16, modes uint8) — tunnel round trips are the scarce resource
+        (modes_steps, lm_steps, lf_steps, mrl_steps, ts_steps,
+         ly, lu, lv) = xfer.pull_levels(*outs)
         nby, nbx = cfg.height // s, cfg.width // s
         coords, valid = wavefront.wavefront_coords(nby, nbx)
         modes = wavefront.steps_to_grid(modes_steps, coords, valid)
@@ -281,9 +281,9 @@ class EncLib:
                 recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, qp,
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
-        recon, sao_params = self._sao_stage(recon, planes, qp)
-        recon, alf_params = self._alf_stage(recon, planes[0], qp,
-                                    (planes[1], planes[2]))
+        recon, sao_params = self._sao_stage(recon, dev, qp)
+        recon, alf_params = self._alf_stage(recon, dev[0], qp,
+                                            (dev[1], dev[2]))
         sh = SliceHeader(poc=poc, slice_type=SliceType.I, qp=qp,
                          sao_params=sao_params, alf_params=alf_params,
                          alf_chroma_params=self._pending_alf_chroma,
@@ -292,13 +292,11 @@ class EncLib:
         sh.write(bw, self.sps)
         bw.write_bytes(payload)
         nal = NalUnit(NAL_IDR, 0, bw.get_bytes())
-        rec = [np.asarray(recon["y"]), np.asarray(recon["u"]),
-               np.asarray(recon["v"])]
+        self._dpb_dev[poc] = (recon["y"], recon["u"], recon["v"])
+        rec, psnrs = xfer.finalize_recon(recon, dev, cfg.bit_depth)
         res = FrameResult(
             poc=poc, bits=len(nal.payload) * 8,
-            psnr_y=psnr(planes[0], rec[0], cfg.bit_depth),
-            psnr_u=psnr(planes[1], rec[1], cfg.bit_depth),
-            psnr_v=psnr(planes[2], rec[2], cfg.bit_depth),
+            psnr_y=psnrs[0], psnr_u=psnrs[1], psnr_v=psnrs[2],
             recon=rec, seconds=time.time() - t0)
         self._finish_frame(res, planes)
         self.results.append(res)
@@ -314,6 +312,10 @@ class EncLib:
         qp = self.cfg.qp if qp is None else qp
         t0 = time.time()
         s = cfg.inter_block_size
+        dev = xfer.upload_planes(planes, cfg.bit_depth)
+        rdev = self._dpb_dev.get(ref_poc)
+        if rdev is None:
+            rdev = xfer.upload_planes(ref, cfg.bit_depth)
         epipole_delta = None
         wp = None     # weighted prediction: plain-P path only
         if cfg.mm.any_enabled():
@@ -333,35 +335,35 @@ class EncLib:
                 epipoles = {MotionModelID.GEODESIC_CAMPOSE: ep_used}
             model_idx, mvs_stack, ly, lu, lv, recon = \
                 mm_codec.encode_p_frame_mm(
-                    self.reproj, active, jnp.asarray(planes[0]),
-                    jnp.asarray(planes[1]), jnp.asarray(planes[2]),
-                    jnp.asarray(ref[0]), jnp.asarray(ref[1]),
-                    jnp.asarray(ref[2]), qp, s, cfg.bit_depth,
+                    self.reproj, active, dev[0], dev[1], dev[2],
+                    rdev[0], rdev[1], rdev[2], qp, s, cfg.bit_depth,
                     cfg.search_range, epipoles, cfg.wrap_around)
             ep_for_mvp = (epipoles or {}).get(
                 MotionModelID.GEODESIC_CAMPOSE)
-            lyh, luh, lvh = (np.asarray(l.astype(jnp.int16))
-                             .astype(np.int32) for l in (ly, lu, lv))
-            payload = encode_p_slice_mm(
-                np.asarray(model_idx), active, np.asarray(mvs_stack),
-                lyh, luh, lvh, s, self.mvp_conv, ep_for_mvp)
             mvs = jnp.take_along_axis(
                 mvs_stack, model_idx[None, :, :, None].astype(jnp.int32),
                 axis=0)[0]
+            (lyh, luh, lvh, model_idx_h, mvs_stack_h) = xfer.pull_levels(
+                ly, lu, lv, model_idx, mvs_stack)
+            payload = encode_p_slice_mm(
+                model_idx_h, active, mvs_stack_h.astype(np.int64),
+                lyh, luh, lvh, s, self.mvp_conv, ep_for_mvp)
         elif cfg.qt_depth > 0:
             # quadtree partitioned P encode (QTMT analog, common/qtree.py)
             from ..common import qtree
             qt = qtree.encode_p_frame_qt(
-                jnp.asarray(planes[0]), jnp.asarray(planes[1]),
-                jnp.asarray(planes[2]), jnp.asarray(ref[0]),
-                jnp.asarray(ref[1]), jnp.asarray(ref[2]), qp, s,
+                dev[0], dev[1], dev[2], rdev[0], rdev[1], rdev[2], qp, s,
                 cfg.qt_depth, cfg.bit_depth, cfg.search_range,
                 cfg.wrap_around)
-            splits = [np.asarray(x) for x in qt["splits"]]
-            mvs_h = [np.asarray(m) for m in qt["mvs"]]
-            levels_h = [tuple(np.asarray(l.astype(jnp.int16))
-                              .astype(np.int32) for l in trio)
-                        for trio in qt["levels"]]
+            flat_levels = [l for trio in qt["levels"] for l in trio]
+            pulled = xfer.pull_levels(*qt["splits"], *qt["mvs"],
+                                      *flat_levels)
+            nsp, nmv = len(qt["splits"]), len(qt["mvs"])
+            splits = pulled[:nsp]
+            mvs_h = [m.astype(np.int64) for m in pulled[nsp:nsp + nmv]]
+            lv_flat = pulled[nsp + nmv:]
+            levels_h = [tuple(lv_flat[3 * i:3 * i + 3])
+                        for i in range(len(qt["levels"]))]
             payload = encode_p_slice_qt(splits, mvs_h, levels_h, s,
                                         cfg.qt_depth)
             recon = qt["recon"]
@@ -374,36 +376,32 @@ class EncLib:
                     s >> cfg.qt_depth, qp, cfg.bit_depth)
                 recon = dict(y=ry, u=ru, v=rv)
             return self._finish_p_frame(poc, planes, recon, payload,
-                                        ref_poc, qp, None, t0)
+                                        ref_poc, qp, None, t0, dev)
         elif cfg.affine:
             # per-block translational/affine decision (common/affine.py)
             from ..common import affine as affine_mod
             from .inter_coder import encode_p_slice_affine
             mvs, aff, dmv, ly, lu, lv, recon = \
                 affine_mod.encode_p_frame_affine(
-                    jnp.asarray(planes[0]), jnp.asarray(planes[1]),
-                    jnp.asarray(planes[2]), jnp.asarray(ref[0]),
-                    jnp.asarray(ref[1]), jnp.asarray(ref[2]), qp, s,
-                    cfg.bit_depth, cfg.search_range, cfg.wrap_around)
-            lyh, luh, lvh = (np.asarray(l.astype(jnp.int16))
-                             .astype(np.int32) for l in (ly, lu, lv))
-            payload = encode_p_slice_affine(np.asarray(mvs), np.asarray(aff),
-                                            np.asarray(dmv), lyh, luh, lvh)
+                    dev[0], dev[1], dev[2], rdev[0], rdev[1], rdev[2],
+                    qp, s, cfg.bit_depth, cfg.search_range,
+                    cfg.wrap_around)
+            lyh, luh, lvh, mvs_h, aff_h, dmv_h = xfer.pull_levels(
+                ly, lu, lv, mvs, aff, dmv)
+            payload = encode_p_slice_affine(mvs_h, aff_h, dmv_h,
+                                            lyh, luh, lvh)
         else:
             wp = (self._estimate_wp(planes, ref)
                   if cfg.weighted_pred else None)
             mvs, ly, lu, lv, recon = inter_frame.encode_p_frame(
-                jnp.asarray(planes[0]), jnp.asarray(planes[1]),
-                jnp.asarray(planes[2]), jnp.asarray(ref[0]),
-                jnp.asarray(ref[1]), jnp.asarray(ref[2]), qp, s,
+                dev[0], dev[1], dev[2], rdev[0], rdev[1], rdev[2], qp, s,
                 cfg.bit_depth, cfg.search_range, cfg.wrap_around,
                 wp=None if wp is None else jnp.asarray(wp))
-            lyh, luh, lvh = (np.asarray(l.astype(jnp.int16))
-                             .astype(np.int32) for l in (ly, lu, lv))
+            lyh, luh, lvh, mvs_h = xfer.pull_levels(ly, lu, lv, mvs)
             col = self._mv_fields.get(ref_poc) if cfg.tmvp else None
-            payload = encode_p_slice(np.asarray(mvs), lyh, luh, lvh,
+            payload = encode_p_slice(mvs_h, lyh, luh, lvh,
                                      col_mvs=col, use_tmvp=cfg.tmvp)
-            self._mv_fields[poc] = np.asarray(mvs).astype(np.int64)
+            self._mv_fields[poc] = mvs_h.astype(np.int64)
         if cfg.deblocking:
             has_resid = (jnp.any(ly != 0, axis=(2, 3))
                          | jnp.any(lu != 0, axis=(2, 3))
@@ -414,9 +412,9 @@ class EncLib:
                 recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, qp,
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
-        recon, sao_params = self._sao_stage(recon, planes, qp)
-        recon, alf_params = self._alf_stage(recon, planes[0], qp,
-                                    (planes[1], planes[2]))
+        recon, sao_params = self._sao_stage(recon, dev, qp)
+        recon, alf_params = self._alf_stage(recon, dev[0], qp,
+                                            (dev[1], dev[2]))
         sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=qp,
                          ref_pocs_l0=[ref_poc], epipole_delta=epipole_delta,
                          sao_params=sao_params, alf_params=alf_params,
@@ -429,13 +427,11 @@ class EncLib:
         sh.write(bw, self.sps)
         bw.write_bytes(payload)
         nal = NalUnit(NAL_TRAIL, 0, bw.get_bytes())
-        rec = [np.asarray(recon["y"]), np.asarray(recon["u"]),
-               np.asarray(recon["v"])]
+        self._dpb_dev[poc] = (recon["y"], recon["u"], recon["v"])
+        rec, psnrs = xfer.finalize_recon(recon, dev, cfg.bit_depth)
         res = FrameResult(
             poc=poc, bits=len(nal.payload) * 8,
-            psnr_y=psnr(planes[0], rec[0], cfg.bit_depth),
-            psnr_u=psnr(planes[1], rec[1], cfg.bit_depth),
-            psnr_v=psnr(planes[2], rec[2], cfg.bit_depth),
+            psnr_y=psnrs[0], psnr_u=psnrs[1], psnr_v=psnrs[2],
             recon=rec, seconds=time.time() - t0)
         self._finish_frame(res, planes)
         self.results.append(res)
@@ -459,19 +455,22 @@ class EncLib:
         return out if (abs(wy - 64) > 2 or abs(oy) > 2) else None
 
     def _finish_p_frame(self, poc, planes, recon, payload, ref_poc, qp,
-                        epipole_delta, t0):
+                        epipole_delta, t0, dev=None):
         return self._finish_slice(poc, planes, recon, payload, qp, t0,
                                   SliceType.P, [ref_poc], [],
-                                  epipole_delta, 0)
+                                  epipole_delta, 0, dev)
 
     def _finish_slice(self, poc, planes, recon, payload, qp, t0, slice_type,
-                      ref_pocs_l0, ref_pocs_l1, epipole_delta, tid):
+                      ref_pocs_l0, ref_pocs_l1, epipole_delta, tid,
+                      dev=None):
         """Shared inter-frame tail: SAO -> ALF -> slice header -> NAL ->
         stats (reference: EncGOP compressGOP tail per picture)."""
         cfg = self.cfg
-        recon, sao_params = self._sao_stage(recon, planes, qp)
-        recon, alf_params = self._alf_stage(recon, planes[0], qp,
-                                    (planes[1], planes[2]))
+        if dev is None:
+            dev = xfer.upload_planes(planes, cfg.bit_depth)
+        recon, sao_params = self._sao_stage(recon, dev, qp)
+        recon, alf_params = self._alf_stage(recon, dev[0], qp,
+                                            (dev[1], dev[2]))
         sh = SliceHeader(poc=poc, slice_type=slice_type, qp=qp,
                          temporal_id=tid, ref_pocs_l0=ref_pocs_l0,
                          ref_pocs_l1=ref_pocs_l1,
@@ -483,13 +482,11 @@ class EncLib:
         sh.write(bw, self.sps)
         bw.write_bytes(payload)
         nal = NalUnit(NAL_TRAIL, tid, bw.get_bytes())
-        rec = [np.asarray(recon["y"]), np.asarray(recon["u"]),
-               np.asarray(recon["v"])]
+        self._dpb_dev[poc] = (recon["y"], recon["u"], recon["v"])
+        rec, psnrs = xfer.finalize_recon(recon, dev, cfg.bit_depth)
         res = FrameResult(
             poc=poc, bits=len(nal.payload) * 8,
-            psnr_y=psnr(planes[0], rec[0], cfg.bit_depth),
-            psnr_u=psnr(planes[1], rec[1], cfg.bit_depth),
-            psnr_v=psnr(planes[2], rec[2], cfg.bit_depth),
+            psnr_y=psnrs[0], psnr_u=psnrs[1], psnr_v=psnrs[2],
             recon=rec, seconds=time.time() - t0)
         self._finish_frame(res, planes)
         self.results.append(res)
@@ -507,9 +504,14 @@ class EncLib:
         qp = self.cfg.qp if qp is None else qp
         t0 = time.time()
         s = cfg.inter_block_size
-        r0 = [jnp.asarray(p) for p in ref0]
-        r1 = [jnp.asarray(p) for p in ref1]
-        oy, ou, ov = (jnp.asarray(p) for p in planes)
+        dev = xfer.upload_planes(planes, cfg.bit_depth)
+        r0 = self._dpb_dev.get(ref0_poc)
+        if r0 is None:
+            r0 = xfer.upload_planes(ref0, cfg.bit_depth)
+        r1 = self._dpb_dev.get(ref1_poc)
+        if r1 is None:
+            r1 = xfer.upload_planes(ref1, cfg.bit_depth)
+        oy, ou, ov = dev
         if cfg.qt_depth > 0:
             from ..common import qtree
             from .inter_coder import encode_b_slice_qt
@@ -517,13 +519,19 @@ class EncLib:
                 oy, ou, ov, tuple(r0), tuple(r1), qp, s, cfg.qt_depth,
                 cfg.bit_depth, cfg.search_range, cfg.wrap_around,
                 cfg.bdof, cfg.dmvr)
-            splits = [np.asarray(x) for x in qt["splits"]]
-            mv0s = [np.asarray(m) for m in qt["mv0"]]
-            mv1s = [np.asarray(m) for m in qt["mv1"]]
-            dirss = [np.asarray(d) for d in qt["dirs"]]
-            levels_h = [tuple(np.asarray(l.astype(jnp.int16))
-                              .astype(np.int32) for l in trio)
-                        for trio in qt["levels"]]
+            flat_levels = [l for trio in qt["levels"] for l in trio]
+            counts = [len(qt["splits"]), len(qt["mv0"]), len(qt["mv1"]),
+                      len(qt["dirs"])]
+            pulled = xfer.pull_levels(*qt["splits"], *qt["mv0"],
+                                      *qt["mv1"], *qt["dirs"], *flat_levels)
+            o0, o1, o2, o3 = np.cumsum(counts)
+            splits = pulled[:o0]
+            mv0s = [m.astype(np.int64) for m in pulled[o0:o1]]
+            mv1s = [m.astype(np.int64) for m in pulled[o1:o2]]
+            dirss = pulled[o2:o3]
+            lv_flat = pulled[o3:]
+            levels_h = [tuple(lv_flat[3 * i:3 * i + 3])
+                        for i in range(len(qt["levels"]))]
             payload = encode_b_slice_qt(splits, mv0s, mv1s, dirss,
                                         levels_h, s, cfg.qt_depth)
             recon = qt["recon"]
@@ -538,7 +546,7 @@ class EncLib:
                 recon = dict(y=ry, u=ru, v=rv)
             return self._finish_slice(poc, planes, recon, payload, qp, t0,
                                       SliceType.B, [ref0_poc], [ref1_poc],
-                                      None, tid)
+                                      None, tid, dev)
         mv0, mv1, dirs, gpm_modes = inter_frame.search_b_frame(
             oy, r0[0], r1[0], qp, s, cfg.bit_depth, cfg.search_range,
             cfg.wrap_around, cfg.gpm, cfg.ciip)
@@ -546,11 +554,11 @@ class EncLib:
             oy, ou, ov, tuple(r0), tuple(r1), mv0, mv1, dirs, qp, s,
             cfg.bit_depth, cfg.wrap_around, cfg.bdof, cfg.dmvr,
             gpm_modes=gpm_modes, gpm=cfg.gpm, ciip=cfg.ciip)
-        lyh, luh, lvh = (np.asarray(l.astype(jnp.int16)).astype(np.int32)
-                         for l in (ly, lu, lv))
+        (lyh, luh, lvh, mv0_h, mv1_h, dirs_h,
+         gpm_h) = xfer.pull_levels(ly, lu, lv, mv0, mv1, dirs, gpm_modes)
         payload, coded0, coded1 = encode_b_slice(
-            np.asarray(mv0), np.asarray(mv1), np.asarray(dirs), lyh, luh,
-            lvh, gpm_modes=np.asarray(gpm_modes), use_gpm=cfg.gpm,
+            mv0_h, mv1_h, dirs_h, lyh, luh,
+            lvh, gpm_modes=gpm_h, use_gpm=cfg.gpm,
             use_ciip=cfg.ciip)
         # reconstruct with the *coded* grids (unused-list entries replaced
         # by MVPs) so the decoder's deblock inputs match bit-exactly
@@ -561,20 +569,19 @@ class EncLib:
             cfg.bdof, cfg.dmvr, gpm_modes=gpm_modes, gpm=cfg.gpm,
             ciip=cfg.ciip)
         if cfg.deblocking:
-            has_resid = (jnp.any(jnp.asarray(ly) != 0, axis=(2, 3))
-                         | jnp.any(jnp.asarray(lu) != 0, axis=(2, 3))
-                         | jnp.any(jnp.asarray(lv) != 0, axis=(2, 3)))
-            sel_mv = np.where(np.asarray(dirs)[..., None] == 1, coded1,
-                              coded0)
+            has_resid = (jnp.any(ly != 0, axis=(2, 3))
+                         | jnp.any(lu != 0, axis=(2, 3))
+                         | jnp.any(lv != 0, axis=(2, 3)))
+            sel_mv = np.where(dirs_h[..., None] == 1, coded1, coded0)
             bs_v, bs_h = deblock.boundary_strengths_inter(
                 jnp.asarray(sel_mv, dtype=jnp.int32), has_resid)
             ry, ru, rv = deblock.deblock_frame(
                 recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, qp,
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
-        recon, sao_params = self._sao_stage(recon, planes, qp)
-        recon, alf_params = self._alf_stage(recon, planes[0], qp,
-                                    (planes[1], planes[2]))
+        recon, sao_params = self._sao_stage(recon, dev, qp)
+        recon, alf_params = self._alf_stage(recon, dev[0], qp,
+                                            (dev[1], dev[2]))
         sh = SliceHeader(poc=poc, slice_type=SliceType.B, qp=qp,
                          temporal_id=tid, ref_pocs_l0=[ref0_poc],
                          ref_pocs_l1=[ref1_poc], sao_params=sao_params,
@@ -585,13 +592,11 @@ class EncLib:
         sh.write(bw, self.sps)
         bw.write_bytes(payload)
         nal = NalUnit(NAL_TRAIL, tid, bw.get_bytes())
-        rec = [np.asarray(recon["y"]), np.asarray(recon["u"]),
-               np.asarray(recon["v"])]
+        self._dpb_dev[poc] = (recon["y"], recon["u"], recon["v"])
+        rec, psnrs = xfer.finalize_recon(recon, dev, cfg.bit_depth)
         res = FrameResult(
             poc=poc, bits=len(nal.payload) * 8,
-            psnr_y=psnr(planes[0], rec[0], cfg.bit_depth),
-            psnr_u=psnr(planes[1], rec[1], cfg.bit_depth),
-            psnr_v=psnr(planes[2], rec[2], cfg.bit_depth),
+            psnr_y=psnrs[0], psnr_u=psnrs[1], psnr_v=psnrs[2],
             recon=rec, seconds=time.time() - t0)
         self._finish_frame(res, planes)
         self.results.append(res)
@@ -672,8 +677,8 @@ class EncLib:
             if self.cfg.picture_hash_sei:
                 nalus.append(self._hash_sei(0, res.recon))
             dpb[0] = res.recon
-            for (poc, r0, r1, tid) in self.ra_coding_order(
-                    len(frames), self.cfg.gop_size):
+            order = self.ra_coding_order(len(frames), self.cfg.gop_size)
+            for i, (poc, r0, r1, tid) in enumerate(order):
                 if r1 < 0:
                     nal, res = self.encode_p_frame(poc, frames[poc],
                                                    dpb[r0], r0,
@@ -689,6 +694,13 @@ class EncLib:
                     nalus.append(self._hash_sei(poc, res.recon,
                                                 max(tid, 0) if r1 >= 0
                                                 else 0))
+                # prune device-side DPB: keep only pictures still needed
+                # as references by the remaining coding order
+                needed = {p for (_, a, b, _t) in order[i + 1:]
+                          for p in (a, b) if p >= 0}
+                for p in list(self._dpb_dev):
+                    if p not in needed:
+                        del self._dpb_dev[p]
             self.results.sort(key=lambda r: r.poc)
             self._lmcs_outputs(originals)
             return write_annexb(nalus)
@@ -709,6 +721,9 @@ class EncLib:
                 fg_nal = self._film_grain_sei(planes, res.recon)
                 if fg_nal is not None:
                     nalus.append(fg_nal)
+            for p in list(self._dpb_dev):   # LDP: only the last recon refs
+                if p != poc:
+                    del self._dpb_dev[p]
             last_rec, last_poc = res.recon, poc
             nalus.append(nal)
             if self.cfg.picture_hash_sei:

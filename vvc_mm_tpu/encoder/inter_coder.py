@@ -20,26 +20,40 @@ from ..common.contexts import ctx_id
 from ..common.residual_coding import encode_coeffs
 
 
+def _median3(a: int, b: int, c: int) -> int:
+    """Middle value of three ints (equals np.median for 3 samples)."""
+    return a + b + c - min(a, b, c) - max(a, b, c)
+
+
 def mvp_median(mvs: np.ndarray, by: int, bx: int) -> np.ndarray:
-    """Median MV predictor from decoded neighbors (host, shared enc/dec)."""
-    nby, nbx = mvs.shape[:2]
-    cand = []
-    if bx > 0:
-        cand.append(mvs[by, bx - 1])
-    if by > 0:
-        cand.append(mvs[by - 1, bx])
-    if by > 0 and bx + 1 < nbx:
-        cand.append(mvs[by - 1, bx + 1])
-    elif by > 0 and bx > 0:
-        cand.append(mvs[by - 1, bx - 1])
-    if not cand:
-        return np.zeros(2, dtype=np.int64)
-    c = np.stack(cand)
-    if len(cand) == 1:
-        return c[0]
-    if len(cand) == 2:
-        return (c[0] + c[1] + 1) >> 1          # rounding average of two
-    return np.median(c, axis=0).astype(np.int64)
+    """Median MV predictor from decoded neighbors (host, shared enc/dec).
+
+    Pure-int fast path: candidates are (left, above, above-right |
+    above-left); 3 -> component median, 2 -> rounding average, 1 -> copy,
+    0 -> zero.  Identical semantics to the earlier np.median formulation
+    but ~20x cheaper per block (this runs once or twice per block on the
+    host for every inter frame)."""
+    nbx = mvs.shape[1]
+    if by == 0:
+        if bx == 0:
+            return np.zeros(2, dtype=np.int64)
+        v = mvs[by, bx - 1]
+        return np.array([int(v[0]), int(v[1])], np.int64)
+    a = mvs[by - 1, bx]
+    ax, ay = int(a[0]), int(a[1])
+    if bx + 1 < nbx:
+        c = mvs[by - 1, bx + 1]
+    elif bx > 0:
+        c = mvs[by - 1, bx - 1]
+    else:
+        return np.array([ax, ay], np.int64)
+    cx, cy = int(c[0]), int(c[1])
+    if bx == 0:
+        # no left: rounding average of (above, above-right)
+        return np.array([(ax + cx + 1) >> 1, (ay + cy + 1) >> 1], np.int64)
+    lft = mvs[by, bx - 1]
+    lx, ly = int(lft[0]), int(lft[1])
+    return np.array([_median3(lx, ax, cx), _median3(ly, ay, cy)], np.int64)
 
 
 HMVP_SIZE = 5
@@ -124,10 +138,13 @@ def mvp_median_same_model(mvs: np.ndarray, model_ids: np.ndarray,
         return np.zeros(2, dtype=np.int64)
     if len(cand) == 1:
         return cand[0]
-    c = np.stack(cand[:3])
-    if len(c) == 2:
-        return (c[0] + c[1] + 1) >> 1
-    return np.median(c, axis=0).astype(np.int64)
+    if len(cand) == 2:
+        a, b = cand
+        return np.array([(int(a[0]) + int(b[0]) + 1) >> 1,
+                         (int(a[1]) + int(b[1]) + 1) >> 1], np.int64)
+    a, b, c = cand[:3]
+    return np.array([_median3(int(a[0]), int(b[0]), int(c[0])),
+                     _median3(int(a[1]), int(b[1]), int(c[1]))], np.int64)
 
 
 def mvp_mm_converted(mvs: np.ndarray, model_ids: np.ndarray, by: int,
@@ -156,10 +173,13 @@ def mvp_mm_converted(mvs: np.ndarray, model_ids: np.ndarray, by: int,
         return np.zeros(2, dtype=np.int64)
     if len(cand) == 1:
         return cand[0]
-    c = np.stack(cand[:3])
-    if len(c) == 2:
-        return (c[0] + c[1] + 1) >> 1
-    return np.median(c, axis=0).astype(np.int64)
+    if len(cand) == 2:
+        a, b = cand
+        return np.array([(int(a[0]) + int(b[0]) + 1) >> 1,
+                         (int(a[1]) + int(b[1]) + 1) >> 1], np.int64)
+    a, b, c = cand[:3]
+    return np.array([_median3(int(a[0]), int(b[0]), int(c[0])),
+                     _median3(int(a[1]), int(b[1]), int(c[1]))], np.int64)
 
 
 def _mm_mvp(mvs, models_sel, by, bx, model, s, conv, epipole):
@@ -210,13 +230,17 @@ def encode_p_slice_mm(model_idx: np.ndarray, active_models: list[int],
     models_sel = np.asarray([active_models[i]
                              for i in model_idx.reshape(-1)],
                             dtype=np.int32).reshape(nby, nbx)
+    cbf_y = (lev_y != 0).any(axis=(2, 3))
+    cbf_u = (lev_u != 0).any(axis=(2, 3))
+    cbf_v = (lev_v != 0).any(axis=(2, 3))
     for by in range(nby):
         for bx in range(nbx):
             midx = int(model_idx[by, bx])
             model = int(models_sel[by, bx])
             mv = mvs_sel[by, bx]
-            levels = (lev_y[by, bx], lev_u[by, bx], lev_v[by, bx])
-            no_resid = all(not np.any(l != 0) for l in levels)
+            cy, cu, cv = (bool(cbf_y[by, bx]), bool(cbf_u[by, bx]),
+                          bool(cbf_v[by, bx]))
+            no_resid = not (cy or cu or cv)
             inh = inherited_model(models_sel, by, bx)
             inh_mv = _mm_mvp(mvs_sel, models_sel, by, bx, inh, block_size,
                              conv, epipole)
@@ -230,13 +254,12 @@ def encode_p_slice_mm(model_idx: np.ndarray, active_models: list[int],
                            conv, epipole)
             encode_mvd_comp(enc, int(mv[0] - pred[0]))
             encode_mvd_comp(enc, int(mv[1] - pred[1]))
-            for comp, lev in (("y", levels[0]), ("u", levels[1]),
-                              ("v", levels[2])):
-                cbf = bool(np.any(lev != 0))
-                enc.encode_bin(int(cbf),
-                               ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp]))
+            for cbf, lev, cid in ((cy, lev_y[by, bx], 0),
+                                  (cu, lev_u[by, bx], 4),
+                                  (cv, lev_v[by, bx], 5)):
+                enc.encode_bin(int(cbf), ctx_id("QtCbf", cid))
                 if cbf:
-                    coeffs_encode(enc, lev, chroma=(comp != "y"))
+                    coeffs_encode(enc, lev, chroma=(cid != 0))
     return enc.finish()
 
 
@@ -453,6 +476,10 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
     nby, nbx = dirs.shape
     coded0 = mv0.astype(np.int64).copy()
     coded1 = mv1.astype(np.int64).copy()
+    # vectorized per-block coded-block flags (hoisted out of the scan loop)
+    cbf_y = (lev_y != 0).any(axis=(2, 3))
+    cbf_u = (lev_u != 0).any(axis=(2, 3))
+    cbf_v = (lev_v != 0).any(axis=(2, 3))
     for by in range(nby):
         for bx in range(nbx):
             d = int(dirs[by, bx])
@@ -462,17 +489,20 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
                 coded1[by, bx] = pred1
             elif d == 1:
                 coded0[by, bx] = pred0
-            mvd0 = coded0[by, bx] - pred0
-            mvd1 = coded1[by, bx] - pred1
-            levels = (lev_y[by, bx], lev_u[by, bx], lev_v[by, bx])
-            no_resid = all(not np.any(l != 0) for l in levels)
+            mvd0x = int(coded0[by, bx, 0]) - int(pred0[0])
+            mvd0y = int(coded0[by, bx, 1]) - int(pred0[1])
+            mvd1x = int(coded1[by, bx, 0]) - int(pred1[0])
+            mvd1y = int(coded1[by, bx, 1]) - int(pred1[1])
+            cy, cu, cv = (bool(cbf_y[by, bx]), bool(cbf_u[by, bx]),
+                          bool(cbf_v[by, bx]))
+            no_resid = not (cy or cu or cv)
             # skip inherits the neighbour direction clamped to BI (GPM/CIIP
             # blocks never skip: the mask/intra state is not inherited)
             d_pred = (int(dirs[by, bx - 1]) if bx > 0
                       else int(dirs[by - 1, bx]) if by > 0 else 0)
             d_pred = min(d_pred, 2)
-            used_zero = (((d != 1) <= (mvd0 == 0).all())
-                         and ((d != 0) <= (mvd1 == 0).all()))
+            used_zero = ((d == 1 or (mvd0x == 0 and mvd0y == 0))
+                         and (d == 0 or (mvd1x == 0 and mvd1y == 0)))
             skip = no_resid and d == d_pred and used_zero
             enc.encode_bin(int(skip), ctx_id("SkipFlag"))
             if skip:
@@ -497,22 +527,21 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
                         enc.encode_bin_ep((g >> bit) & 1)
             # SMVD: mirrored bi-prediction sends one mvd (reference:
             # sym_mvd_flag, CABACWriter smvd_mode; mvd1 = -mvd0)
-            smvd = (d == 2 and (mvd1 == -mvd0).all())
+            smvd = (d == 2 and mvd1x == -mvd0x and mvd1y == -mvd0y)
             if d == 2:
                 enc.encode_bin(int(smvd), ctx_id("SmvdFlag"))
             if d != 1:
-                encode_mvd_comp(enc, int(mvd0[0]))
-                encode_mvd_comp(enc, int(mvd0[1]))
+                encode_mvd_comp(enc, mvd0x)
+                encode_mvd_comp(enc, mvd0y)
             if d != 0 and not smvd:
-                encode_mvd_comp(enc, int(mvd1[0]))
-                encode_mvd_comp(enc, int(mvd1[1]))
-            for comp, lev in (("y", levels[0]), ("u", levels[1]),
-                              ("v", levels[2])):
-                cbf = bool(np.any(lev != 0))
-                enc.encode_bin(int(cbf),
-                               ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp]))
+                encode_mvd_comp(enc, mvd1x)
+                encode_mvd_comp(enc, mvd1y)
+            for cbf, lev, cid in ((cy, lev_y[by, bx], 0),
+                                  (cu, lev_u[by, bx], 4),
+                                  (cv, lev_v[by, bx], 5)):
+                enc.encode_bin(int(cbf), ctx_id("QtCbf", cid))
                 if cbf:
-                    coeffs_encode(enc, lev, chroma=(comp != "y"))
+                    coeffs_encode(enc, lev, chroma=(cid != 0))
     return enc.finish(), coded0, coded1
 
 
@@ -529,6 +558,9 @@ def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
     nby, nbx = mvs.shape[:2]
     mvs = mvs.astype(np.int64)
     hist = HmvpList() if use_tmvp else None
+    cbf_yg = (lev_y != 0).any(axis=(2, 3))
+    cbf_ug = (lev_u != 0).any(axis=(2, 3))
+    cbf_vg = (lev_v != 0).any(axis=(2, 3))
     for by in range(nby):
         for bx in range(nbx):
             mv = mvs[by, bx]
@@ -542,8 +574,9 @@ def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
                 idx = 0
                 pred = mvp_median(mvs, by, bx)
                 mvd = mv - pred
-            levels = (lev_y[by, bx], lev_u[by, bx], lev_v[by, bx])
-            no_resid = all(not np.any(l != 0) for l in levels)
+            cy, cu, cv = (bool(cbf_yg[by, bx]), bool(cbf_ug[by, bx]),
+                          bool(cbf_vg[by, bx]))
+            no_resid = not (cy or cu or cv)
             # skip reconstructs from candidate 0
             skip = (no_resid and mvd[0] == 0 and mvd[1] == 0
                     and (not use_tmvp or idx == 0))
@@ -553,14 +586,12 @@ def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
                     enc.encode_bin(idx, ctx_id("MvpIdx"))
                 encode_mvd_comp(enc, int(mvd[0]))
                 encode_mvd_comp(enc, int(mvd[1]))
-                for comp, lev in (("y", levels[0]), ("u", levels[1]),
-                                  ("v", levels[2])):
-                    cbf = bool(np.any(lev != 0))
-                    enc.encode_bin(
-                        int(cbf),
-                        ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp]))
+                for cbf, lev, cid in ((cy, lev_y[by, bx], 0),
+                                      (cu, lev_u[by, bx], 4),
+                                      (cv, lev_v[by, bx], 5)):
+                    enc.encode_bin(int(cbf), ctx_id("QtCbf", cid))
                     if cbf:
-                        coeffs_encode(enc, lev, chroma=(comp != "y"))
+                        coeffs_encode(enc, lev, chroma=(cid != 0))
             if hist is not None:
                 hist.push(mv)
     return enc.finish()
