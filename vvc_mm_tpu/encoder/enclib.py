@@ -756,79 +756,34 @@ class EncLib:
     def _sao_stage(self, recon: dict, planes, qp: int):
         """Estimate + apply SAO on all three planes after deblocking
         (reference: EncGOP.cpp:3495 SAOProcess after deblock).  Returns
-        (recon, sao_params-or-None)."""
+        (recon, sao_params-or-None).  One fused jit stage + one packed
+        pull (encoder/filter_stage.py)."""
         if not self.cfg.sao:
             return recon, None
+        from . import filter_stage
         lam = quant.lambda_from_qp(qp, intra=False)
-        out = dict(recon)
-        params = []
-        for key, orig in (("y", planes[0]), ("u", planes[1]),
-                          ("v", planes[2])):
-            types, offsets, band_pos = sao.estimate_sao(
-                jnp.asarray(orig), recon[key], lam, self.cfg.bit_depth)
-            tn = np.asarray(types)
-            if not tn.any():
-                params.append(None)
-                continue
-            out[key] = sao.apply_sao(recon[key], types, offsets, band_pos,
-                                     self.cfg.bit_depth)
-            params.append((tn, np.asarray(offsets), np.asarray(band_pos)))
-        if all(p is None for p in params):
-            return recon, None
-        return out, tuple(params)
+        return filter_stage.run_sao(recon, planes, lam, self.cfg.bit_depth)
 
     def _alf_stage(self, recon: dict, orig_y, qp: int,
                    orig_uv: tuple | None = None):
         """Estimate + apply luma ALF after SAO (reference: EncGOP.cpp:3527
-        ALFProcess); then 5x5 chroma ALF and CC-ALF when chroma originals
-        are supplied.  Returns (recon, alf_params).  Chroma/CC-ALF params
-        land on self._pending_alf_chroma / _pending_ccalf for the slice
-        header."""
+        ALFProcess), 5x5 chroma ALF and CC-ALF — fused into three jit
+        stages with packed pulls (encoder/filter_stage.py).  Returns
+        (recon, alf_params); chroma/CC-ALF params land on
+        self._pending_alf_chroma / _pending_ccalf for the slice header."""
         self._pending_alf_chroma = None
         self._pending_ccalf = None
         if not self.cfg.alf:
             return recon, None
+        from . import filter_stage
         lam = quant.lambda_from_qp(qp, intra=False)
-        luma_params = None
-        coeffs, enable, cls4 = alf.estimate_alf(
-            jnp.asarray(orig_y), recon["y"], lam, self.cfg.bit_depth)
-        if enable.any():
-            out_y = alf.apply_alf(recon["y"], cls4, jnp.asarray(coeffs),
-                                  jnp.asarray(enable), self.cfg.bit_depth)
-            # frame-level RD gate: the 25x12 coefficient payload must pay
-            # for itself (reference: EncAdaptiveLoopFilter RD incl APS bits)
-            o = jnp.asarray(orig_y)
-            gain = float(jnp.sum((o - recon["y"]) ** 2)
-                         - jnp.sum((o - out_y) ** 2))
-            coeff_bits = sum(2 * (abs(int(c)).bit_length() + 1)
-                             for c in coeffs.reshape(-1)) + enable.size
-            if gain >= lam * coeff_bits:
-                recon = dict(y=out_y, u=recon["u"], v=recon["v"])
-                luma_params = (coeffs, enable)
+        dev = (orig_y,) + (orig_uv if orig_uv is not None
+                           else (recon["u"], recon["v"]))
+        recon, luma_params, chroma_params, ccalf_params = \
+            filter_stage.run_alf(recon, dev, lam, self.cfg.bit_depth)
         if orig_uv is not None:
-            recon = dict(recon)
-            ch_params, cc_params = [], []
-            for key, orig_c in zip(("u", "v"), orig_uv):
-                oc = jnp.asarray(orig_c)
-                c, e = alf.estimate_alf_chroma(oc, recon[key], lam,
-                                               self.cfg.bit_depth)
-                if c is not None:
-                    recon[key] = alf.apply_alf_chroma(
-                        recon[key], jnp.asarray(c), jnp.asarray(e),
-                        self.cfg.bit_depth)
-                ch_params.append(None if c is None else (c, e))
-                # CC-ALF on top of chroma ALF, driven by the *final* luma
-                cc, ce = alf.estimate_ccalf(recon["y"], oc, recon[key],
-                                            lam, self.cfg.bit_depth)
-                if cc is not None:
-                    recon[key] = alf.apply_ccalf(
-                        recon[key], recon["y"], jnp.asarray(cc),
-                        jnp.asarray(ce), self.cfg.bit_depth)
-                cc_params.append(None if cc is None else (cc, ce))
-            if any(p is not None for p in ch_params):
-                self._pending_alf_chroma = tuple(ch_params)
-            if any(p is not None for p in cc_params):
-                self._pending_ccalf = tuple(cc_params)
+            self._pending_alf_chroma = chroma_params
+            self._pending_ccalf = ccalf_params
         return recon, luma_params
 
     def summary(self) -> dict:
