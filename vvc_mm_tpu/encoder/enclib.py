@@ -554,17 +554,13 @@ class EncLib:
             oy, ou, ov, tuple(r0), tuple(r1), mv0, mv1, dirs, qp, s,
             cfg.bit_depth, cfg.wrap_around, cfg.bdof, cfg.dmvr,
             gpm_modes=gpm_modes, gpm=cfg.gpm, ciip=cfg.ciip)
-        (lyh, luh, lvh, mv0_h, mv1_h, dirs_h,
-         gpm_h) = xfer.pull_levels(ly, lu, lv, mv0, mv1, dirs, gpm_modes)
-        payload, coded0, coded1 = encode_b_slice(
-            mv0_h, mv1_h, dirs_h, lyh, luh,
-            lvh, gpm_modes=gpm_h, use_gpm=cfg.gpm,
-            use_ciip=cfg.ciip)
-        # reconstruct with the *coded* grids (unused-list entries replaced
-        # by MVPs) so the decoder's deblock inputs match bit-exactly
+        # The recon/filter chain never reads the entropy pass's coded
+        # grids: unused-list MVP replacements are never selected by
+        # `dirs` (prediction and deblock both pick the *used* list), so
+        # the whole device chain is dispatched here and the host entropy
+        # pass below runs concurrently with it.
         recon = inter_frame.reconstruct_b_frame(
-            jnp.asarray(coded0), jnp.asarray(coded1), dirs,
-            jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
+            mv0, mv1, dirs, ly, lu, lv,
             tuple(r0), tuple(r1), qp, s, cfg.bit_depth, cfg.wrap_around,
             cfg.bdof, cfg.dmvr, gpm_modes=gpm_modes, gpm=cfg.gpm,
             ciip=cfg.ciip)
@@ -572,16 +568,40 @@ class EncLib:
             has_resid = (jnp.any(ly != 0, axis=(2, 3))
                          | jnp.any(lu != 0, axis=(2, 3))
                          | jnp.any(lv != 0, axis=(2, 3)))
-            sel_mv = np.where(dirs_h[..., None] == 1, coded1, coded0)
+            sel_mv = jnp.where(dirs[..., None] == 1, mv1, mv0)
             bs_v, bs_h = deblock.boundary_strengths_inter(
-                jnp.asarray(sel_mv, dtype=jnp.int32), has_resid)
+                sel_mv.astype(jnp.int32), has_resid)
             ry, ru, rv = deblock.deblock_frame(
                 recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, qp,
                 cfg.bit_depth)
             recon = dict(y=ry, u=ru, v=rv)
-        recon, sao_params = self._sao_stage(recon, dev, qp)
-        recon, alf_params = self._alf_stage(recon, dev[0], qp,
-                                            (dev[1], dev[2]))
+        from . import filter_stage
+        lam = quant.lambda_from_qp(qp, intra=False)
+        sao_h = (filter_stage.sao_dispatch(recon, dev, lam, cfg.bit_depth)
+                 if cfg.sao else None)
+        post_sao = (dict(y=sao_h[0], u=sao_h[1], v=sao_h[2]) if cfg.sao
+                    else recon)
+        alf_h = (filter_stage.alf_stats_dispatch(post_sao, dev,
+                                                 cfg.bit_depth)
+                 if cfg.alf else None)
+        # host entropy overlaps the device filter chain dispatched above
+        (lyh, luh, lvh, mv0_h, mv1_h, dirs_h,
+         gpm_h) = xfer.pull_levels(ly, lu, lv, mv0, mv1, dirs, gpm_modes)
+        payload, coded0, coded1 = encode_b_slice(
+            mv0_h, mv1_h, dirs_h, lyh, luh,
+            lvh, gpm_modes=gpm_h, use_gpm=cfg.gpm,
+            use_ciip=cfg.ciip)
+        self._pending_alf_chroma = None
+        self._pending_ccalf = None
+        sao_params = None
+        if cfg.sao:
+            recon, sao_params = filter_stage.sao_finish(recon, sao_h)
+            recon = post_sao   # same values; keep the device chain's view
+        alf_params = None
+        if cfg.alf:
+            recon, alf_params, self._pending_alf_chroma, \
+                self._pending_ccalf = filter_stage.run_alf(
+                    post_sao, dev, lam, cfg.bit_depth, stats_handles=alf_h)
         sh = SliceHeader(poc=poc, slice_type=SliceType.B, qp=qp,
                          temporal_id=tid, ref_pocs_l0=[ref0_poc],
                          ref_pocs_l1=[ref1_poc], sao_params=sao_params,

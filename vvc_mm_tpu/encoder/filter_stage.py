@@ -134,12 +134,28 @@ def _split(flat, shapes, dtype=np.int32):
     return out
 
 
+def sao_dispatch(recon: dict, dev, lam: float, bit_depth: int):
+    """Dispatch the fused SAO stage; returns device handles (no sync).
+    Pair with sao_finish — lets the caller overlap host work (entropy
+    coding) with the device filter chain."""
+    ry, ru, rv = recon["y"], recon["u"], recon["v"]
+    return _sao_stage(dev[0], ry, dev[1], ru, dev[2], rv, lam, bit_depth)
+
+
+def sao_finish(recon: dict, handles):
+    """Pull the packed SAO params and build the header tuple."""
+    y2, u2, v2, packed = handles
+    return _sao_host(recon, y2, u2, v2, packed)
+
+
 def run_sao(recon: dict, dev, lam: float, bit_depth: int):
     """Returns (recon, sao_params-or-None) — same contract as the old
     enclib._sao_stage but with ONE device round trip."""
+    return sao_finish(recon, sao_dispatch(recon, dev, lam, bit_depth))
+
+
+def _sao_host(recon, y2, u2, v2, packed):
     ry, ru, rv = recon["y"], recon["u"], recon["v"]
-    y2, u2, v2, packed = _sao_stage(dev[0], ry, dev[1], ru, dev[2], rv,
-                                    lam, bit_depth)
     flat = np.asarray(packed)
     params = []
     off = 0
@@ -183,13 +199,22 @@ def _solve_ccalf(a: np.ndarray, b: np.ndarray):
     return coeffs if coeffs.any() else None
 
 
-def run_alf(recon: dict, dev, lam: float, bit_depth: int):
+def alf_stats_dispatch(recon: dict, dev, bit_depth: int):
+    """Dispatch classification + all Wiener statistics (no sync)."""
+    ry, ru, rv = recon["y"], recon["u"], recon["v"]
+    return _alf_stats_stage(dev[0], ry, dev[1], ru, dev[2], rv, bit_depth)
+
+
+def run_alf(recon: dict, dev, lam: float, bit_depth: int,
+            stats_handles=None):
     """Full ALF family in 3 device round trips.  Returns
     (recon, luma_params, chroma_params, ccalf_params) with the same
     None-able tuple shapes the slice header writer expects."""
     ry, ru, rv = recon["y"], recon["u"], recon["v"]
     oy, ou, ov = dev
-    cls4, stats = _alf_stats_stage(oy, ry, ou, ru, ov, rv, bit_depth)
+    if stats_handles is None:
+        stats_handles = alf_stats_dispatch(recon, dev, bit_depth)
+    cls4, stats = stats_handles
     flat = np.asarray(stats).astype(np.float64)
     a, b, au, bu, av, bv = _split(
         flat, [(NUM_CLASSES, NUM_COEFF, NUM_COEFF),
