@@ -42,6 +42,9 @@ RATE1 = 8
 # ---------------------------------------------------------------------------
 _CTX_SETS: list[tuple[str, int]] = [
     ("SplitFlag", 9),          # qt split (ctx by neighbor depth)
+    ("QtSplitFlag", 3),        # quad-vs-mtt (reference: split_qt_flag)
+    ("BtFlag", 3),             # binary-vs-ternary (mtt_split_cu_binary)
+    ("MttVert", 3),            # mtt_split_cu_vertical_flag
     ("SplitQtFlag", 6),
     ("SplitHvFlag", 5),
     ("Split12Flag", 4),

@@ -75,6 +75,9 @@ class SPS:
                                   # inter_block_size: 0 = fixed grid; d > 0
                                   # allows leaves down to size >> d (QTMT
                                   # analog, UnitPartitioner.h:56-64)
+    mtt: bool = False             # multi-type tree: BT/TT splits on top of
+                                  # the quadtree lattice (common/mtt.py;
+                                  # reference: sps_max_mtt_hierarchy_depth)
     affine: bool = False          # 4-param affine motion (CLASSIC only;
                                   # reference: sps_affine_enabled_flag)
     wrap_around: bool = False     # ERP horizontal wrap (pps in VVC; SPS here)
@@ -129,6 +132,7 @@ class SPS:
         bw.write_uvlc(self.inter_block_size.bit_length() - 1)
         bw.write_uvlc(self.max_num_ref)
         bw.write_uvlc(self.inter_qt_depth)
+        bw.write_flag(self.mtt)
         bw.write_flag(self.affine)
         bw.write_flag(self.wrap_around)
         bw.write_flag(self.deblocking)
@@ -182,6 +186,7 @@ class SPS:
         sps.inter_block_size = 1 << br.read_uvlc()
         sps.max_num_ref = br.read_uvlc()
         sps.inter_qt_depth = br.read_uvlc()
+        sps.mtt = br.read_flag()
         sps.affine = br.read_flag()
         sps.wrap_around = br.read_flag()
         sps.deblocking = br.read_flag()

@@ -249,6 +249,37 @@ class DecLib:
                     jnp.asarray(lv), jnp.asarray(ref.planes[0]),
                     jnp.asarray(ref.planes[1]), jnp.asarray(ref.planes[2]),
                     sh.qp, s, sps.bit_depth, epipoles, sps.wrap_around)
+            elif sps.inter_qt_depth > 0 and sps.mtt:
+                from ..common import mtt as mtt_mod
+                from ..common import qtree
+                from .inter_parser import decode_p_slice_mtt
+                (mv_unit, sq_levels, rect_levels, has_resid_u,
+                 leaf_id_u) = decode_p_slice_mtt(
+                    cabac_bytes, sps.height, sps.width, s,
+                    sps.inter_qt_depth, stats=self.stats)
+                sq_j = [tuple(jnp.asarray(l) for l in trio)
+                        for trio in sq_levels]
+                rect_j = {k: tuple(jnp.asarray(l) for l in trio)
+                          for k, trio in rect_levels.items()}
+                recon = mtt_mod.reconstruct_mtt(
+                    jnp.asarray(mv_unit), sq_j, rect_j,
+                    jnp.asarray(ref.planes[0]), jnp.asarray(ref.planes[1]),
+                    jnp.asarray(ref.planes[2]), sh.qp, s,
+                    sps.inter_qt_depth, sps.bit_depth, sps.wrap_around)
+                if sps.deblocking:
+                    bs_v, bs_h = qtree.qt_boundary_strengths(
+                        jnp.asarray(mv_unit), jnp.asarray(has_resid_u),
+                        jnp.asarray(leaf_id_u))
+                    ry, ru, rv = deblock.deblock_frame(
+                        recon["y"], recon["u"], recon["v"], bs_v, bs_h,
+                        s >> sps.inter_qt_depth, sh.qp, sps.bit_depth)
+                    recon = dict(y=ry, u=ru, v=rv)
+                recon = self._apply_sao(recon, sh)
+                self.frames.append(DecodedFrame(
+                    poc=sh.poc,
+                    planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
+                            np.asarray(recon["v"])]))
+                return
             elif sps.inter_qt_depth > 0:
                 from ..common import qtree
                 mv_unit, levels, has_resid_u, leaf_id_u = decode_p_slice_qt(
@@ -323,6 +354,39 @@ class DecLib:
             nby, nbx = sps.height // s, sps.width // s
             ref0 = self._ref_by_poc(sh.ref_pocs_l0[0])
             ref1 = self._ref_by_poc(sh.ref_pocs_l1[0])
+            if sps.inter_qt_depth > 0 and sps.mtt:
+                from ..common import mtt as mtt_mod
+                from ..common import qtree
+                from .inter_parser import decode_b_slice_mtt
+                (mv0_u, mv1_u, dirs_u, sq_levels, rect_levels,
+                 has_resid_u, leaf_id_u) = decode_b_slice_mtt(
+                    cabac_bytes, sps.height, sps.width, s,
+                    sps.inter_qt_depth, stats=self.stats)
+                sq_j = [tuple(jnp.asarray(l) for l in trio)
+                        for trio in sq_levels]
+                rect_j = {k: tuple(jnp.asarray(l) for l in trio)
+                          for k, trio in rect_levels.items()}
+                r0 = tuple(jnp.asarray(p) for p in ref0.planes)
+                r1 = tuple(jnp.asarray(p) for p in ref1.planes)
+                recon = mtt_mod.reconstruct_mtt_b(
+                    jnp.asarray(mv0_u), jnp.asarray(mv1_u),
+                    jnp.asarray(dirs_u), sq_j, rect_j, r0, r1, sh.qp, s,
+                    sps.inter_qt_depth, sps.bit_depth, sps.wrap_around)
+                if sps.deblocking:
+                    sel_mv = np.where(dirs_u[..., None] == 1, mv1_u, mv0_u)
+                    bs_v, bs_h = qtree.qt_boundary_strengths(
+                        jnp.asarray(sel_mv), jnp.asarray(has_resid_u),
+                        jnp.asarray(leaf_id_u))
+                    ry, ru, rv = deblock.deblock_frame(
+                        recon["y"], recon["u"], recon["v"], bs_v, bs_h,
+                        s >> sps.inter_qt_depth, sh.qp, sps.bit_depth)
+                    recon = dict(y=ry, u=ru, v=rv)
+                recon = self._apply_sao(recon, sh)
+                self.frames.append(DecodedFrame(
+                    poc=sh.poc,
+                    planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
+                            np.asarray(recon["v"])]))
+                return
             if sps.inter_qt_depth > 0:
                 from ..common import qtree
                 from .inter_parser import decode_b_slice_qt

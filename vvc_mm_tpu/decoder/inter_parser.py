@@ -404,3 +404,210 @@ def decode_p_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
             if hist is not None:
                 hist.push(mvs[by, bx])
     return mvs, lev_y, lev_u, lev_v
+
+
+# ---------------------------------------------------------------- MTT
+
+def _parse_split_syntax(dec, d, s, u):
+    """Inverse of encoder._code_split_syntax.  Returns the split code."""
+    from ..common import mtt as mtt_mod
+    _lbl(dec, "split_flag")
+    if not dec.decode_bin(ctx_id("SplitFlag", min(d, 8))):
+        return mtt_mod.LEAF
+    _lbl(dec, "split_qt_flag")
+    if dec.decode_bin(ctx_id("QtSplitFlag", min(d, 2))):
+        return mtt_mod.QUAD
+    bt_ok = mtt_mod.bt_allowed(s, u)
+    tt_ok = mtt_mod.tt_allowed(s, u)
+    if bt_ok and tt_ok:
+        _lbl(dec, "mtt_binary_flag")
+        bt = bool(dec.decode_bin(ctx_id("BtFlag", min(d, 2))))
+    else:
+        bt = bt_ok
+    _lbl(dec, "mtt_vertical_flag")
+    vert = bool(dec.decode_bin(ctx_id("MttVert", min(d, 2))))
+    if bt:
+        return mtt_mod.BTV if vert else mtt_mod.BTH
+    return mtt_mod.TTV if vert else mtt_mod.TTH
+
+
+def _alloc_mtt_levels(h, w, top, depth):
+    """Level grids for every shape of the lattice (zeros; filled while
+    parsing).  Returns (sq_levels list, rect_levels dict, shapes)."""
+    from ..common import mtt as mtt_mod
+    sizes = [top >> d for d in range(depth + 1)]
+    sq = []
+    for s in sizes:
+        ny, nx = h // s, w // s
+        sq.append((np.zeros((ny, nx, s, s), dtype=np.int32),
+                   np.zeros((ny, nx, s // 2, s // 2), dtype=np.int32),
+                   np.zeros((ny, nx, s // 2, s // 2), dtype=np.int32)))
+    shapes = mtt_mod.rect_shapes(top, depth)
+    rect = {}
+    for (kind, d, sy, sx, y_off, x_off) in shapes:
+        gy = (h - 2 * y_off) // sy
+        gx = (w - 2 * x_off) // sx
+        rect[(kind, d)] = (
+            np.zeros((gy, gx, sy, sx), dtype=np.int32),
+            np.zeros((gy, gx, sy // 2, sx // 2), dtype=np.int32),
+            np.zeros((gy, gx, sy // 2, sx // 2), dtype=np.int32))
+    return sq, rect, shapes
+
+
+def decode_p_slice_mtt(data: bytes, h: int, w: int, top: int, depth: int,
+                       stats=None):
+    """Exact inverse of encoder.inter_coder.encode_p_slice_mtt.  Returns
+    (mv_unit, sq_levels, rect_levels, has_resid_unit, leaf_id_unit)."""
+    from ..common import mtt as mtt_mod
+    from ..encoder.inter_coder import mtt_child_entries, mvp_unit_grid_rect
+    dec = _make(data, stats)
+    u = top >> depth
+    nuy, nux = h // u, w // u
+    nty, ntx = h // top, w // top
+    sq_levels, rect_levels, shapes = _alloc_mtt_levels(h, w, top, depth)
+    shapes_d = {(i[0], i[1]): i for i in shapes}
+    coded = np.zeros((nuy, nux, 2), dtype=np.int64)
+    avail = np.zeros((nuy, nux), dtype=bool)
+    has_resid = np.zeros((nuy, nux), dtype=bool)
+    leaf_id = np.zeros((nuy, nux), dtype=np.int32)
+
+    def parse_leaf_span(levs, uy, ux, ky, kx, sy, sx):
+        pred = mvp_unit_grid_rect(coded, avail, uy, ux, kx)
+        _lbl(dec, "skip_flag")
+        if dec.decode_bin(ctx_id("SkipFlag")):
+            mv = pred
+        else:
+            _lbl(dec, "mvd")
+            mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
+                           dtype=np.int64)
+            mv = pred + mvd
+            hr = False
+            for ci in range(3):
+                _lbl(dec, "cbf")
+                if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
+                    _lbl(dec, "residual_" + "yuv"[ci])
+                    zy = sy if ci == 0 else sy // 2
+                    zx = sx if ci == 0 else sx // 2
+                    levs[ci][...] = coeffs_decode(dec, zy, zx,
+                                                  chroma=(ci != 0))
+                    hr = True
+            has_resid[uy:uy + ky, ux:ux + kx] = hr
+        coded[uy:uy + ky, ux:ux + kx] = mv
+        avail[uy:uy + ky, ux:ux + kx] = True
+        leaf_id[uy:uy + ky, ux:ux + kx] = uy * nux + ux
+
+    def parse_node(d, by, bx):
+        s = top >> d
+        if d < depth:
+            code = _parse_split_syntax(dec, d, s, u)
+            if code == mtt_mod.QUAD:
+                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    parse_node(d + 1, 2 * by + dy, 2 * bx + dx)
+                return
+            if code != mtt_mod.LEAF:
+                for (kind, gy, gx) in mtt_child_entries(code, by, bx):
+                    info = shapes_d[(kind, d)]
+                    _, _, sy, sx, y_off, x_off = info
+                    uy = (gy * sy + y_off) // u
+                    ux = (gx * sx + x_off) // u
+                    levs = tuple(rect_levels[(kind, d)][c][gy, gx]
+                                 for c in range(3))
+                    parse_leaf_span(levs, uy, ux, sy // u, sx // u, sy, sx)
+                return
+        k = s // u
+        levs = tuple(sq_levels[d][c][by, bx] for c in range(3))
+        parse_leaf_span(levs, by * k, bx * k, k, k, s, s)
+
+    for by in range(nty):
+        for bx in range(ntx):
+            parse_node(0, by, bx)
+    return coded, sq_levels, rect_levels, has_resid, leaf_id
+
+
+def decode_b_slice_mtt(data: bytes, h: int, w: int, top: int, depth: int,
+                       stats=None):
+    """Exact inverse of encoder.inter_coder.encode_b_slice_mtt.  Returns
+    (mv0_unit, mv1_unit, dirs_unit, sq_levels, rect_levels,
+    has_resid_unit, leaf_id_unit)."""
+    from ..common import mtt as mtt_mod
+    from ..encoder.inter_coder import mtt_child_entries, mvp_unit_grid_rect
+    dec = _make(data, stats)
+    u = top >> depth
+    nuy, nux = h // u, w // u
+    nty, ntx = h // top, w // top
+    sq_levels, rect_levels, shapes = _alloc_mtt_levels(h, w, top, depth)
+    shapes_d = {(i[0], i[1]): i for i in shapes}
+    coded0 = np.zeros((nuy, nux, 2), dtype=np.int64)
+    coded1 = np.zeros((nuy, nux, 2), dtype=np.int64)
+    dirs_u = np.zeros((nuy, nux), dtype=np.int32)
+    avail = np.zeros((nuy, nux), dtype=bool)
+    has_resid = np.zeros((nuy, nux), dtype=bool)
+    leaf_id = np.zeros((nuy, nux), dtype=np.int32)
+
+    def parse_leaf_span(levs, uy, ux, ky, kx, sy, sx):
+        pred0 = mvp_unit_grid_rect(coded0, avail, uy, ux, kx)
+        pred1 = mvp_unit_grid_rect(coded1, avail, uy, ux, kx)
+        d_pred = (int(dirs_u[uy, ux - 1]) if ux > 0 and avail[uy, ux - 1]
+                  else int(dirs_u[uy - 1, ux])
+                  if uy > 0 and avail[uy - 1, ux] else 0)
+        _lbl(dec, "skip_flag")
+        if dec.decode_bin(ctx_id("SkipFlag")):
+            dv, mv0, mv1 = d_pred, pred0, pred1
+        else:
+            if dec.decode_bin(ctx_id("InterDir", 0)):
+                dv = 2
+            else:
+                dv = dec.decode_bin(ctx_id("InterDir", 1))
+            mv0, mv1 = pred0, pred1
+            if dv != 1:
+                mv0 = pred0 + np.array([decode_mvd_comp(dec),
+                                        decode_mvd_comp(dec)],
+                                       dtype=np.int64)
+            if dv != 0:
+                mv1 = pred1 + np.array([decode_mvd_comp(dec),
+                                        decode_mvd_comp(dec)],
+                                       dtype=np.int64)
+            hr = False
+            for ci in range(3):
+                _lbl(dec, "cbf")
+                if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
+                    _lbl(dec, "residual_" + "yuv"[ci])
+                    zy = sy if ci == 0 else sy // 2
+                    zx = sx if ci == 0 else sx // 2
+                    levs[ci][...] = coeffs_decode(dec, zy, zx,
+                                                  chroma=(ci != 0))
+                    hr = True
+            has_resid[uy:uy + ky, ux:ux + kx] = hr
+        coded0[uy:uy + ky, ux:ux + kx] = mv0
+        coded1[uy:uy + ky, ux:ux + kx] = mv1
+        dirs_u[uy:uy + ky, ux:ux + kx] = dv
+        avail[uy:uy + ky, ux:ux + kx] = True
+        leaf_id[uy:uy + ky, ux:ux + kx] = uy * nux + ux
+
+    def parse_node(d, by, bx):
+        s = top >> d
+        if d < depth:
+            code = _parse_split_syntax(dec, d, s, u)
+            if code == mtt_mod.QUAD:
+                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    parse_node(d + 1, 2 * by + dy, 2 * bx + dx)
+                return
+            if code != mtt_mod.LEAF:
+                for (kind, gy, gx) in mtt_child_entries(code, by, bx):
+                    info = shapes_d[(kind, d)]
+                    _, _, sy, sx, y_off, x_off = info
+                    uy = (gy * sy + y_off) // u
+                    ux = (gx * sx + x_off) // u
+                    levs = tuple(rect_levels[(kind, d)][c][gy, gx]
+                                 for c in range(3))
+                    parse_leaf_span(levs, uy, ux, sy // u, sx // u, sy, sx)
+                return
+        k = s // u
+        levs = tuple(sq_levels[d][c][by, bx] for c in range(3))
+        parse_leaf_span(levs, by * k, bx * k, k, k, s, s)
+
+    for by in range(nty):
+        for bx in range(ntx):
+            parse_node(0, by, bx)
+    return (coded0, coded1, dirs_u, sq_levels, rect_levels, has_resid,
+            leaf_id)

@@ -51,6 +51,9 @@ class EncCfg:
     search_range: int = 24
     qt_depth: int = 0            # inter quadtree depth (0 = fixed grid;
                                  # QTMT analog — common/qtree.py)
+    mtt: bool = False            # BT/TT splits on top of the quadtree
+                                 # lattice (common/mtt.py; needs
+                                 # qt_depth > 0)
     affine: bool = False         # per-block 4-param affine motion
                                  # (common/affine.py; CLASSIC fixed grid)
     # multi-model motion tools (reference: EncAppCfg.cpp:1013-1020
@@ -114,7 +117,8 @@ class EncCfg:
                    inter_block_size=self.inter_block_size,
                    wrap_around=self.wrap_around, deblocking=self.deblocking,
                    sao=self.sao, alf=self.alf, mm=self.mm,
-                   inter_qt_depth=self.qt_depth, affine=self.affine,
+                   inter_qt_depth=self.qt_depth, mtt=self.mtt,
+                   affine=self.affine,
                    bdof=self.bdof, dmvr=self.dmvr, gpm=self.gpm,
                    ciip=self.ciip, ibc=self.ibc,
                    dep_quant=self.dep_quant, cclm=self.cclm, mip=self.mip,
@@ -348,6 +352,51 @@ class EncLib:
             payload = encode_p_slice_mm(
                 model_idx_h, active, mvs_stack_h.astype(np.int64),
                 lyh, luh, lvh, s, self.mvp_conv, ep_for_mvp)
+        elif cfg.qt_depth > 0 and cfg.mtt:
+            # full multi-type-tree P encode (QT+BT+TT, common/mtt.py)
+            from ..common import mtt as mtt_mod
+            from ..common import qtree
+            from .inter_coder import encode_p_slice_mtt
+            out = mtt_mod.encode_p_frame_mtt(
+                dev[0], dev[1], dev[2], rdev[0], rdev[1], rdev[2], qp, s,
+                cfg.qt_depth, cfg.bit_depth, cfg.search_range,
+                cfg.wrap_around)
+            shapes = mtt_mod.rect_shapes(s, cfg.qt_depth)
+            arrs = list(out["codes"]) + list(out["sq_mv"])
+            for trio in out["sq_levels"]:
+                arrs += list(trio)
+            for info in shapes:
+                key = (info[0], info[1])
+                arrs.append(out["rect_mv"][key])
+                arrs += list(out["rect_levels"][key])
+            pulled = xfer.pull_levels(*arrs)
+            nd = cfg.qt_depth
+            codes_h = pulled[:nd]
+            sq_mv_h = [m.astype(np.int64) for m in pulled[nd:2 * nd + 1]]
+            off = 2 * nd + 1
+            sq_lev_h = [tuple(pulled[off + 3 * i:off + 3 * i + 3])
+                        for i in range(nd + 1)]
+            off += 3 * (nd + 1)
+            rect_mv_h, rect_lev_h = {}, {}
+            for info in shapes:
+                key = (info[0], info[1])
+                rect_mv_h[key] = pulled[off].astype(np.int64)
+                rect_lev_h[key] = tuple(pulled[off + 1:off + 4])
+                off += 4
+            payload = encode_p_slice_mtt(codes_h, sq_mv_h, sq_lev_h,
+                                         rect_mv_h, rect_lev_h, s,
+                                         cfg.qt_depth)
+            recon = out["recon"]
+            if cfg.deblocking:
+                bs_v, bs_h = qtree.qt_boundary_strengths(
+                    out["mv_unit"], out["has_resid_unit"],
+                    out["leaf_id_unit"])
+                ry, ru, rv = deblock.deblock_frame(
+                    recon["y"], recon["u"], recon["v"], bs_v, bs_h,
+                    s >> cfg.qt_depth, qp, cfg.bit_depth)
+                recon = dict(y=ry, u=ru, v=rv)
+            return self._finish_p_frame(poc, planes, recon, payload,
+                                        ref_poc, qp, None, t0, dev)
         elif cfg.qt_depth > 0:
             # quadtree partitioned P encode (QTMT analog, common/qtree.py)
             from ..common import qtree
@@ -512,6 +561,63 @@ class EncLib:
         if r1 is None:
             r1 = xfer.upload_planes(ref1, cfg.bit_depth)
         oy, ou, ov = dev
+        if cfg.qt_depth > 0 and cfg.mtt:
+            from ..common import mtt as mtt_mod
+            from ..common import qtree
+            from .inter_coder import encode_b_slice_mtt
+            out = mtt_mod.encode_b_frame_mtt(
+                oy, ou, ov, tuple(r0), tuple(r1), qp, s, cfg.qt_depth,
+                cfg.bit_depth, cfg.search_range, cfg.wrap_around)
+            shapes = mtt_mod.rect_shapes(s, cfg.qt_depth)
+            arrs = (list(out["codes"]) + list(out["sq_mv0"])
+                    + list(out["sq_mv1"]) + list(out["sq_dirs"]))
+            for trio in out["sq_levels"]:
+                arrs += list(trio)
+            for info in shapes:
+                key = (info[0], info[1])
+                arrs += [out["rect_mv0"][key], out["rect_mv1"][key],
+                         out["rect_dirs"][key]]
+                arrs += list(out["rect_levels"][key])
+            pulled = xfer.pull_levels(*arrs)
+            nd = cfg.qt_depth
+            codes_h = pulled[:nd]
+            off = nd
+            sq_mv0_h = [m.astype(np.int64)
+                        for m in pulled[off:off + nd + 1]]
+            off += nd + 1
+            sq_mv1_h = [m.astype(np.int64)
+                        for m in pulled[off:off + nd + 1]]
+            off += nd + 1
+            sq_dirs_h = pulled[off:off + nd + 1]
+            off += nd + 1
+            sq_lev_h = [tuple(pulled[off + 3 * i:off + 3 * i + 3])
+                        for i in range(nd + 1)]
+            off += 3 * (nd + 1)
+            rect_mv0_h, rect_mv1_h, rect_dirs_h, rect_lev_h = {}, {}, {}, {}
+            for info in shapes:
+                key = (info[0], info[1])
+                rect_mv0_h[key] = pulled[off].astype(np.int64)
+                rect_mv1_h[key] = pulled[off + 1].astype(np.int64)
+                rect_dirs_h[key] = pulled[off + 2]
+                rect_lev_h[key] = tuple(pulled[off + 3:off + 6])
+                off += 6
+            payload = encode_b_slice_mtt(
+                codes_h, sq_mv0_h, sq_mv1_h, sq_dirs_h, sq_lev_h,
+                rect_mv0_h, rect_mv1_h, rect_dirs_h, rect_lev_h, s,
+                cfg.qt_depth)
+            recon = out["recon"]
+            if cfg.deblocking:
+                sel_mv = jnp.where(out["dirs_unit"][..., None] == 1,
+                                   out["mv1_unit"], out["mv0_unit"])
+                bs_v, bs_h = qtree.qt_boundary_strengths(
+                    sel_mv, out["has_resid_unit"], out["leaf_id_unit"])
+                ry, ru, rv = deblock.deblock_frame(
+                    recon["y"], recon["u"], recon["v"], bs_v, bs_h,
+                    s >> cfg.qt_depth, qp, cfg.bit_depth)
+                recon = dict(y=ry, u=ru, v=rv)
+            return self._finish_slice(poc, planes, recon, payload, qp, t0,
+                                      SliceType.B, [ref0_poc], [ref1_poc],
+                                      None, tid, dev)
         if cfg.qt_depth > 0:
             from ..common import qtree
             from .inter_coder import encode_b_slice_qt

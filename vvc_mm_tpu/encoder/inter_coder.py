@@ -595,3 +595,210 @@ def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
             if hist is not None:
                 hist.push(mv)
     return enc.finish()
+
+
+# ---------------------------------------------------------------- MTT
+
+def mtt_child_entries(kind_code: int, by: int, bx: int):
+    """Rect-grid child entries of a split node, in coding order.
+    Returns [(kind, gy, gx)] into the canonical rect grids
+    (common/mtt.py rect_shapes layout)."""
+    from ..common import mtt as mtt_mod
+    if kind_code == mtt_mod.BTH:
+        return [("bth", 2 * by, bx), ("bth", 2 * by + 1, bx)]
+    if kind_code == mtt_mod.BTV:
+        return [("btv", by, 2 * bx), ("btv", by, 2 * bx + 1)]
+    if kind_code == mtt_mod.TTH:
+        return [("tth_o", 4 * by, bx), ("tth_m", 2 * by, bx),
+                ("tth_o", 4 * by + 3, bx)]
+    if kind_code == mtt_mod.TTV:
+        return [("ttv_o", by, 4 * bx), ("ttv_m", by, 2 * bx),
+                ("ttv_o", by, 4 * bx + 3)]
+    raise ValueError(kind_code)
+
+
+def mvp_unit_grid_rect(coded: np.ndarray, avail: np.ndarray, uy: int,
+                       ux: int, kx: int) -> np.ndarray:
+    """mvp_unit_grid with a rectangular above-right span (kx units wide)."""
+    return mvp_unit_grid(coded, avail, uy, ux, kx)
+
+
+def _code_split_syntax(enc, code, d, s, u):
+    """Split-type bins for one internal node (reference: split_cu_flag,
+    split_qt_flag, mtt_split_cu_binary_flag, mtt_split_cu_vertical_flag,
+    CABACWriter::split_cu_mode)."""
+    from ..common import mtt as mtt_mod
+    enc.encode_bin(int(code != mtt_mod.LEAF), ctx_id("SplitFlag",
+                                                     min(d, 8)))
+    if code == mtt_mod.LEAF:
+        return
+    enc.encode_bin(int(code == mtt_mod.QUAD), ctx_id("QtSplitFlag",
+                                                     min(d, 2)))
+    if code == mtt_mod.QUAD:
+        return
+    bt_ok = mtt_mod.bt_allowed(s, u)
+    tt_ok = mtt_mod.tt_allowed(s, u)
+    if bt_ok and tt_ok:
+        enc.encode_bin(int(code in (mtt_mod.BTH, mtt_mod.BTV)),
+                       ctx_id("BtFlag", min(d, 2)))
+    enc.encode_bin(int(code in (mtt_mod.BTV, mtt_mod.TTV)),
+                   ctx_id("MttVert", min(d, 2)))
+
+
+def encode_p_slice_mtt(codes, sq_mv, sq_levels, rect_mv, rect_levels,
+                       top: int, depth: int) -> bytes:
+    """MTT P-slice entropy coding: QT/BT/TT split syntax + the same leaf
+    syntax as the quadtree path, with rectangular leaf spans."""
+    from ..common import mtt as mtt_mod
+    enc = make_encoder()
+    u = top >> depth
+    shapes = {(i[0], i[1]): i for i in mtt_mod.rect_shapes(top, depth)}
+    nty, ntx = codes[0].shape if depth else sq_mv[0].shape[:2]
+    nuy = sq_mv[depth].shape[0] * (top >> depth) // u if depth else 0
+    nuy, nux = sq_mv[-1].shape[:2]
+    coded = np.zeros((nuy, nux, 2), dtype=np.int64)
+    avail = np.zeros((nuy, nux), dtype=bool)
+
+    def code_rect_leaf(kind, d, gy, gx):
+        info = shapes[(kind, d)]
+        _, _, sy, sx, y_off, x_off = info
+        uy = (gy * sy + y_off) // u
+        ux = (gx * sx + x_off) // u
+        ky, kx = sy // u, sx // u
+        mv = rect_mv[(kind, d)][gy, gx]
+        levs = tuple(rect_levels[(kind, d)][c][gy, gx] for c in range(3))
+        _code_leaf_span(enc, mv, levs, coded, avail, uy, ux, ky, kx)
+
+    def code_node(d, by, bx):
+        s = top >> d
+        if d < depth:
+            code = int(codes[d][by, bx])
+            _code_split_syntax(enc, code, d, s, u)
+            if code == mtt_mod.QUAD:
+                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    code_node(d + 1, 2 * by + dy, 2 * bx + dx)
+                return
+            if code != mtt_mod.LEAF:
+                for (kind, gy, gx) in mtt_child_entries(code, by, bx):
+                    code_rect_leaf(kind, d, gy, gx)
+                return
+        k = s // u
+        _code_leaf_span(enc, sq_mv[d][by, bx],
+                        tuple(sq_levels[d][c][by, bx] for c in range(3)),
+                        coded, avail, by * k, bx * k, k, k)
+
+    for by in range(nty):
+        for bx in range(ntx):
+            code_node(0, by, bx)
+    return enc.finish()
+
+
+def _code_leaf_span(enc, mv, levs, coded, avail, uy, ux, ky, kx) -> None:
+    """One leaf of any shape: skip / mvd / cbf / coeffs over a (ky, kx)
+    unit span (rect generalization of _code_leaf_qt)."""
+    pred = mvp_unit_grid_rect(coded, avail, uy, ux, kx)
+    mvd = np.asarray(mv, dtype=np.int64) - pred
+    no_resid = all(not np.any(l != 0) for l in levs)
+    skip = no_resid and mvd[0] == 0 and mvd[1] == 0
+    enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+    if not skip:
+        encode_mvd_comp(enc, int(mvd[0]))
+        encode_mvd_comp(enc, int(mvd[1]))
+        for ci, lev in enumerate(levs):
+            cbf = bool(np.any(lev != 0))
+            enc.encode_bin(int(cbf), ctx_id("QtCbf", (0, 4, 5)[ci]))
+            if cbf:
+                coeffs_encode(enc, lev, chroma=(ci != 0))
+    coded[uy:uy + ky, ux:ux + kx] = np.asarray(mv, dtype=np.int64) \
+        if not skip else pred
+    avail[uy:uy + ky, ux:ux + kx] = True
+
+
+def encode_b_slice_mtt(codes, sq_mv0, sq_mv1, sq_dirs, sq_levels,
+                       rect_mv0, rect_mv1, rect_dirs, rect_levels,
+                       top: int, depth: int) -> bytes:
+    """MTT B-slice entropy coding (split syntax + B leaf syntax with
+    rectangular spans)."""
+    from ..common import mtt as mtt_mod
+    enc = make_encoder()
+    u = top >> depth
+    shapes = {(i[0], i[1]): i for i in mtt_mod.rect_shapes(top, depth)}
+    nty, ntx = codes[0].shape if depth else sq_dirs[0].shape
+    nuy, nux = sq_mv0[-1].shape[:2]
+    coded0 = np.zeros((nuy, nux, 2), dtype=np.int64)
+    coded1 = np.zeros((nuy, nux, 2), dtype=np.int64)
+    dirs_u = np.zeros((nuy, nux), dtype=np.int32)
+    avail = np.zeros((nuy, nux), dtype=bool)
+
+    def code_leaf_b(mv0, mv1, dv, levs, uy, ux, ky, kx):
+        pred0 = mvp_unit_grid_rect(coded0, avail, uy, ux, kx)
+        pred1 = mvp_unit_grid_rect(coded1, avail, uy, ux, kx)
+        mv0 = np.asarray(mv0, dtype=np.int64)
+        mv1 = np.asarray(mv1, dtype=np.int64)
+        if dv == 0:
+            mv1 = pred1
+        elif dv == 1:
+            mv0 = pred0
+        mvd0, mvd1 = mv0 - pred0, mv1 - pred1
+        no_resid = all(not np.any(l != 0) for l in levs)
+        d_pred = (int(dirs_u[uy, ux - 1]) if ux > 0 and avail[uy, ux - 1]
+                  else int(dirs_u[uy - 1, ux])
+                  if uy > 0 and avail[uy - 1, ux] else 0)
+        used_zero = (((dv != 1) <= (mvd0 == 0).all())
+                     and ((dv != 0) <= (mvd1 == 0).all()))
+        skip = no_resid and dv == d_pred and used_zero
+        enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+        if skip:
+            dv, mv0, mv1 = d_pred, pred0, pred1
+        else:
+            enc.encode_bin(int(dv == 2), ctx_id("InterDir", 0))
+            if dv != 2:
+                enc.encode_bin(dv, ctx_id("InterDir", 1))
+            if dv != 1:
+                encode_mvd_comp(enc, int(mvd0[0]))
+                encode_mvd_comp(enc, int(mvd0[1]))
+            if dv != 0:
+                encode_mvd_comp(enc, int(mvd1[0]))
+                encode_mvd_comp(enc, int(mvd1[1]))
+            for ci, l in enumerate(levs):
+                cbf = bool(np.any(l != 0))
+                enc.encode_bin(int(cbf), ctx_id("QtCbf", (0, 4, 5)[ci]))
+                if cbf:
+                    coeffs_encode(enc, l, chroma=(ci != 0))
+        coded0[uy:uy + ky, ux:ux + kx] = mv0
+        coded1[uy:uy + ky, ux:ux + kx] = mv1
+        dirs_u[uy:uy + ky, ux:ux + kx] = dv
+        avail[uy:uy + ky, ux:ux + kx] = True
+
+    def code_node(d, by, bx):
+        s = top >> d
+        if d < depth:
+            code = int(codes[d][by, bx])
+            _code_split_syntax(enc, code, d, s, u)
+            if code == mtt_mod.QUAD:
+                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    code_node(d + 1, 2 * by + dy, 2 * bx + dx)
+                return
+            if code != mtt_mod.LEAF:
+                for (kind, gy, gx) in mtt_child_entries(code, by, bx):
+                    info = shapes[(kind, d)]
+                    _, _, sy, sx, y_off, x_off = info
+                    uy = (gy * sy + y_off) // u
+                    ux = (gx * sx + x_off) // u
+                    code_leaf_b(rect_mv0[(kind, d)][gy, gx],
+                                rect_mv1[(kind, d)][gy, gx],
+                                int(rect_dirs[(kind, d)][gy, gx]),
+                                tuple(rect_levels[(kind, d)][c][gy, gx]
+                                      for c in range(3)),
+                                uy, ux, sy // u, sx // u)
+                return
+        k = s // u
+        code_leaf_b(sq_mv0[d][by, bx], sq_mv1[d][by, bx],
+                    int(sq_dirs[d][by, bx]),
+                    tuple(sq_levels[d][c][by, bx] for c in range(3)),
+                    by * k, bx * k, k, k)
+
+    for by in range(nty):
+        for bx in range(ntx):
+            code_node(0, by, bx)
+    return enc.finish()

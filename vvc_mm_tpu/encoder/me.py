@@ -27,6 +27,11 @@ def _block_sums(x: jnp.ndarray, s: int) -> jnp.ndarray:
     return x.reshape(h // s, s, w // s, s).sum(axis=(1, 3))
 
 
+def _block_sums_rect(x: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
+    h, w = x.shape
+    return x.reshape(h // sy, sy, w // sx, sx).sum(axis=(1, 3))
+
+
 @functools.partial(jax.jit, static_argnames=("block_size", "search_range",
                                              "margin", "lambda_bits_x16"))
 def integer_search(orig: jnp.ndarray, ref_padded: jnp.ndarray,
@@ -138,6 +143,165 @@ def hierarchical_search(orig: jnp.ndarray, ref_padded: jnp.ndarray,
             best_d = jnp.where(better[:, None], d[None, :], best_d)
     mv = (basef + best_d).reshape(nby, nbx, 2)
     return mv, best_sad.reshape(nby, nbx)
+
+
+@functools.partial(jax.jit, static_argnames=("sy", "sx", "search_range",
+                                             "margin", "lambda_bits_x16"))
+def integer_search_rect(orig: jnp.ndarray, ref_padded: jnp.ndarray,
+                        sy: int, sx: int, search_range: int,
+                        margin: int = 0, lambda_bits_x16: int = 0):
+    """Exhaustive integer search over rectangular (sy x sx) blocks — the
+    MTT (binary/ternary split) analog of integer_search (reference:
+    UnitPartitioner.h:56-64 CU_HORZ/VERT_SPLIT leaves are rectangular)."""
+    h, w = orig.shape
+    r = search_range
+    nby, nbx = h // sy, w // sx
+    m = margin if margin else r
+    disp_np = np.array([(dy, dx) for dy in range(-r, r + 1)
+                        for dx in range(-r, r + 1)], dtype=np.int32)
+
+    def step(_, d):
+        shifted = jax.lax.dynamic_slice(ref_padded, (m + d[0], m + d[1]),
+                                        (h, w))
+        return None, _block_sums_rect(jnp.abs(orig - shifted), sy, sx)
+    _, sads = jax.lax.scan(step, None, jnp.asarray(disp_np))
+
+    if lambda_bits_x16:
+        cost_np = (np.abs(disp_np[:, 0]) + np.abs(disp_np[:, 1]))
+        total = sads + ((jnp.asarray(cost_np) * lambda_bits_x16) >> 4
+                        )[:, None, None]
+    else:
+        total = sads
+    best = jnp.argmin(total, axis=0)
+    dtab = jnp.asarray(disp_np)
+    mv_int = jnp.stack([dtab[best, 1], dtab[best, 0]], axis=-1)
+    sad = jnp.take_along_axis(sads.reshape(len(disp_np), -1),
+                              best.reshape(1, -1), axis=0
+                              ).reshape(nby, nbx)
+    return mv_int, sad
+
+
+@functools.partial(jax.jit, static_argnames=("sy", "sx", "search_range",
+                                             "margin", "lambda_bits_x16"))
+def hierarchical_search_rect(orig: jnp.ndarray, ref_padded: jnp.ndarray,
+                             sy: int, sx: int, search_range: int,
+                             margin: int, lambda_bits_x16: int = 0):
+    """Coarse-to-fine integer search for rectangular blocks (MTT leaves):
+    exhaustive at 1/4 resolution, +-3 full-res refinement."""
+    h, w = orig.shape
+    nby, nbx = h // sy, w // sx
+    orig4 = _downsample4(orig)
+    m4 = margin // 4
+    ref4 = _downsample4(
+        jax.lax.dynamic_slice(
+            ref_padded, (margin - m4 * 4, margin - m4 * 4),
+            (h + 8 * m4, w + 8 * m4)))
+    r4 = max(search_range // 4, 2)
+    mv4, _ = integer_search_rect(orig4, ref4, max(sy // 4, 1),
+                                 max(sx // 4, 1), r4, m4, lambda_bits_x16)
+    base = mv4 * 4
+
+    nb = nby * nbx
+    ys = (jnp.arange(nb, dtype=jnp.int32) // nbx) * sy
+    xs = (jnp.arange(nb, dtype=jnp.int32) % nbx) * sx
+    ob = orig.reshape(nby, sy, nbx, sx).transpose(0, 2, 1, 3
+                                                 ).reshape(nb, sy, sx)
+    basef = base.reshape(nb, 2)
+    win = 3
+    gy = jnp.clip(ys + margin + basef[:, 1] - win, 0,
+                  ref_padded.shape[0] - (sy + 2 * win))
+    gx = jnp.clip(xs + margin + basef[:, 0] - win, 0,
+                  ref_padded.shape[1] - (sx + 2 * win))
+    patch = interp.gather_patches(ref_padded, gy, gx, sy + 2 * win,
+                                  sx + 2 * win)
+    best_sad = jnp.full((nb,), 1 << 30, dtype=jnp.int32)
+    best_d = jnp.zeros((nb, 2), dtype=jnp.int32)
+    for dy in range(2 * win + 1):
+        for dx in range(2 * win + 1):
+            cand = patch[:, dy:dy + sy, dx:dx + sx]
+            sad = jnp.sum(jnp.abs(cand - ob), axis=(1, 2)).astype(jnp.int32)
+            better = sad < best_sad
+            best_sad = jnp.where(better, sad, best_sad)
+            d = jnp.asarray([dx - win, dy - win], dtype=jnp.int32)
+            best_d = jnp.where(better[:, None], d[None, :], best_d)
+    mv = (basef + best_d).reshape(nby, nbx, 2)
+    return mv, best_sad.reshape(nby, nbx)
+
+
+@functools.partial(jax.jit, static_argnames=("sy", "sx", "margin",
+                                             "bit_depth"))
+def fractional_refine_rect(orig: jnp.ndarray, ref_padded: jnp.ndarray,
+                           mv_int: jnp.ndarray, sy: int, sx: int,
+                           margin: int, bit_depth: int = 8):
+    """fractional_refine generalized to rectangular (sy x sx) blocks;
+    same single-gather + in-register evaluation structure, half- and
+    quarter-pel diamonds."""
+    h, w = orig.shape
+    nby, nbx = h // sy, w // sx
+    nb = nby * nbx
+    taps = 8
+    pad = 2
+    psz_y = sy + taps - 1 + 2 * pad
+    psz_x = sx + taps - 1 + 2 * pad
+    ys = (jnp.arange(nb, dtype=jnp.int32) // nbx) * sy
+    xs = (jnp.arange(nb, dtype=jnp.int32) % nbx) * sx
+    ob = orig.reshape(nby, sy, nbx, sx).transpose(0, 2, 1, 3
+                                                 ).reshape(nb, sy, sx)
+    mv0 = mv_int.reshape(nb, 2).astype(jnp.int32)
+    gy = jnp.clip(ys + margin + mv0[:, 1] - (taps // 2 - 1) - pad, 0,
+                  ref_padded.shape[0] - psz_y)
+    gx = jnp.clip(xs + margin + mv0[:, 0] - (taps // 2 - 1) - pad, 0,
+                  ref_padded.shape[1] - psz_x)
+    patch = interp.gather_patches_t(ref_padded, gy, gx, psz_y, psz_x)
+    patch = patch.astype(jnp.int32)
+
+    table = jnp.asarray(interp.LUMA_FILTER)
+    shift1 = bit_depth - 8
+    offs1 = (1 << (shift1 - 1)) if shift1 > 0 else 0
+    fin_shift = interp.IF_INTERNAL_PREC - bit_depth
+    fin_offs = 1 << (fin_shift - 1)
+    maxv = (1 << bit_depth) - 1
+
+    def eval_mv(mv_c):
+        fx = mv_c[:, 0] & 15
+        fy = mv_c[:, 1] & 15
+        ox = (mv_c[:, 0] >> 4) - mv0[:, 0] + pad
+        oy = (mv_c[:, 1] >> 4) - mv0[:, 1] + pad
+        cx = table[fx]
+        cy = table[fy]
+        hw = sx + 2 * pad
+        hsum = sum(patch[:, t:t + hw, :] * cx[:, t][None, None, :]
+                   for t in range(taps))
+        hval = (hsum + offs1) >> shift1 if shift1 > 0 else hsum
+        hsel = jnp.zeros((psz_y, sx, nb), jnp.int32)
+        for k in range(2 * pad + 1):
+            hsel = jnp.where((ox == k)[None, None, :],
+                             jax.lax.dynamic_slice_in_dim(hval, k, sx, 1),
+                             hsel)
+        vh = 2 * pad + 1
+        vsum = sum(hsel[t:t + vh + sy - 1, :, :][0:vh + sy - 1]
+                   * cy[:, t][None, None, :] for t in range(taps))
+        val = jnp.zeros((sy, sx, nb), jnp.int32)
+        for k in range(vh):
+            val = jnp.where((oy == k)[None, None, :],
+                            jax.lax.dynamic_slice_in_dim(vsum, k, sy, 0),
+                            val)
+        val = val >> 6
+        pix = jnp.clip((val + fin_offs) >> fin_shift, 0, maxv)
+        return jnp.sum(jnp.abs(pix.transpose(2, 0, 1) - ob), axis=(1, 2))
+
+    mv = mv0 * 16
+    base_cost = eval_mv(mv)
+    neigh = np.array([(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0),
+                      (-1, 1), (0, 1), (1, 1)], dtype=np.int32)
+    for step_pel in (8, 4):
+        for k in range(8):
+            d = jnp.asarray(neigh[k] * step_pel)
+            cost = eval_mv(mv + d[None, :])
+            better = cost < base_cost
+            mv = jnp.where(better[:, None], mv + d[None, :], mv)
+            base_cost = jnp.minimum(cost, base_cost)
+    return mv.reshape(nby, nbx, 2), base_cost.reshape(nby, nbx)
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "margin",
