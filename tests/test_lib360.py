@@ -218,3 +218,36 @@ def test_round3_geo_convert_roundtrip():
         b = back[10:-10].astype(np.float64)
         rmse = np.sqrt(((a - b) ** 2).mean())
         assert rmse < 16.0, (fmt, rmse)
+
+
+def test_hcmp_geometry_inverse():
+    """HCMP hemisphere cubemap (reference: THCMP.cpp): pixel -> direction
+    -> pixel is consistent over the active (front-hemisphere) region."""
+    from vvc_mm_tpu.lib360 import geometry as g
+    w, h = 48, 32
+    dirs = g.hcmp_dirs(w, h)
+    assert np.allclose(np.linalg.norm(dirs, axis=-1), 1.0, atol=1e-6)
+    assert dirs[..., 0].min() >= -1e-9          # hemisphere: x >= 0
+    xy = g.hcmp_coords(dirs, w, h)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    err = np.abs(np.stack([xx, yy], -1) - xy).max(-1)
+    active = dirs[..., 0] > 1e-6                 # skip clamped boundary
+    assert (err[active] < 0.51).mean() > 0.9
+
+
+def test_hcmp_erp_roundtrip():
+    from vvc_mm_tpu.lib360 import geometry as g
+    h, w = 64, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    plane = (128 + 90 * np.sin(2 * np.pi * xx / w)
+             * np.cos(np.pi * (yy + 0.5 - h / 2) / h)).astype(np.int32)
+    conv = g.geo_convert(plane, "erp", "hcmp", (32, 48), method="bilinear")
+    back = g.geo_convert(conv, "hcmp", "erp", (h, w), method="bilinear")
+    # compare only the front hemisphere (x >= 0 <-> |phi| < pi/2: the ERP
+    # column band around the centre)
+    d = g.erp_dirs(w, h)
+    m = d[10:-10, :, 0] > 0.15
+    a = plane[10:-10].astype(np.float64)[m]
+    b = back[10:-10].astype(np.float64)[m]
+    rmse = np.sqrt(((a - b) ** 2).mean())
+    assert rmse < 20.0, rmse

@@ -145,3 +145,47 @@ def test_epipole_list_fallbacks():
     el.set_epipole(8, 7, (0, 1, 0))
     pred = el.derive_predictor(6, 5)
     assert pred.shape == (3,)
+
+
+def test_lookup_table_and_calibrated_projection():
+    """LookupTable forward/inverse (reference: LookupTable.h) and the
+    calibrated polynomial radial projection (reference: Projection.h:78
+    CalibratedProjection) round-trip through the sphere."""
+    import numpy as np
+    from vvc_mm_tpu.lib360.projection import Calibrated, LookupTable
+
+    lut = LookupTable(lambda t: 2.0 * t + 0.5 * t * t, (0.0, 2.0), 512)
+    xs = np.linspace(0.1, 1.9, 7)
+    np.testing.assert_allclose(np.asarray(lut.lookup(xs)),
+                               2.0 * xs + 0.5 * xs * xs, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(lut.inverse_lookup(lut.lookup(xs))), xs, atol=1e-3)
+
+    proj = Calibrated((0.0, 300.0, 20.0), cx=200.0, cy=150.0)
+    px = np.array([200.0, 260.0, 120.0, 300.0])
+    py = np.array([150.0, 190.0, 100.0, 60.0])
+    sx, sy, sz = proj.to_sphere(px, py)
+    n = np.sqrt(np.asarray(sx) ** 2 + np.asarray(sy) ** 2
+                + np.asarray(sz) ** 2)
+    np.testing.assert_allclose(n, 1.0, atol=1e-5)
+    bx, by = proj.from_sphere(sx, sy, sz)
+    np.testing.assert_allclose(np.asarray(bx), px, atol=0.1)
+    np.testing.assert_allclose(np.asarray(by), py, atol=0.1)
+
+
+def test_reprojection_lut_matches_direct():
+    """ReprojectionLUT bilinear cache agrees with the direct map on and
+    off grid points (reference: ReprojectionLUT.h)."""
+    import numpy as np
+    from vvc_mm_tpu.common.mm.reprojection import ReprojectionLUT
+
+    def fn(x, y):
+        return x * 0.5 + y * 0.25, y * 2.0 - x * 0.125
+
+    lut = ReprojectionLUT(fn, (-16, 16), (-8, 8), step=1.0)
+    xs = np.array([-15.0, -3.5, 0.0, 2.25, 15.5])
+    ys = np.array([-7.0, 1.5, 0.0, -2.75, 7.5])
+    u, v = lut(xs, ys)
+    eu, ev = fn(xs, ys)
+    np.testing.assert_allclose(u, eu, atol=1e-9)   # fn is bilinear-exact
+    np.testing.assert_allclose(v, ev, atol=1e-9)

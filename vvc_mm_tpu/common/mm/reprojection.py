@@ -38,6 +38,44 @@ from ...lib360.projection import ERP
 SUBBLK = 4       # luma subblock size (reference: MVReprojection 4x4)
 
 
+class ReprojectionLUT:
+    """2-D grid LUT caching a plane -> projection reprojection map
+    (reference: ReprojectionLUT.h:10-35 — instantiated over
+    [-1393, 1393] x [-1364, 1364] in the MPA constructor,
+    MotionPlaneAdaptiveMotionModel.cpp:10-24; the reference currently
+    bypasses it in favour of the direct path, and so does our batched
+    pipeline — the class is provided for parity and for host-side scalar
+    queries where a full jit dispatch would cost a tunnel round trip).
+
+    Samples `fn` (vectorized (x, y) -> (u, v)) on a step-strided grid and
+    answers queries with bilinear interpolation."""
+
+    def __init__(self, fn, x_range, y_range, step: float = 1.0):
+        self.x0, x1 = x_range
+        self.y0, y1 = y_range
+        self.step = float(step)
+        xs = np.arange(self.x0, x1 + step, step, dtype=np.float64)
+        ys = np.arange(self.y0, y1 + step, step, dtype=np.float64)
+        gx, gy = np.meshgrid(xs, ys)
+        u, v = fn(gx, gy)
+        self.u = np.asarray(u, np.float64)
+        self.v = np.asarray(v, np.float64)
+
+    def __call__(self, x, y):
+        fx = (np.asarray(x, np.float64) - self.x0) / self.step
+        fy = (np.asarray(y, np.float64) - self.y0) / self.step
+        ix = np.clip(fx.astype(int), 0, self.u.shape[1] - 2)
+        iy = np.clip(fy.astype(int), 0, self.u.shape[0] - 2)
+        ax = np.clip(fx - ix, 0.0, 1.0)
+        ay = np.clip(fy - iy, 0.0, 1.0)
+
+        def bil(t):
+            return ((1 - ay) * ((1 - ax) * t[iy, ix] + ax * t[iy, ix + 1])
+                    + ay * ((1 - ax) * t[iy + 1, ix]
+                            + ax * t[iy + 1, ix + 1]))
+        return bil(self.u), bil(self.v)
+
+
 def offset4x4_value(code: int) -> float:
     """reference: MVReprojection.cpp:10 — code 4 means 1.5."""
     return 1.5 if code == 4 else float(code)

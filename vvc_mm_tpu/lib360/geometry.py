@@ -750,7 +750,93 @@ def tsp_coords(dirs: np.ndarray, width: int, height: int) -> np.ndarray:
     return np.stack([px * f - 0.5, py * f - 0.5], -1)
 
 
+def hcmp_dirs(width: int, height: int) -> np.ndarray:
+    """Hemisphere cubemap (HCMP, reference: THCMP.cpp map2DTo3D — layout
+    [PZ PX NZ / NY NX PY], faces of the x>=0 hemisphere; the far halves of
+    the side faces are inactive).  Inactive samples are clamped onto the
+    hemisphere boundary so every pixel still carries a direction."""
+    a = width // 3
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64) + 0.5
+    col = np.minimum((xx // a).astype(int), 2)
+    row = np.minimum((yy // (height // 2)).astype(int), 1)
+    u = (xx - col * a) / a * 2.0 - 1.0
+    v = (yy - row * (height // 2)) / (height // 2) * 2.0 - 1.0
+    face = np.choose(row * 3 + col, [4, 0, 5, 3, 1, 2])
+    x = np.zeros_like(u)
+    y = np.zeros_like(u)
+    z = np.zeros_like(u)
+    # clamp the coordinate that leaves the hemisphere (x >= 0)
+    up = np.maximum(u, 0.0)
+    vp = np.maximum(v, 0.0)
+    un = np.minimum(u, 0.0)
+    for f in range(6):
+        m = face == f
+        if f == 0:                       # PX: full front face
+            x[m], y[m], z[m] = 1.0, -v[m], -u[m]
+        elif f == 1:                     # NX: inactive (boundary ring)
+            x[m], y[m], z[m] = 0.0, -v[m], u[m]
+        elif f == 2:                     # PY: near-front half
+            x[m], y[m], z[m] = up[m], 1.0, v[m]
+        elif f == 3:                     # NY
+            x[m], y[m], z[m] = up[m], -1.0, -v[m]
+        elif f == 4:                     # PZ
+            x[m], y[m], z[m] = up[m], -v[m], 1.0
+        else:                            # NZ
+            x[m], y[m], z[m] = -un[m], -v[m], -1.0
+    d = np.stack([x, y, z], axis=-1)
+    n = np.linalg.norm(d, axis=-1, keepdims=True)
+    return d / np.maximum(n, 1e-12)
+
+
+def hcmp_coords(dirs: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Inverse of hcmp_dirs for hemisphere directions (x < 0 clamps to the
+    front boundary)."""
+    a = width // 3
+    hh = height // 2
+    x = np.maximum(dirs[..., 0], 0.0)
+    y, z = dirs[..., 1], dirs[..., 2]
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    # face choice among the hemisphere's five visible faces
+    face = np.zeros(x.shape, dtype=int)
+    face[(ax >= ay) & (ax >= az)] = 0
+    face[(ay > ax) & (ay >= az) & (y > 0)] = 2
+    face[(ay > ax) & (ay >= az) & (y <= 0)] = 3
+    face[(az > ax) & (az > ay) & (z > 0)] = 4
+    face[(az > ax) & (az > ay) & (z <= 0)] = 5
+    u = np.zeros_like(x)
+    v = np.zeros_like(x)
+    eps = 1e-12
+    for f in (0, 2, 3, 4, 5):
+        m = face == f
+        if f == 0:
+            u[m] = -z[m] / np.maximum(x[m], eps)
+            v[m] = -y[m] / np.maximum(x[m], eps)
+        elif f == 2:
+            u[m] = x[m] / np.maximum(ay[m], eps)
+            v[m] = z[m] / np.maximum(ay[m], eps)
+        elif f == 3:
+            u[m] = x[m] / np.maximum(ay[m], eps)
+            v[m] = -z[m] / np.maximum(ay[m], eps)
+        elif f == 4:
+            u[m] = x[m] / np.maximum(az[m], eps)
+            v[m] = -y[m] / np.maximum(az[m], eps)
+        else:   # NZ: active half is u <= 0 (x = -u in the forward map)
+            u[m] = -x[m] / np.maximum(az[m], eps)
+            v[m] = -y[m] / np.maximum(az[m], eps)
+    u = np.clip(u, -1.0, 1.0)
+    v = np.clip(v, -1.0, 1.0)
+    colrow = {0: (1, 0), 2: (2, 1), 3: (0, 1), 4: (0, 0), 5: (2, 0)}
+    px = np.zeros_like(u)
+    py = np.zeros_like(u)
+    for f, (c, r) in colrow.items():
+        m = face == f
+        px[m] = c * a + (u[m] + 1.0) * 0.5 * a - 0.5
+        py[m] = r * hh + (v[m] + 1.0) * 0.5 * hh - 0.5
+    return np.stack([px, py], axis=-1)
+
+
 GEOMETRIES = {"erp": (erp_dirs, erp_coords),
+              "hcmp": (hcmp_dirs, hcmp_coords),
               "cmp": (cmp_dirs, cmp_coords),
               "eac": (functools.partial(cmp_dirs, eac=True),
                       functools.partial(cmp_coords, eac=True)),

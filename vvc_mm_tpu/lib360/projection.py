@@ -18,6 +18,7 @@ import math
 from dataclasses import dataclass
 
 import jax.numpy as jnp
+import numpy as np
 
 PI = math.pi
 
@@ -125,8 +126,64 @@ class Equisolid:
         return x + self.cx, y + self.cy
 
 
+class LookupTable:
+    """Sampled 1-D monotone function with forward and inverse lookup
+    (reference: LookupTable.h:12-32 — used by CalibratedProjection for
+    the theta <-> radius polynomial)."""
+
+    def __init__(self, fn, domain, n: int = 4096):
+        lo, hi = domain
+        self.xs = np.linspace(lo, hi, int(n))
+        self.ys = np.array([float(fn(x)) for x in self.xs])
+        if not np.all(np.diff(self.ys) >= 0):
+            raise ValueError("LookupTable requires a monotone function")
+
+    def lookup(self, x):
+        return jnp.interp(jnp.asarray(x), jnp.asarray(self.xs),
+                          jnp.asarray(self.ys))
+
+    def inverse_lookup(self, y):
+        return jnp.interp(jnp.asarray(y), jnp.asarray(self.ys),
+                          jnp.asarray(self.xs))
+
+
+class Calibrated:
+    """Calibrated polynomial radial projection (reference:
+    Projection.h:78-97 CalibratedProjection — radius(theta) is a fitted
+    polynomial sampled into a LookupTable; theta(radius) is the inverse
+    lookup; LUT domain [0, pi/2 + pi/18] as in Projection.cpp:88)."""
+
+    def __init__(self, coefficients, cx: float = 0.0, cy: float = 0.0,
+                 n: int = 4096):
+        self.coeffs = tuple(float(c) for c in coefficients)
+        self.cx, self.cy = cx, cy
+        self._lut = LookupTable(self._poly,
+                                (0.0, np.pi / 2 + np.pi / 18), n)
+
+    def _poly(self, t: float) -> float:
+        return sum(c * t ** i for i, c in enumerate(self.coeffs))
+
+    def radius(self, theta):
+        return self._lut.lookup(theta)
+
+    def theta(self, radius):
+        return self._lut.inverse_lookup(radius)
+
+    def to_sphere(self, x, y):
+        r, phi = cartesian_to_polar(x - self.cx, y - self.cy)
+        theta = self.theta(r)
+        xsr, ysr, zsr = spherical_to_cartesian(1.0, theta, phi)
+        return -zsr, xsr, -ysr
+
+    def from_sphere(self, cx3, cy3, cz3):
+        _, theta, phi = cartesian_to_spherical(cy3, -cz3, -cx3)
+        r = self.radius(theta)
+        x, y = polar_to_cartesian(r, phi)
+        return x + self.cx, y + self.cy
+
+
 def make_projection(projection_id: int, width: int, height: int,
-                    focal: float | None = None):
+                    focal: float | None = None, coefficients=None):
     """Factory over ProjectionID (reference: EncLib.cpp:335-355)."""
     from ..common.typedefs import ProjectionID
     pid = ProjectionID(projection_id)
@@ -138,4 +195,12 @@ def make_projection(projection_id: int, width: int, height: int,
     if pid == ProjectionID.EQUISOLID:
         return Equisolid(focal or (1088.0 / 5.2) * 1.8,
                          (width - 1) / 2.0, (height - 1) / 2.0)
+    if pid == ProjectionID.CALIBRATED:
+        # default: equidistant-ish polynomial r = f*theta when no
+        # calibration is supplied (the reference app rejects CALIBRATED
+        # for MM, EncApp.cpp:769; the projection itself is exercised by
+        # the 360 conversion/metrics layer)
+        f = focal or (1088.0 / 5.2) * 1.8
+        coeffs = coefficients if coefficients is not None else (0.0, f)
+        return Calibrated(coeffs, (width - 1) / 2.0, (height - 1) / 2.0)
     raise NotImplementedError(f"projection {pid}")
