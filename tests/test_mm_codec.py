@@ -67,3 +67,63 @@ def test_mm_sps_syntax_roundtrip():
     assert sps2.mm.mm_offset_4x4 == 4
     assert np.allclose(sps2.mm.global_epipole, (0.25, -0.5, 1.0), atol=1e-6)
     assert sps2.mm.active_models() == mm.active_models()
+
+
+def test_mm_b_frames_ra_roundtrip(rng):
+    """MM RA GOP where B frames also carry multi-model motion + per-list
+    model syntax (reference: the mode loop runs per model for B slices
+    too, EncCu.cpp:775-798); bit-exact decode."""
+    from vvc_mm_tpu.common.slice_ps import MMConfig
+    from vvc_mm_tpu.common.typedefs import ChromaFormat, ProjectionID
+    from vvc_mm_tpu.decoder.declib import DecLib
+    from vvc_mm_tpu.encoder.enclib import EncCfg, EncLib
+    from vvc_mm_tpu.utils.yuv_io import VideoFormat, synthetic_sequence
+    import hashlib
+
+    def md5(planes):
+        m = hashlib.md5()
+        for p in planes:
+            m.update(np.asarray(p).astype(np.uint8).tobytes())
+        return m.hexdigest()
+
+    fmt = VideoFormat(128, 64, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 5, motion=(2.0, 1.0))
+    mm = MMConfig(mpa=True, rot=True,
+                  projection=ProjectionID.EQUIRECTANGULAR)
+    cfg = EncCfg(width=128, height=64, qp=34, gop="RA", gop_size=4,
+                 search_range=8, wrap_around=True, mm=mm)
+    enc = EncLib(cfg)
+    data = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(data)
+    assert len(out) == 5
+    for f, r in zip(sorted(out, key=lambda x: x.poc), enc.results):
+        assert md5(f.planes) == md5(r.recon), f.poc
+
+
+def test_mm_b_projected_dmvr_roundtrip(rng):
+    """Projected DMVR (reference: InterPrediction.cpp:2442
+    xProcessDMVRProjected): signaling-free bilateral refinement of
+    bi-predicted MM blocks — decoder must still be bit-exact."""
+    from vvc_mm_tpu.common.slice_ps import MMConfig
+    from vvc_mm_tpu.common.typedefs import ChromaFormat, ProjectionID
+    from vvc_mm_tpu.decoder.declib import DecLib
+    from vvc_mm_tpu.encoder.enclib import EncCfg, EncLib
+    from vvc_mm_tpu.utils.yuv_io import VideoFormat, synthetic_sequence
+    import hashlib
+
+    def md5(planes):
+        m = hashlib.md5()
+        for p in planes:
+            m.update(np.asarray(p).astype(np.uint8).tobytes())
+        return m.hexdigest()
+
+    fmt = VideoFormat(128, 64, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 3, motion=(3.0, 0.5))
+    mm = MMConfig(mpa=True, projection=ProjectionID.EQUIRECTANGULAR)
+    cfg = EncCfg(width=128, height=64, qp=32, gop="RA", gop_size=2,
+                 search_range=8, wrap_around=True, mm=mm, dmvr=True)
+    enc = EncLib(cfg)
+    data = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(data)
+    for f, r in zip(sorted(out, key=lambda x: x.poc), enc.results):
+        assert md5(f.planes) == md5(r.recon), f.poc

@@ -337,3 +337,222 @@ def encode_p_frame_mm(reproj: MVReprojection, active_models: list[int],
         reproj, active_models, model_idx, mvs_stack, lev_y, lev_u, lev_v,
         ref_y, ref_u, ref_v, qp, s, bit_depth, epipoles, wrap_around)
     return model_idx, mvs_stack, lev_y, lev_u, lev_v, recon
+
+
+# ------------------------------------------------------------- B frames
+
+
+def _bi_combine_px(p0, p1, dirs, block_size, sub, bit_depth):
+    """Per-block uni/bi select of two pixel-domain MM predictions.
+    dirs (nby, nbx); planes (H, W) at `sub`-sampled resolution (1 luma,
+    2 chroma).  MM bi-prediction averages the two model predictions in the
+    pixel domain (normative for this codec; reference analog:
+    xWeightedAverage after the two xPredInterBlkMM passes)."""
+    s = block_size // sub
+    d = jnp.repeat(jnp.repeat(dirs, s, 0), s, 1)
+    avg = (p0 + p1 + 1) >> 1
+    return jnp.where(d == 0, p0, jnp.where(d == 1, p1, avg))
+
+
+def make_eval_bilateral(reproj: MVReprojection, model0: int, model1: int,
+                        block_size: int, bit_depth: int, ep0=None,
+                        ep1=None):
+    """Jitted bilateral cost: (orig-free) SAD between the two list
+    predictions under mirrored candidate offsets — the projected-DMVR
+    matching function (reference: InterPrediction.cpp:2442
+    xProcessDMVRProjected; offsets applied in each model's own MV domain
+    and taken through the reprojection)."""
+    ep_key = tuple(
+        None if e is None else tuple(np.asarray(e, np.float64).round(12))
+        for e in (ep0, ep1))
+    key = ("bilat", _geom_key(reproj), model0, model1, block_size,
+           bit_depth, ep_key)
+    if key in _EVAL_CACHE:
+        return _EVAL_CACHE[key]
+    for m in (model0, model1):
+        if m in (M.MPA_FRONT_BACK, M.MPA_LEFT_RIGHT, M.MPA_TOP_BOTTOM):
+            reproj.mpa_cache(m)
+
+    row_step = SAD_ROW_STEP if block_size // 4 >= SAD_ROW_STEP else 1
+
+    def pos_of(model_id, mvs, ep):
+        if model_id == M.CLASSIC:
+            return mm_mc.classic_positions(reproj.offset, reproj.width,
+                                           reproj.height, mvs, block_size,
+                                           row_step)
+        return reproj.reproject_frame(model_id, mvs, block_size, ep,
+                                      row_step)
+
+    @jax.jit
+    def eval_cands(ref0_padded, ref1_padded, mv0, mv1, offsets):
+        def one(k):
+            d = offsets[k][None, None, :]
+            p0 = mm_mc.mc_luma_positions(
+                ref0_padded, pos_of(model0, mv0 + d, ep0), MC_MARGIN,
+                bit_depth)
+            p1 = mm_mc.mc_luma_positions(
+                ref1_padded, pos_of(model1, mv1 - d, ep1), MC_MARGIN,
+                bit_depth)
+            return _block_sad_sub(jnp.abs(p0 - p1), block_size, row_step)
+        return jnp.stack([one(k) for k in range(offsets.shape[0])])
+
+    _EVAL_CACHE[key] = eval_cands
+    return eval_cands
+
+
+_DMVR_OFFS = np.array([(0, 0), (-4, 0), (4, 0), (0, -4), (0, 4)],
+                      dtype=np.int32)     # quarter-pel plus pattern
+
+
+def projected_dmvr(reproj: MVReprojection, active_models: list[int],
+                   model_idx0, model_idx1, mvs0_stack, mvs1_stack, dirs,
+                   ref0_y, ref1_y, block_size: int, bit_depth: int,
+                   epipoles0=None, epipoles1=None, wrap_around=False):
+    """Signaling-free bilateral refinement of bi-predicted MM blocks
+    (projected DMVR).  Both encoder and decoder run this identically on
+    the signaled MVs; returns refined (mvs0_stack, mvs1_stack) where only
+    each block's SELECTED model entry is updated, and only where
+    dirs == 2."""
+    r0 = pad_ref(ref0_y, MC_MARGIN, wrap_around)
+    r1 = pad_ref(ref1_y, MC_MARGIN, wrap_around)
+    offs = jnp.asarray(_DMVR_OFFS)
+    n_active = len(active_models)
+    out0, out1 = mvs0_stack, mvs1_stack
+    for i0 in range(n_active):
+        for i1 in range(n_active):
+            sel = (dirs == 2) & (model_idx0 == i0) & (model_idx1 == i1)
+            # trace-time pruning is impossible (sel is traced) — restrict
+            # pair evaluation to pairs of the SAME model plus the classic
+            # cross pairs to bound the pass count
+            m0, m1 = active_models[i0], active_models[i1]
+            if i0 != i1 and M.CLASSIC not in (m0, m1):
+                continue
+            ev = make_eval_bilateral(
+                reproj, m0, m1, block_size, bit_depth,
+                (epipoles0 or {}).get(m0), (epipoles1 or {}).get(m1))
+            sads = ev(r0, r1, mvs0_stack[i0], mvs1_stack[i1], offs)
+            k = jnp.argmin(sads, axis=0)
+            d = jnp.take_along_axis(
+                offs[:, None, None, :],
+                k[None, :, :, None].astype(jnp.int32), axis=0)[0]
+            upd0 = jnp.where(sel[..., None], mvs0_stack[i0] + d,
+                             out0[i0])
+            upd1 = jnp.where(sel[..., None], mvs1_stack[i1] - d,
+                             out1[i1])
+            out0 = out0.at[i0].set(upd0)
+            out1 = out1.at[i1].set(upd1)
+    return out0, out1
+
+
+def predict_b_mm(reproj, active_models, model_idx0, model_idx1, mvs0_stack,
+                 mvs1_stack, dirs, ref0, ref1, block_size, bit_depth,
+                 epipoles0=None, epipoles1=None, wrap_around=False,
+                 dmvr=False):
+    """Mixed-model bi-prediction: per-list merged positions -> two MC
+    passes -> per-block uni/bi combine.  With dmvr, bi blocks first go
+    through the projected-DMVR bilateral refinement (shared enc/dec)."""
+    if dmvr:
+        mvs0_stack, mvs1_stack = projected_dmvr(
+            reproj, active_models, model_idx0, model_idx1, mvs0_stack,
+            mvs1_stack, dirs, ref0[0], ref1[0], block_size, bit_depth,
+            epipoles0, epipoles1, wrap_around)
+    pos0 = merged_positions(reproj, active_models, model_idx0, mvs0_stack,
+                            block_size, epipoles0)
+    pos1 = merged_positions(reproj, active_models, model_idx1, mvs1_stack,
+                            block_size, epipoles1)
+    p0 = predict_from_positions(pos0, *ref0, bit_depth, wrap_around)
+    p1 = predict_from_positions(pos1, *ref1, bit_depth, wrap_around)
+    py = _bi_combine_px(p0[0], p1[0], dirs, block_size, 1, bit_depth)
+    pu = _bi_combine_px(p0[1], p1[1], dirs, block_size, 2, bit_depth)
+    pv = _bi_combine_px(p0[2], p1[2], dirs, block_size, 2, bit_depth)
+    return py, pu, pv
+
+
+def reconstruct_b_frame_mm(reproj, active_models, model_idx0, model_idx1,
+                           mvs0_stack, mvs1_stack, dirs, lev_y, lev_u,
+                           lev_v, ref0, ref1, qp, block_size,
+                           bit_depth=8, epipoles0=None, epipoles1=None,
+                           wrap_around=False, dmvr=False):
+    """Shared enc/dec reconstruction for multi-model B frames."""
+    s = block_size
+    sc = s // 2
+    h, w = ref0[0].shape
+    nby, nbx = h // s, w // s
+    py, pu, pv = predict_b_mm(
+        reproj, active_models, model_idx0, model_idx1, mvs0_stack,
+        mvs1_stack, dirs, ref0, ref1, s, bit_depth, epipoles0, epipoles1,
+        wrap_around, dmvr)
+
+    def rec_plane(pred, lev, size):
+        log2s = size.bit_length() - 1
+        pb = _to_blocks(pred, size)
+        dq = quant.dequantize(lev.reshape(-1, size, size), qp, log2s,
+                              log2s, bit_depth)
+        r = transforms.inverse_transform(dq, bit_depth=bit_depth)
+        rec = jnp.clip(pb + r, 0, (1 << bit_depth) - 1)
+        return _from_blocks(rec, nby, nbx)
+
+    return dict(y=rec_plane(py, lev_y, s),
+                u=rec_plane(pu, lev_u, sc),
+                v=rec_plane(pv, lev_v, sc))
+
+
+def encode_b_frame_mm(reproj: MVReprojection, active_models: list[int],
+                      orig_y, orig_u, orig_v, ref0, ref1, qp: int,
+                      block_size: int = 16, bit_depth: int = 8,
+                      search_range: int = 24, epipoles0=None,
+                      epipoles1=None, wrap_around: bool = False,
+                      dmvr: bool = False):
+    """Multi-model B encode: per-list model search + uni/bi decision.
+    Returns (model_idx0, model_idx1, mvs0_stack, mvs1_stack, dirs,
+    lev_y, lev_u, lev_v, recon)."""
+    from ...encoder import me as me_mod
+    s = block_size
+    lam = quant.lambda_from_qp(qp, intra=False)
+    lam_bits = lam ** 0.5 * 4.0
+    mv_bits = int(lam ** 0.5 * 8)
+
+    per_list = []
+    for ref, eps in ((ref0, epipoles0), (ref1, epipoles1)):
+        refp = pad_ref(ref[0], MC_MARGIN, wrap_around)
+        mv_int, _ = me_mod.hierarchical_search(
+            orig_y, refp, s, search_range, MC_MARGIN,
+            int(lam ** 0.5 * 16))
+        cmv, csad = me_mod.fractional_refine(orig_y, refp, mv_int, s,
+                                             MC_MARGIN, bit_depth)
+        idx, mvs, sads = search_models(
+            reproj, active_models, orig_y, ref[0], cmv, csad, s,
+            bit_depth, lam_bits, eps, wrap_around)
+        stack = jnp.stack([mvs[m] for m in active_models])
+        best_sad = jnp.min(jnp.stack([sads[m] for m in active_models]),
+                           axis=0)
+        per_list.append((idx, stack, best_sad))
+    idx0, stack0, sad0 = per_list[0]
+    idx1, stack1, sad1 = per_list[1]
+
+    # bi cost: SAD of the averaged best-model predictions
+    pos0 = merged_positions(reproj, active_models, idx0, stack0, s,
+                            epipoles0)
+    pos1 = merged_positions(reproj, active_models, idx1, stack1, s,
+                            epipoles1)
+    r0p = pad_ref(ref0[0], MC_MARGIN, wrap_around)
+    r1p = pad_ref(ref1[0], MC_MARGIN, wrap_around)
+    p0 = mm_mc.mc_luma_positions(r0p, pos0, MC_MARGIN, bit_depth)
+    p1 = mm_mc.mc_luma_positions(r1p, pos1, MC_MARGIN, bit_depth)
+    bi = (p0 + p1 + 1) >> 1
+    sad_bi = _block_sad(jnp.abs(orig_y - bi), s) + mv_bits
+    dirs = jnp.argmin(jnp.stack([sad0, sad1, sad_bi]), axis=0
+                      ).astype(jnp.int32)
+
+    py, pu, pv = predict_b_mm(
+        reproj, active_models, idx0, idx1, stack0, stack1, dirs,
+        tuple(ref0), tuple(ref1), s, bit_depth, epipoles0, epipoles1,
+        wrap_around, dmvr)
+    lev_y, _ = _residual_pass(orig_y, py, s, qp, bit_depth)
+    lev_u, _ = _residual_pass(orig_u, pu, s // 2, qp, bit_depth)
+    lev_v, _ = _residual_pass(orig_v, pv, s // 2, qp, bit_depth)
+    recon = reconstruct_b_frame_mm(
+        reproj, active_models, idx0, idx1, stack0, stack1, dirs, lev_y,
+        lev_u, lev_v, tuple(ref0), tuple(ref1), qp, s, bit_depth,
+        epipoles0, epipoles1, wrap_around, dmvr)
+    return (idx0, idx1, stack0, stack1, dirs, lev_y, lev_u, lev_v, recon)

@@ -354,6 +354,57 @@ class DecLib:
             nby, nbx = sps.height // s, sps.width // s
             ref0 = self._ref_by_poc(sh.ref_pocs_l0[0])
             ref1 = self._ref_by_poc(sh.ref_pocs_l1[0])
+            if sps.mm.any_enabled():
+                from .inter_parser import decode_b_slice_mm
+                active = sps.mm.active_models()
+                eps0 = eps1 = None
+                if sps.mm.ged:
+                    eps0 = {MotionModelID.GEODESIC_CAMPOSE:
+                            self.epipole_list.find_epipole(
+                                sh.poc, sh.ref_pocs_l0[0])}
+                    eps1 = {MotionModelID.GEODESIC_CAMPOSE:
+                            self.epipole_list.find_epipole(
+                                sh.poc, sh.ref_pocs_l1[0])}
+                ep0_mvp = (eps0 or {}).get(MotionModelID.GEODESIC_CAMPOSE)
+                ep1_mvp = (eps1 or {}).get(MotionModelID.GEODESIC_CAMPOSE)
+                (midx0, midx1, mv0, mv1, dirs, ly, lu,
+                 lv) = decode_b_slice_mm(
+                    cabac_bytes, nby, nbx, s, active, self.mvp_conv,
+                    ep0_mvp, ep1_mvp, stats=self.stats)
+                n_active = len(active)
+                stack0 = np.zeros((n_active, nby, nbx, 2), np.int64)
+                stack1 = np.zeros((n_active, nby, nbx, 2), np.int64)
+                np.put_along_axis(stack0, midx0[None, :, :, None]
+                                  .astype(np.int64), mv0[None], axis=0)
+                np.put_along_axis(stack1, midx1[None, :, :, None]
+                                  .astype(np.int64), mv1[None], axis=0)
+                recon = mm_codec.reconstruct_b_frame_mm(
+                    self.reproj, active, jnp.asarray(midx0),
+                    jnp.asarray(midx1), jnp.asarray(stack0),
+                    jnp.asarray(stack1), jnp.asarray(dirs),
+                    jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
+                    tuple(jnp.asarray(p) for p in ref0.planes),
+                    tuple(jnp.asarray(p) for p in ref1.planes),
+                    sh.qp, s, sps.bit_depth, eps0, eps1,
+                    sps.wrap_around, sps.dmvr)
+                if sps.deblocking:
+                    has_resid = ((ly != 0).any((2, 3))
+                                 | (lu != 0).any((2, 3))
+                                 | (lv != 0).any((2, 3)))
+                    sel_mv = np.where(dirs[..., None] == 1, mv1, mv0)
+                    bs_v, bs_h = deblock.boundary_strengths_inter(
+                        jnp.asarray(sel_mv, dtype=jnp.int32),
+                        jnp.asarray(has_resid))
+                    ry, ru, rv = deblock.deblock_frame(
+                        recon["y"], recon["u"], recon["v"], bs_v, bs_h, s,
+                        sh.qp, sps.bit_depth)
+                    recon = dict(y=ry, u=ru, v=rv)
+                recon = self._apply_sao(recon, sh)
+                self.frames.append(DecodedFrame(
+                    poc=sh.poc,
+                    planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
+                            np.asarray(recon["v"])]))
+                return
             if sps.inter_qt_depth > 0 and sps.mtt:
                 from ..common import mtt as mtt_mod
                 from ..common import qtree

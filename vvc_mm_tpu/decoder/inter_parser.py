@@ -611,3 +611,92 @@ def decode_b_slice_mtt(data: bytes, h: int, w: int, top: int, depth: int,
             parse_node(0, by, bx)
     return (coded0, coded1, dirs_u, sq_levels, rect_levels, has_resid,
             leaf_id)
+
+
+def decode_b_slice_mm(data: bytes, nby: int, nbx: int, s: int,
+                      active_models: list[int], conv=None, epipole0=None,
+                      epipole1=None, stats=None):
+    """Exact inverse of encoder.inter_coder.encode_b_slice_mm.  Returns
+    (model_idx0, model_idx1, mv0, mv1, dirs, lev_y, lev_u, lev_v) — mv
+    grids carry the selected model's MV per block."""
+    from ..encoder.inter_coder import _mm_mvp, inherited_model
+    dec = _make(data, stats)
+    sc = s // 2
+    n_active = len(active_models)
+    midx0 = np.zeros((nby, nbx), dtype=np.int32)
+    midx1 = np.zeros((nby, nbx), dtype=np.int32)
+    models0 = np.zeros((nby, nbx), dtype=np.int32)
+    models1 = np.zeros((nby, nbx), dtype=np.int32)
+    mv0 = np.zeros((nby, nbx, 2), dtype=np.int64)
+    mv1 = np.zeros((nby, nbx, 2), dtype=np.int64)
+    dirs = np.zeros((nby, nbx), dtype=np.int32)
+    lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
+    lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    model_to_idx = {m: i for i, m in enumerate(active_models)}
+    for by in range(nby):
+        for bx in range(nbx):
+            d_pred = (int(dirs[by, bx - 1]) if bx > 0
+                      else int(dirs[by - 1, bx]) if by > 0 else 0)
+            inh0 = inherited_model(models0, by, bx)
+            inh1 = inherited_model(models1, by, bx)
+            _lbl(dec, "skip_flag")
+            if dec.decode_bin(ctx_id("SkipFlag")):
+                d = d_pred
+                dirs[by, bx] = d
+                models0[by, bx] = inh0
+                midx0[by, bx] = model_to_idx[inh0]
+                mv0[by, bx] = _mm_mvp(mv0, models0, by, bx, inh0, s,
+                                      conv, epipole0)
+                models1[by, bx] = inh1
+                midx1[by, bx] = model_to_idx[inh1]
+                mv1[by, bx] = _mm_mvp(mv1, models1, by, bx, inh1, s,
+                                      conv, epipole1)
+                continue
+            if dec.decode_bin(ctx_id("InterDir", 0)):
+                d = 2
+            else:
+                d = dec.decode_bin(ctx_id("InterDir", 1))
+            dirs[by, bx] = d
+            if d != 1:
+                _lbl(dec, "motion_model")
+                mi = decode_motion_model(dec, n_active)
+                midx0[by, bx] = mi
+                models0[by, bx] = active_models[mi]
+                _lbl(dec, "mvd")
+                mvd = np.array([decode_mvd_comp(dec),
+                                decode_mvd_comp(dec)], dtype=np.int64)
+                p = _mm_mvp(mv0, models0, by, bx, active_models[mi], s,
+                            conv, epipole0)
+                mv0[by, bx] = p + mvd
+            if d != 0:
+                _lbl(dec, "motion_model")
+                mi = decode_motion_model(dec, n_active)
+                midx1[by, bx] = mi
+                models1[by, bx] = active_models[mi]
+                _lbl(dec, "mvd")
+                mvd = np.array([decode_mvd_comp(dec),
+                                decode_mvd_comp(dec)], dtype=np.int64)
+                p = _mm_mvp(mv1, models1, by, bx, active_models[mi], s,
+                            conv, epipole1)
+                mv1[by, bx] = p + mvd
+            for ci, (lev, size) in enumerate(((lev_y, s), (lev_u, sc),
+                                             (lev_v, sc))):
+                _lbl(dec, "cbf")
+                if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
+                    _lbl(dec, "residual_" + "yuv"[ci])
+                    lev[by, bx] = coeffs_decode(dec, size, size,
+                                                chroma=(ci != 0))
+            # unused-list entries: inherited model + its MVP (mirrors the
+            # encoder's grid evolution)
+            if d == 1:
+                models0[by, bx] = inh0
+                midx0[by, bx] = model_to_idx[inh0]
+                mv0[by, bx] = _mm_mvp(mv0, models0, by, bx, inh0, s,
+                                      conv, epipole0)
+            if d == 0:
+                models1[by, bx] = inh1
+                midx1[by, bx] = model_to_idx[inh1]
+                mv1[by, bx] = _mm_mvp(mv1, models1, by, bx, inh1, s,
+                                      conv, epipole1)
+    return midx0, midx1, mv0, mv1, dirs, lev_y, lev_u, lev_v

@@ -561,6 +561,55 @@ class EncLib:
         if r1 is None:
             r1 = xfer.upload_planes(ref1, cfg.bit_depth)
         oy, ou, ov = dev
+        if cfg.mm.any_enabled():
+            # multi-model B: per-list model search + uni/bi decision, with
+            # projected DMVR on bi blocks when enabled (reference:
+            # InterPrediction.cpp:2442 xProcessDMVRProjected).  GED
+            # epipoles come from the decoder-mirrored list (exact ->
+            # per-POC -> global fallback) so no extra PH syntax is needed
+            # for B slices.
+            active = cfg.mm.active_models()
+            eps0 = eps1 = None
+            if cfg.mm.ged:
+                eps0 = {MotionModelID.GEODESIC_CAMPOSE:
+                        self.coded_epipoles.find_epipole(poc, ref0_poc)}
+                eps1 = {MotionModelID.GEODESIC_CAMPOSE:
+                        self.coded_epipoles.find_epipole(poc, ref1_poc)}
+            (midx0, midx1, stack0, stack1, dirs, ly, lu, lv, recon) = \
+                mm_codec.encode_b_frame_mm(
+                    self.reproj, active, oy, ou, ov, r0, r1, qp, s,
+                    cfg.bit_depth, cfg.search_range, eps0, eps1,
+                    cfg.wrap_around, cfg.dmvr)
+            sel0 = jnp.take_along_axis(
+                stack0, midx0[None, :, :, None].astype(jnp.int32),
+                axis=0)[0]
+            sel1 = jnp.take_along_axis(
+                stack1, midx1[None, :, :, None].astype(jnp.int32),
+                axis=0)[0]
+            if cfg.deblocking:
+                has_resid = (jnp.any(ly != 0, axis=(2, 3))
+                             | jnp.any(lu != 0, axis=(2, 3))
+                             | jnp.any(lv != 0, axis=(2, 3)))
+                sel_mv = jnp.where(dirs[..., None] == 1, sel1, sel0)
+                bs_v, bs_h = deblock.boundary_strengths_inter(
+                    sel_mv.astype(jnp.int32), has_resid)
+                ry, ru, rv = deblock.deblock_frame(
+                    recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, qp,
+                    cfg.bit_depth)
+                recon = dict(y=ry, u=ru, v=rv)
+            (lyh, luh, lvh, midx0_h, midx1_h, s0_h, s1_h,
+             dirs_h) = xfer.pull_levels(ly, lu, lv, midx0, midx1,
+                                        stack0, stack1, dirs)
+            from .inter_coder import encode_b_slice_mm
+            ep0_mvp = (eps0 or {}).get(MotionModelID.GEODESIC_CAMPOSE)
+            ep1_mvp = (eps1 or {}).get(MotionModelID.GEODESIC_CAMPOSE)
+            payload = encode_b_slice_mm(
+                midx0_h, midx1_h, active, s0_h.astype(np.int64),
+                s1_h.astype(np.int64), dirs_h, lyh, luh, lvh, s,
+                self.mvp_conv, ep0_mvp, ep1_mvp)
+            return self._finish_slice(poc, planes, recon, payload, qp, t0,
+                                      SliceType.B, [ref0_poc], [ref1_poc],
+                                      None, tid, dev)
         if cfg.qt_depth > 0 and cfg.mtt:
             from ..common import mtt as mtt_mod
             from ..common import qtree

@@ -802,3 +802,85 @@ def encode_b_slice_mtt(codes, sq_mv0, sq_mv1, sq_dirs, sq_levels,
         for bx in range(ntx):
             code_node(0, by, bx)
     return enc.finish()
+
+
+def encode_b_slice_mm(model_idx0: np.ndarray, model_idx1: np.ndarray,
+                      active_models: list[int], mvs0_stack: np.ndarray,
+                      mvs1_stack: np.ndarray, dirs: np.ndarray,
+                      lev_y: np.ndarray, lev_u: np.ndarray,
+                      lev_v: np.ndarray, block_size: int = 16,
+                      conv=None, epipole0=None, epipole1=None) -> bytes:
+    """MM B-slice: skip / inter_dir / per-used-list motion_model + mvd /
+    residual (reference: CABACWriter motion_model():1854 per list after
+    inter_pred_idc)."""
+    enc = make_encoder()
+    nby, nbx = dirs.shape
+    n_active = len(active_models)
+    sel0 = np.take_along_axis(
+        mvs0_stack, model_idx0[None, :, :, None].astype(np.int64), axis=0
+    )[0].astype(np.int64)
+    sel1 = np.take_along_axis(
+        mvs1_stack, model_idx1[None, :, :, None].astype(np.int64), axis=0
+    )[0].astype(np.int64)
+    models0 = np.asarray([active_models[i] for i in
+                          model_idx0.reshape(-1)], np.int32
+                         ).reshape(nby, nbx)
+    models1 = np.asarray([active_models[i] for i in
+                          model_idx1.reshape(-1)], np.int32
+                         ).reshape(nby, nbx)
+    cbf_y = (lev_y != 0).any(axis=(2, 3))
+    cbf_u = (lev_u != 0).any(axis=(2, 3))
+    cbf_v = (lev_v != 0).any(axis=(2, 3))
+    for by in range(nby):
+        for bx in range(nbx):
+            d = int(dirs[by, bx])
+            cy, cu, cv = (bool(cbf_y[by, bx]), bool(cbf_u[by, bx]),
+                          bool(cbf_v[by, bx]))
+            no_resid = not (cy or cu or cv)
+            d_pred = (int(dirs[by, bx - 1]) if bx > 0
+                      else int(dirs[by - 1, bx]) if by > 0 else 0)
+            inh0 = inherited_model(models0, by, bx)
+            inh1 = inherited_model(models1, by, bx)
+            p0 = _mm_mvp(sel0, models0, by, bx, int(models0[by, bx]),
+                         block_size, conv, epipole0)
+            p1 = _mm_mvp(sel1, models1, by, bx, int(models1[by, bx]),
+                         block_size, conv, epipole1)
+            mvd0 = sel0[by, bx] - p0
+            mvd1 = sel1[by, bx] - p1
+            used_zero = (((d == 1) or (mvd0 == 0).all())
+                         and ((d == 0) or (mvd1 == 0).all()))
+            skip = (no_resid and d == d_pred and used_zero
+                    and (d == 1 or int(models0[by, bx]) == inh0)
+                    and (d == 0 or int(models1[by, bx]) == inh1))
+            enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+            if not skip:
+                enc.encode_bin(int(d == 2), ctx_id("InterDir", 0))
+                if d != 2:
+                    enc.encode_bin(d, ctx_id("InterDir", 1))
+                if d != 1:
+                    encode_motion_model(enc, int(model_idx0[by, bx]),
+                                        n_active)
+                    encode_mvd_comp(enc, int(mvd0[0]))
+                    encode_mvd_comp(enc, int(mvd0[1]))
+                if d != 0:
+                    encode_motion_model(enc, int(model_idx1[by, bx]),
+                                        n_active)
+                    encode_mvd_comp(enc, int(mvd1[0]))
+                    encode_mvd_comp(enc, int(mvd1[1]))
+                for cbf, lev, cid in ((cy, lev_y[by, bx], 0),
+                                      (cu, lev_u[by, bx], 4),
+                                      (cv, lev_v[by, bx], 5)):
+                    enc.encode_bin(int(cbf), ctx_id("QtCbf", cid))
+                    if cbf:
+                        coeffs_encode(enc, lev, chroma=(cid != 0))
+            # unused-list grid entries take (inherited model, its MVP) so
+            # the MVP/inheritance state evolves identically on the decoder
+            if d == 1:
+                models0[by, bx] = inh0
+                sel0[by, bx] = _mm_mvp(sel0, models0, by, bx, inh0,
+                                       block_size, conv, epipole0)
+            if d == 0:
+                models1[by, bx] = inh1
+                sel1[by, bx] = _mm_mvp(sel1, models1, by, bx, inh1,
+                                       block_size, conv, epipole1)
+    return enc.finish()
