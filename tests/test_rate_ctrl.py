@@ -56,3 +56,25 @@ def test_rc_bitrates_ordered():
         enc.encode_sequence(frames)
         totals.append(sum(r.bits for r in enc.results))
     assert totals[0] < totals[1]
+
+
+def test_hrd_ptl_signaled_in_sps():
+    """Rate-controlled streams carry HRD timing/buffer params and every
+    SPS carries profile_tier_level (reference: HRD.h,
+    ProfileLevelTier.{cpp,h})."""
+    from vvc_mm_tpu.common.bitstream import BitReader, BitWriter
+    from vvc_mm_tpu.common.slice_ps import SPS
+    from vvc_mm_tpu.encoder.enclib import EncCfg
+
+    cfg = EncCfg(width=64, height=64, qp=32, target_bitrate_kbps=400,
+                 frame_rate=30.0)
+    sps = cfg.make_sps()
+    bw = BitWriter()
+    sps.write(bw)
+    got = SPS.read(BitReader(bw.get_bytes()))
+    assert got.ptl.profile_idc == 1 and got.ptl.level_idc == 51
+    assert got.hrd is not None and got.hrd.bit_rate_kbps == 400
+    assert got.hrd.cpb_size_kbits == 800
+    assert got.log2_parallel_merge_level == 2
+    # fixed-QP streams omit HRD
+    assert EncCfg(width=64, height=64).make_sps().hrd is None

@@ -62,6 +62,54 @@ class MMConfig:
 
 
 @dataclass
+class ProfileTierLevel:
+    """profile_tier_level() (reference: ProfileLevelTier.{cpp,h},
+    VLCWriter::codeProfileTierLevel).  Carried at the top of the SPS."""
+    profile_idc: int = 1         # 1 = Main 10 analog
+    tier_flag: bool = False      # False = Main tier, True = High
+    level_idc: int = 51          # level 5.1-style code
+
+    def write(self, bw: BitWriter) -> None:
+        bw.write(self.profile_idc, 7)
+        bw.write_flag(self.tier_flag)
+        bw.write(self.level_idc, 8)
+
+    @classmethod
+    def parse(cls, br: BitReader) -> "ProfileTierLevel":
+        p = cls()
+        p.profile_idc = br.read(7)
+        p.tier_flag = br.read_flag()
+        p.level_idc = br.read(8)
+        return p
+
+
+@dataclass
+class HRDParams:
+    """Hypothetical-reference-decoder parameters (reference: HRD.h,
+    general_timing_hrd_parameters) — CPB size / bitrate / timing for
+    buffer conformance.  Optional SPS payload."""
+    bit_rate_kbps: int = 0
+    cpb_size_kbits: int = 0
+    time_scale: int = 30
+    num_units_in_tick: int = 1
+
+    def write(self, bw: BitWriter) -> None:
+        bw.write_uvlc(self.bit_rate_kbps)
+        bw.write_uvlc(self.cpb_size_kbits)
+        bw.write_uvlc(self.time_scale)
+        bw.write_uvlc(self.num_units_in_tick)
+
+    @classmethod
+    def parse(cls, br: BitReader) -> "HRDParams":
+        h = cls()
+        h.bit_rate_kbps = br.read_uvlc()
+        h.cpb_size_kbits = br.read_uvlc()
+        h.time_scale = br.read_uvlc()
+        h.num_units_in_tick = br.read_uvlc()
+        return h
+
+
+@dataclass
 class SPS:
     width: int = 0
     height: int = 0
@@ -78,6 +126,11 @@ class SPS:
     mtt: bool = False             # multi-type tree: BT/TT splits on top of
                                   # the quadtree lattice (common/mtt.py;
                                   # reference: sps_max_mtt_hierarchy_depth)
+    ptl: "ProfileTierLevel" = field(default_factory=lambda: ProfileTierLevel())
+    hrd: "HRDParams | None" = None   # optional HRD timing/buffer params
+    log2_parallel_merge_level: int = 2   # merge-candidate independence
+                                  # region (reference: VLCReader.cpp:1987
+                                  # sps_log2_parallel_merge_level_minus2)
     affine: bool = False          # 4-param affine motion (CLASSIC only;
                                   # reference: sps_affine_enabled_flag)
     wrap_around: bool = False     # ERP horizontal wrap (pps in VVC; SPS here)
@@ -133,6 +186,11 @@ class SPS:
         bw.write_uvlc(self.max_num_ref)
         bw.write_uvlc(self.inter_qt_depth)
         bw.write_flag(self.mtt)
+        self.ptl.write(bw)
+        bw.write_uvlc(self.log2_parallel_merge_level - 2)
+        bw.write_flag(self.hrd is not None)
+        if self.hrd is not None:
+            self.hrd.write(bw)
         bw.write_flag(self.affine)
         bw.write_flag(self.wrap_around)
         bw.write_flag(self.deblocking)
@@ -187,6 +245,9 @@ class SPS:
         sps.max_num_ref = br.read_uvlc()
         sps.inter_qt_depth = br.read_uvlc()
         sps.mtt = br.read_flag()
+        sps.ptl = ProfileTierLevel.parse(br)
+        sps.log2_parallel_merge_level = br.read_uvlc() + 2
+        sps.hrd = HRDParams.parse(br) if br.read_flag() else None
         sps.affine = br.read_flag()
         sps.wrap_around = br.read_flag()
         sps.deblocking = br.read_flag()

@@ -111,7 +111,13 @@ class EncCfg:
                                  # (--Lossless; forces QP 4, filters off)
 
     def make_sps(self) -> SPS:
-        return SPS(width=self.width, height=self.height,
+        from ..common.slice_ps import HRDParams
+        hrd = (HRDParams(bit_rate_kbps=self.target_bitrate_kbps,
+                         cpb_size_kbits=2 * self.target_bitrate_kbps,
+                         time_scale=int(self.frame_rate * 1000),
+                         num_units_in_tick=1000)
+               if self.target_bitrate_kbps > 0 else None)
+        return SPS(width=self.width, height=self.height, hrd=hrd,
                    bit_depth=self.bit_depth,
                    intra_block_size=self.intra_block_size,
                    inter_block_size=self.inter_block_size,
