@@ -93,17 +93,20 @@ def mc_predict(ref_y: jnp.ndarray, ref_u: jnp.ndarray, ref_v: jnp.ndarray,
 
 
 def _residual_pass(orig: jnp.ndarray, pred: jnp.ndarray, s: int, qp: int,
-                   bit_depth: int):
+                   bit_depth: int, scaling: tuple | None = None):
     """Transform/quant the residual and reconstruct — returns (levels,
-    recon_plane)."""
+    recon_plane).  `scaling`: optional 8x8 scaling-list tuple
+    (quant.scaling_weights)."""
     h, w = orig.shape
     nby, nbx = h // s, w // s
     log2s = s.bit_length() - 1
     ob = _to_blocks(orig, s)
     pb = _to_blocks(pred, s)
     coeff = transforms.forward_transform(ob - pb, bit_depth=bit_depth)
-    levels = quant.quantize(coeff, qp, log2s, log2s, bit_depth, intra=False)
-    dq = quant.dequantize(levels, qp, log2s, log2s, bit_depth)
+    levels = quant.quantize(coeff, qp, log2s, log2s, bit_depth, intra=False,
+                            scaling=scaling)
+    dq = quant.dequantize(levels, qp, log2s, log2s, bit_depth,
+                          scaling=scaling)
     r = transforms.inverse_transform(dq, bit_depth=bit_depth)
     rec = jnp.clip(pb + r, 0, (1 << bit_depth) - 1)
     return (levels.reshape(nby, nbx, s, s),
@@ -298,13 +301,14 @@ def search_b_frame(orig_y, ref0_y, ref1_y, qp: int, block_size: int,
 
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
                                              "wrap_around", "bdof",
-                                             "dmvr", "gpm", "ciip"))
+                                             "dmvr", "gpm", "ciip",
+                                             "scaling"))
 def reconstruct_b_frame(mv0, mv1, dirs, lev_y, lev_u, lev_v,
                         ref0, ref1, qp: int, block_size: int,
                         bit_depth: int = 8, wrap_around: bool = False,
                         bdof: bool = False, dmvr: bool = False,
                         gpm_modes=None, gpm: bool = False,
-                        ciip: bool = False):
+                        ciip: bool = False, scaling: tuple | None = None):
     """Decoder-side B reconstruction (shared with encoder recon)."""
     s = block_size
     sc = s // 2
@@ -326,7 +330,7 @@ def reconstruct_b_frame(mv0, mv1, dirs, lev_y, lev_u, lev_v,
         log2s = size.bit_length() - 1
         pb = _to_blocks(pred, size)
         dq = quant.dequantize(lev.reshape(-1, size, size), qp, log2s, log2s,
-                              bit_depth)
+                              bit_depth, scaling=scaling)
         r = transforms.inverse_transform(dq, bit_depth=bit_depth)
         rec = jnp.clip(pb + r, 0, (1 << bit_depth) - 1)
         return _from_blocks(rec, nby, nbx)
@@ -369,11 +373,13 @@ def apply_wp(plane: jnp.ndarray, w, o, bit_depth: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
-                                             "search_range", "wrap_around"))
+                                             "search_range", "wrap_around",
+                                             "scaling"))
 def encode_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
                    block_size: int = 16, bit_depth: int = 8,
                    search_range: int = 24, wrap_around: bool = False,
-                   wp: jnp.ndarray | None = None):
+                   wp: jnp.ndarray | None = None,
+                   scaling: tuple | None = None):
     """Full-frame P encode: batched ME -> MC -> residual -> recon.
 
     Returns (mvs (nby,nbx,2) 1/16-pel, levels y/u/v, recon dict)."""
@@ -392,19 +398,22 @@ def encode_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
         pred_y = apply_wp(pred_y, wp[0, 0], wp[0, 1], bit_depth)
         pred_u = apply_wp(pred_u, wp[1, 0], wp[1, 1], bit_depth)
         pred_v = apply_wp(pred_v, wp[2, 0], wp[2, 1], bit_depth)
-    lev_y, rec_y = _residual_pass(orig_y, pred_y, s, qp, bit_depth)
-    lev_u, rec_u = _residual_pass(orig_u, pred_u, s // 2, qp, bit_depth)
-    lev_v, rec_v = _residual_pass(orig_v, pred_v, s // 2, qp, bit_depth)
+    lev_y, rec_y = _residual_pass(orig_y, pred_y, s, qp, bit_depth, scaling)
+    lev_u, rec_u = _residual_pass(orig_u, pred_u, s // 2, qp, bit_depth,
+                                  scaling)
+    lev_v, rec_v = _residual_pass(orig_v, pred_v, s // 2, qp, bit_depth,
+                                  scaling)
     return (mvs, lev_y, lev_u, lev_v,
             dict(y=rec_y, u=rec_u, v=rec_v))
 
 
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
-                                             "wrap_around"))
+                                             "wrap_around", "scaling"))
 def reconstruct_p_frame(mvs, lev_y, lev_u, lev_v, ref_y, ref_u, ref_v,
                         qp: int, block_size: int = 16, bit_depth: int = 8,
                         wrap_around: bool = False,
-                        wp: jnp.ndarray | None = None):
+                        wp: jnp.ndarray | None = None,
+                        scaling: tuple | None = None):
     """Decoder-side P reconstruction — also the encoder's recon path when
     levels are already decided (shared math -> bit-exactness)."""
     s = block_size
@@ -422,7 +431,7 @@ def reconstruct_p_frame(mvs, lev_y, lev_u, lev_v, ref_y, ref_u, ref_v,
         log2s = size.bit_length() - 1
         pb = _to_blocks(pred, size)
         dq = quant.dequantize(lev.reshape(-1, size, size), qp, log2s, log2s,
-                              bit_depth)
+                              bit_depth, scaling=scaling)
         r = transforms.inverse_transform(dq, bit_depth=bit_depth)
         rec = jnp.clip(pb + r, 0, (1 << bit_depth) - 1)
         return _from_blocks(rec, nby, nbx)

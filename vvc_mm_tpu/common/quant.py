@@ -25,10 +25,28 @@ from . import rom
 from .transforms import transform_shift, _clip16, _rshift_round
 
 
+DEFAULT_WEIGHT = 16      # flat scaling factor (reference: Quant.cpp m=16)
+
+
+@functools.lru_cache(maxsize=None)
+def scaling_weights(base8x8: tuple, h: int, w: int):
+    """Per-coefficient quant weights for an (h, w) block from the signaled
+    8x8 base matrix, nearest-upsampled / decimated (reference:
+    ScalingList derivation in Quant.cpp xSetScalingListDec — larger blocks
+    replicate, smaller blocks subsample the 8x8 list)."""
+    import numpy as np
+    base = np.asarray(base8x8, dtype=np.int32).reshape(8, 8)
+    ys = (np.arange(h) * 8 // h).clip(0, 7)
+    xs = (np.arange(w) * 8 // w).clip(0, 7)
+    return np.clip(base[np.ix_(ys, xs)], 1, 255)
+
+
 @functools.partial(jax.jit, static_argnames=("qp", "log2w", "log2h",
-                                             "bit_depth", "intra"))
+                                             "bit_depth", "intra",
+                                             "scaling"))
 def quantize(coeff: jnp.ndarray, qp: int, log2w: int, log2h: int,
-             bit_depth: int = 8, intra: bool = True) -> jnp.ndarray:
+             bit_depth: int = 8, intra: bool = True,
+             scaling: tuple | None = None) -> jnp.ndarray:
     """Scalar quantization with VVC dead-zone offsets.
 
     Args:
@@ -45,6 +63,9 @@ def quantize(coeff: jnp.ndarray, qp: int, log2w: int, log2h: int,
     mag = jnp.abs(coeff)
     if odd:
         mag = (mag * 181 + 128) >> 8
+    if scaling is not None:
+        w = jnp.asarray(scaling_weights(scaling, 1 << log2h, 1 << log2w))
+        mag = (mag * 16 + (w >> 1)) // w
     offset = (171 if intra else 85) << (q_bits - 9)
     level = (mag * q_scale + offset) >> q_bits
     level = jnp.clip(level, 0, (1 << 15) - 1)
@@ -52,13 +73,21 @@ def quantize(coeff: jnp.ndarray, qp: int, log2w: int, log2h: int,
 
 
 @functools.partial(jax.jit, static_argnames=("qp", "log2w", "log2h",
-                                             "bit_depth"))
+                                             "bit_depth", "scaling"))
 def dequantize(level: jnp.ndarray, qp: int, log2w: int, log2h: int,
-               bit_depth: int = 8) -> jnp.ndarray:
-    """Inverse quantization (normative; reference: Quant.cpp:356 dequant)."""
+               bit_depth: int = 8,
+               scaling: tuple | None = None) -> jnp.ndarray:
+    """Inverse quantization (normative; reference: Quant.cpp:356 dequant).
+
+    With a scaling list, the signaled weight (flat default 16) is folded
+    into the level with rounding before the standard scale — normative
+    for this codec and mirrored exactly by the encoder-side quantize."""
     t_shift, odd = transform_shift(log2w, log2h, bit_depth)
     dq_shift = 6 - t_shift
     i_scale = int(rom.INV_QUANT_SCALES[qp % 6]) << (qp // 6)
+    if scaling is not None:
+        wgt = jnp.asarray(scaling_weights(scaling, 1 << log2h, 1 << log2w))
+        level = _rshift_round(level * wgt, 4)
     c = level * i_scale
     if odd:
         # *2*181/256 == sqrt(2) to undo the forward-side 181/256

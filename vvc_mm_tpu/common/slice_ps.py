@@ -131,6 +131,10 @@ class SPS:
     log2_parallel_merge_level: int = 2   # merge-candidate independence
                                   # region (reference: VLCReader.cpp:1987
                                   # sps_log2_parallel_merge_level_minus2)
+    scaling_list: tuple = ()      # 64-entry 8x8 quant scaling matrix
+                                  # (empty = flat; reference: APS/SPS
+                                  # scaling_list_data, Quant.cpp
+                                  # xSetScalingListDec)
     affine: bool = False          # 4-param affine motion (CLASSIC only;
                                   # reference: sps_affine_enabled_flag)
     wrap_around: bool = False     # ERP horizontal wrap (pps in VVC; SPS here)
@@ -191,6 +195,9 @@ class SPS:
         bw.write_flag(self.hrd is not None)
         if self.hrd is not None:
             self.hrd.write(bw)
+        bw.write_flag(bool(self.scaling_list))
+        for v in self.scaling_list:
+            bw.write_uvlc(int(v))
         bw.write_flag(self.affine)
         bw.write_flag(self.wrap_around)
         bw.write_flag(self.deblocking)
@@ -248,6 +255,8 @@ class SPS:
         sps.ptl = ProfileTierLevel.parse(br)
         sps.log2_parallel_merge_level = br.read_uvlc() + 2
         sps.hrd = HRDParams.parse(br) if br.read_flag() else None
+        if br.read_flag():
+            sps.scaling_list = tuple(br.read_uvlc() for _ in range(64))
         sps.affine = br.read_flag()
         sps.wrap_around = br.read_flag()
         sps.deblocking = br.read_flag()

@@ -332,7 +332,8 @@ class DecLib:
                     sh.qp, s, sps.bit_depth, sps.wrap_around,
                     wp=(None if sh.wp_params is None
                         else jnp.asarray(np.asarray(sh.wp_params,
-                                                    dtype=np.int32))))
+                                                    dtype=np.int32))),
+                    scaling=tuple(sps.scaling_list) or None)
             if sps.deblocking:
                 has_resid = (np.any(ly != 0, axis=(2, 3))
                              | np.any(lu != 0, axis=(2, 3))

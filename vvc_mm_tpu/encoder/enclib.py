@@ -109,6 +109,9 @@ class EncCfg:
                                  # SEIFilmGrainAnalyzer/Synthesizer)
     lossless: bool = False       # all-TS qStep-1 lossless intra coding
                                  # (--Lossless; forces QP 4, filters off)
+    scaling_list: tuple = ()     # 64-entry 8x8 quant scaling matrix
+                                 # (--ScalingList; classic P path +
+                                 # decoder; empty = flat)
 
     def make_sps(self) -> SPS:
         from ..common.slice_ps import HRDParams
@@ -118,6 +121,7 @@ class EncCfg:
                          num_units_in_tick=1000)
                if self.target_bitrate_kbps > 0 else None)
         return SPS(width=self.width, height=self.height, hrd=hrd,
+                   scaling_list=tuple(int(v) for v in self.scaling_list),
                    bit_depth=self.bit_depth,
                    intra_block_size=self.intra_block_size,
                    inter_block_size=self.inter_block_size,
@@ -451,7 +455,8 @@ class EncLib:
             mvs, ly, lu, lv, recon = inter_frame.encode_p_frame(
                 dev[0], dev[1], dev[2], rdev[0], rdev[1], rdev[2], qp, s,
                 cfg.bit_depth, cfg.search_range, cfg.wrap_around,
-                wp=None if wp is None else jnp.asarray(wp))
+                wp=None if wp is None else jnp.asarray(wp),
+                scaling=tuple(cfg.scaling_list) or None)
             lyh, luh, lvh, mvs_h = xfer.pull_levels(ly, lu, lv, mvs)
             col = self._mv_fields.get(ref_poc) if cfg.tmvp else None
             payload = encode_p_slice(mvs_h, lyh, luh, lvh,
