@@ -18,7 +18,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # Persistent compilation cache: repeat test runs skip XLA recompiles.
-_CACHE = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+# NOTE: a separate directory from the TPU bench cache (.jax_cache) — CPU
+# AOT executables are machine-feature-specific and loading entries
+# compiled with a different feature set can SIGILL/segfault
+# (cpu_aot_loader machine-type mismatch).
+_CACHE = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

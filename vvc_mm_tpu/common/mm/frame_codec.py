@@ -173,7 +173,8 @@ def search_models(reproj: MVReprojection, active_models: list[int],
                   orig_y: jnp.ndarray, ref_y: jnp.ndarray,
                   classic_mv: jnp.ndarray, classic_sad: jnp.ndarray,
                   block_size: int, bit_depth: int, lam_bits: float,
-                  epipoles: dict | None = None, wrap_around: bool = False):
+                  epipoles: dict | None = None, wrap_around: bool = False,
+                  steps=(64, 32, 16, 8, 4, 2)):
     """Search every active non-classic model (seeded from zero MV, which is
     the natural origin in each model's own domain) and pick the per-block
     best model by SAD + lambda*bits(model index).
@@ -189,7 +190,7 @@ def search_models(reproj: MVReprojection, active_models: list[int],
         ep = (epipoles or {}).get(model_id)
         ev = make_eval_multi(reproj, model_id, block_size, bit_depth, ep)
         mv0 = jnp.zeros_like(classic_mv)
-        mv, sad = diamond_search(ev, orig_y, refp, mv0)
+        mv, sad = diamond_search(ev, orig_y, refp, mv0, steps)
         mvs[model_id] = mv
         sads[model_id] = sad
     # model cost: unary index bins (reference: CABACReader.cpp:2300 unary
@@ -502,7 +503,7 @@ def encode_b_frame_mm(reproj: MVReprojection, active_models: list[int],
                       block_size: int = 16, bit_depth: int = 8,
                       search_range: int = 24, epipoles0=None,
                       epipoles1=None, wrap_around: bool = False,
-                      dmvr: bool = False):
+                      dmvr: bool = False, small_range: bool = True):
     """Multi-model B encode: per-list model search + uni/bi decision.
     Returns (model_idx0, model_idx1, mvs0_stack, mvs1_stack, dirs,
     lev_y, lev_u, lev_v, recon)."""
@@ -512,6 +513,11 @@ def encode_b_frame_mm(reproj: MVReprojection, active_models: list[int],
     lam_bits = lam ** 0.5 * 4.0
     mv_bits = int(lam ** 0.5 * 8)
 
+    # distance-scaled model search: B-pyramid references are 1-4 frames
+    # away, so the model diamonds start at a quarter of the P-anchor step
+    # (the reference's ME also scales its search to the reference
+    # distance); the classic hierarchical stage keeps the full range
+    steps = (16, 8, 4, 2) if small_range else (64, 32, 16, 8, 4, 2)
     per_list = []
     for ref, eps in ((ref0, epipoles0), (ref1, epipoles1)):
         refp = pad_ref(ref[0], MC_MARGIN, wrap_around)
@@ -522,7 +528,7 @@ def encode_b_frame_mm(reproj: MVReprojection, active_models: list[int],
                                              MC_MARGIN, bit_depth)
         idx, mvs, sads = search_models(
             reproj, active_models, orig_y, ref[0], cmv, csad, s,
-            bit_depth, lam_bits, eps, wrap_around)
+            bit_depth, lam_bits, eps, wrap_around, steps)
         stack = jnp.stack([mvs[m] for m in active_models])
         best_sad = jnp.min(jnp.stack([sads[m] for m in active_models]),
                            axis=0)
