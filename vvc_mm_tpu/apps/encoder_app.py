@@ -57,6 +57,7 @@ def build_parser() -> OptionParser:
     p.add("LFNST", False, "low-frequency non-separable secondary transform")
     p.add("MRL", False, "multi-reference-line intra prediction")
     p.add("TMVP", False, "temporal + history-based MV prediction")
+    p.add("IMV", False, "adaptive MV resolution (AMVR; reference --IMV)")
     p.add("WPP", False, "entropy substreams with entry points (WPP/tiles)")
     p.add("WeightedPredP", False, "explicit weighted prediction (P)")
     p.add("TransformSkip", False, "per-block transform skip")
@@ -112,7 +113,7 @@ def main(argv: list[str] | None = None) -> int:
                  mctf=opts["TemporalFilter"], lmcs=opts["LMCS"],
                  bdof=opts["BDOF"], dmvr=opts["DMVR"],
                  dep_quant=opts["DepQuant"], cclm=opts["CCLM"],
-                 mip=opts["MIP"], lfnst=opts["LFNST"], mrl=opts["MRL"], tmvp=opts["TMVP"], wpp=opts["WPP"],
+                 mip=opts["MIP"], lfnst=opts["LFNST"], mrl=opts["MRL"], tmvp=opts["TMVP"], amvr=opts["IMV"], wpp=opts["WPP"],
                  weighted_pred=opts["WeightedPredP"],
                  transform_skip=opts["TransformSkip"],
                  bdpcm=opts["BDPCM"], lossless=opts["Lossless"],

@@ -92,6 +92,62 @@ def mc_predict(ref_y: jnp.ndarray, ref_u: jnp.ndarray, ref_v: jnp.ndarray,
             _from_blocks(pv, nby, nbx))
 
 
+AMVR_SHIFTS = (2, 4, 6)    # 1/16-pel grid shifts: quarter-, full-, 4-pel
+                           # (reference: IMV modes 0/1/2, TypeDef.h IMV_FPEL
+                           # /IMV_4PEL; EncCu.cpp:775-782 IMV mode loop)
+
+
+def round_mv_amvr(mv, shift: int):
+    """Round a 1/16-pel MV (int array/scalar) to the AMVR grid — round
+    half away from zero, shared enc/dec (reference: Mv::roundToAmvrSignalPrec
+    via roundAffinePrecInternal2Amvr)."""
+    if shift == 0:
+        return mv
+    off = 1 << (shift - 1)
+    neg = (mv < 0)
+    if isinstance(mv, np.ndarray) or np.isscalar(mv):
+        return ((mv + off - neg) >> shift) << shift
+    return ((mv + off - neg.astype(mv.dtype)) >> shift) << shift
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "bit_depth",
+                                             "lam_bits_x16"))
+def amvr_decide(orig_y: jnp.ndarray, ref_y_padded: jnp.ndarray,
+                mvs: jnp.ndarray, block_size: int, bit_depth: int,
+                lam_bits_x16: int):
+    """Per-block adaptive-MV-resolution decision (reference: the EncCu
+    IMV mode loop, EncCu.cpp:775-782 / xCheckRDCostInterIMV:4346 —
+    re-designed as one batched pass: the three candidate roundings of
+    every block's MV are motion-compensated and SAD-scored at once, and
+    an argmin over SAD + lambda*mvd-bits picks the per-block mode).
+
+    Returns (imv (nby,nbx) int32 in {0,1,2}, mvs_rounded (nby,nbx,2))."""
+    s = block_size
+    h, w = orig_y.shape
+    nby, nbx = h // s, w // s
+    yb, xb = _block_coords(nby, nbx, s)
+    ob = _to_blocks(orig_y, s)
+    cands, costs = [], []
+    for m, sh in enumerate(AMVR_SHIFTS):
+        mvr = round_mv_amvr(mvs.astype(jnp.int32), sh)
+        pred = interp.finalize_uni(
+            interp.mc_luma(ref_y_padded, mvr.reshape(-1, 2), yb, xb, s, s,
+                           MC_MARGIN, bit_depth), bit_depth)
+        sad = jnp.sum(jnp.abs(pred - ob), axis=(1, 2)).reshape(nby, nbx)
+        # rate proxy: EG-ish bit length of each mvd component at the
+        # signaled precision + the imv flag bins
+        mag = jnp.abs(mvr >> sh)
+        bits = (2 * jnp.log2(1.0 + mag.astype(jnp.float32)).sum(-1)
+                + 2.0 + (1 if m == 0 else 2))
+        costs.append(sad + ((bits * lam_bits_x16).astype(jnp.int32) >> 4))
+        cands.append(mvr)
+    imv = jnp.argmin(jnp.stack(costs), axis=0).astype(jnp.int32)
+    mv_sel = jnp.take_along_axis(
+        jnp.stack(cands), imv[None, :, :, None].astype(jnp.int32),
+        axis=0)[0]
+    return imv, mv_sel
+
+
 def _residual_pass(orig: jnp.ndarray, pred: jnp.ndarray, s: int, qp: int,
                    bit_depth: int, scaling: tuple | None = None):
     """Transform/quant the residual and reconstruct — returns (levels,
@@ -374,15 +430,17 @@ def apply_wp(plane: jnp.ndarray, w, o, bit_depth: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
                                              "search_range", "wrap_around",
-                                             "scaling"))
+                                             "scaling", "amvr"))
 def encode_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
                    block_size: int = 16, bit_depth: int = 8,
                    search_range: int = 24, wrap_around: bool = False,
                    wp: jnp.ndarray | None = None,
-                   scaling: tuple | None = None):
+                   scaling: tuple | None = None, amvr: bool = False):
     """Full-frame P encode: batched ME -> MC -> residual -> recon.
 
-    Returns (mvs (nby,nbx,2) 1/16-pel, levels y/u/v, recon dict)."""
+    Returns (mvs (nby,nbx,2) 1/16-pel, levels y/u/v, recon dict); with
+    `amvr`, returns (mvs, imv, levels..., recon) — mvs already rounded to
+    each block's signaled precision."""
     s = block_size
     lam = quant.lambda_from_qp(qp, intra=False)
     lam_bits_x16 = int(lam ** 0.5 * 16)
@@ -392,6 +450,10 @@ def encode_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
                                            MC_MARGIN, lam_bits_x16)
     mvs, _ = me_mod.fractional_refine(orig_y, ry_pad, mv_int, s, MC_MARGIN,
                                       bit_depth)
+    imv = None
+    if amvr:
+        imv, mvs = amvr_decide(orig_y, ry_pad, mvs, s, bit_depth,
+                               lam_bits_x16)
     pred_y, pred_u, pred_v = mc_predict(ref_y, ref_u, ref_v, mvs, s,
                                         bit_depth, wrap_around)
     if wp is not None:
@@ -403,6 +465,9 @@ def encode_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
                                   scaling)
     lev_v, rec_v = _residual_pass(orig_v, pred_v, s // 2, qp, bit_depth,
                                   scaling)
+    if amvr:
+        return (mvs, imv, lev_y, lev_u, lev_v,
+                dict(y=rec_y, u=rec_u, v=rec_v))
     return (mvs, lev_y, lev_u, lev_v,
             dict(y=rec_y, u=rec_u, v=rec_v))
 

@@ -340,6 +340,244 @@ def encode_p_frame_mm(reproj: MVReprojection, active_models: list[int],
     return model_idx, mvs_stack, lev_y, lev_u, lev_v, recon
 
 
+# ---------------------------------------------------- fused frame programs
+#
+# The TPU sits behind a network tunnel (~10-50 ms per dispatch round trip;
+# utils/xfer.py).  The eager formulation above issues hundreds of small
+# launches per frame (per-model diamond steps, argmins, merges), each paying
+# tunnel latency.  These wrappers trace the WHOLE per-frame search — classic
+# hierarchical ME + fractional refine + every model's diamond refinement +
+# the model argmin (+ the uni/bi decision for B) — as ONE jit program, and
+# the residual/recon tail as one more.
+#
+# Bit-exactness note: the float32 reprojection that produces the normative
+# per-subblock POSITIONS stays in the shared `merged_positions` program
+# (same compiled program on encoder and decoder, so identical float
+# behavior); the fused programs only (a) pick MVs/models — any float drift
+# there can only change a *decision*, never break decode — and (b) run
+# integer-exact math (MC filters, transform/quant, deblock) downstream of
+# the positions tensor, which XLA cannot change.
+
+
+def _warm_models(reproj: MVReprojection, active_models) -> None:
+    for m in active_models:
+        if m in (M.MPA_FRONT_BACK, M.MPA_LEFT_RIGHT, M.MPA_TOP_BOTTOM):
+            reproj.mpa_cache(m)
+
+
+def _eps_key(epipoles) -> tuple:
+    return tuple((m, tuple(np.asarray(e, dtype=np.float64).round(12)))
+                 for m, e in sorted((epipoles or {}).items()))
+
+
+_FUSED_CACHE: dict = {}
+
+
+def search_p_mm(reproj: MVReprojection, active_models: list[int],
+                orig_y, ref_y, qp: int, block_size: int, bit_depth: int,
+                search_range: int, epipoles: dict | None = None,
+                wrap_around: bool = False):
+    """One-jit P-frame motion/model search.  Returns (model_idx (nby,nbx),
+    mvs_stack (n_models,nby,nbx,2))."""
+    key = ("psearch", _geom_key(reproj), tuple(active_models), qp,
+           block_size, bit_depth, search_range, wrap_around,
+           _eps_key(epipoles))
+    if key not in _FUSED_CACHE:
+        from ...encoder import me as me_mod
+        _warm_models(reproj, active_models)
+        s = block_size
+        lam = quant.lambda_from_qp(qp, intra=False)
+        lam_bits = lam ** 0.5 * 4.0
+        lam16 = int(lam ** 0.5 * 16)
+
+        @jax.jit
+        def fn(oy, ry):
+            refp = pad_ref(ry, MC_MARGIN, wrap_around)
+            mv_int, _ = me_mod.hierarchical_search(oy, refp, s,
+                                                   search_range, MC_MARGIN,
+                                                   lam16)
+            cmv, csad = me_mod.fractional_refine(oy, refp, mv_int, s,
+                                                 MC_MARGIN, bit_depth)
+            idx, mvs, _ = search_models(
+                reproj, active_models, oy, ry, cmv, csad, s, bit_depth,
+                lam_bits, epipoles, wrap_around)
+            return idx, jnp.stack([mvs[m] for m in active_models])
+
+        _FUSED_CACHE[key] = fn
+    return _FUSED_CACHE[key](orig_y, ref_y)
+
+
+def search_b_mm(reproj: MVReprojection, active_models: list[int],
+                orig_y, ref0_y, ref1_y, qp: int, block_size: int,
+                bit_depth: int, search_range: int, epipoles0=None,
+                epipoles1=None, wrap_around: bool = False,
+                small_range: bool = True):
+    """One-jit B-frame per-list model search + uni/bi decision.  Returns
+    (idx0, idx1, stack0, stack1, dirs)."""
+    key = ("bsearch", _geom_key(reproj), tuple(active_models), qp,
+           block_size, bit_depth, search_range, wrap_around, small_range,
+           _eps_key(epipoles0), _eps_key(epipoles1))
+    if key not in _FUSED_CACHE:
+        from ...encoder import me as me_mod
+        _warm_models(reproj, active_models)
+        s = block_size
+        lam = quant.lambda_from_qp(qp, intra=False)
+        lam_bits = lam ** 0.5 * 4.0
+        lam16 = int(lam ** 0.5 * 16)
+        mv_bits = int(lam ** 0.5 * 8)
+        steps = (16, 8, 4, 2) if small_range else (64, 32, 16, 8, 4, 2)
+
+        @jax.jit
+        def fn(oy, r0y, r1y):
+            per_list = []
+            for ry, eps in ((r0y, epipoles0), (r1y, epipoles1)):
+                refp = pad_ref(ry, MC_MARGIN, wrap_around)
+                mv_int, _ = me_mod.hierarchical_search(
+                    oy, refp, s, search_range, MC_MARGIN, lam16)
+                cmv, csad = me_mod.fractional_refine(oy, refp, mv_int, s,
+                                                     MC_MARGIN, bit_depth)
+                idx, mvs, sads = search_models(
+                    reproj, active_models, oy, ry, cmv, csad, s, bit_depth,
+                    lam_bits, eps, wrap_around, steps)
+                stack = jnp.stack([mvs[m] for m in active_models])
+                best = jnp.min(jnp.stack([sads[m] for m in active_models]),
+                               axis=0)
+                per_list.append((idx, stack, best))
+            idx0, stack0, sad0 = per_list[0]
+            idx1, stack1, sad1 = per_list[1]
+            pos0 = _merged_positions(reproj, active_models, s, epipoles0,
+                                     idx0, stack0)
+            pos1 = _merged_positions(reproj, active_models, s, epipoles1,
+                                     idx1, stack1)
+            r0p = pad_ref(r0y, MC_MARGIN, wrap_around)
+            r1p = pad_ref(r1y, MC_MARGIN, wrap_around)
+            p0 = mm_mc.mc_luma_positions(r0p, pos0, MC_MARGIN, bit_depth)
+            p1 = mm_mc.mc_luma_positions(r1p, pos1, MC_MARGIN, bit_depth)
+            bi = (p0 + p1 + 1) >> 1
+            sad_bi = _block_sad(jnp.abs(oy - bi), s) + mv_bits
+            dirs = jnp.argmin(jnp.stack([sad0, sad1, sad_bi]), axis=0
+                              ).astype(jnp.int32)
+            return idx0, idx1, stack0, stack1, dirs
+
+        _FUSED_CACHE[key] = fn
+    return _FUSED_CACHE[key](orig_y, ref0_y, ref1_y)
+
+
+def _rec_plane(pred, lev, size, qp, bit_depth, nby, nbx):
+    log2s = size.bit_length() - 1
+    pb = _to_blocks(pred, size)
+    dq = quant.dequantize(lev.reshape(-1, size, size), qp, log2s, log2s,
+                          bit_depth)
+    r = transforms.inverse_transform(dq, bit_depth=bit_depth)
+    rec = jnp.clip(pb + r, 0, (1 << bit_depth) - 1)
+    return _from_blocks(rec, nby, nbx)
+
+
+def enc_finish_p_mm(model_idx, mvs_stack, positions, orig_y, orig_u, orig_v,
+                    ref_y, ref_u, ref_v, qp: int, block_size: int,
+                    bit_depth: int, wrap_around: bool = False,
+                    deblocking: bool = True):
+    """One-jit encoder tail for MM P frames: positions -> prediction ->
+    residual/levels -> reconstruction -> deblock.  Everything here is
+    integer math downstream of the shared `positions` tensor, so the
+    encoder reconstruction is bit-exact with the decoder's (which runs the
+    same integer ops in its own program).  Returns (lev_y, lev_u, lev_v,
+    rec dict post-deblock)."""
+    key = ("pfinish", qp, block_size, bit_depth, wrap_around, deblocking,
+           orig_y.shape, mvs_stack.shape[0])
+    if key not in _FUSED_CACHE:
+        from .. import deblock as deblock_mod
+        s = block_size
+
+        @jax.jit
+        def fn(model_idx, mvs_stack, positions, oy, ou, ov, ry, ru, rv):
+            h, w = oy.shape
+            nby, nbx = h // s, w // s
+            pred_y, pred_u, pred_v = predict_from_positions(
+                positions, ry, ru, rv, bit_depth, wrap_around)
+            lev_y, _ = _residual_pass(oy, pred_y, s, qp, bit_depth)
+            lev_u, _ = _residual_pass(ou, pred_u, s // 2, qp, bit_depth)
+            lev_v, _ = _residual_pass(ov, pred_v, s // 2, qp, bit_depth)
+            rec_y = _rec_plane(pred_y, lev_y, s, qp, bit_depth, nby, nbx)
+            rec_u = _rec_plane(pred_u, lev_u, s // 2, qp, bit_depth, nby,
+                               nbx)
+            rec_v = _rec_plane(pred_v, lev_v, s // 2, qp, bit_depth, nby,
+                               nbx)
+            if deblocking:
+                sel = jnp.take_along_axis(
+                    mvs_stack, model_idx[None, :, :, None].astype(jnp.int32),
+                    axis=0)[0]
+                has_resid = (jnp.any(lev_y != 0, axis=(2, 3))
+                             | jnp.any(lev_u != 0, axis=(2, 3))
+                             | jnp.any(lev_v != 0, axis=(2, 3)))
+                bs_v, bs_h = deblock_mod.boundary_strengths_inter(
+                    sel.astype(jnp.int32), has_resid)
+                rec_y, rec_u, rec_v = deblock_mod.deblock_frame(
+                    rec_y, rec_u, rec_v, bs_v, bs_h, s, qp, bit_depth)
+            return lev_y, lev_u, lev_v, rec_y, rec_u, rec_v
+
+        _FUSED_CACHE[key] = fn
+    ly, lu, lv, ry2, ru2, rv2 = _FUSED_CACHE[key](
+        model_idx, mvs_stack, positions, orig_y, orig_u, orig_v,
+        ref_y, ref_u, ref_v)
+    return ly, lu, lv, dict(y=ry2, u=ru2, v=rv2)
+
+
+def enc_finish_b_mm(idx0, idx1, stack0, stack1, dirs, pos0, pos1,
+                    orig_y, orig_u, orig_v, ref0, ref1, qp: int,
+                    block_size: int, bit_depth: int,
+                    wrap_around: bool = False, deblocking: bool = True):
+    """One-jit encoder tail for MM B frames (integer math downstream of
+    the two shared per-list position tensors): bi combine -> residual ->
+    recon -> deblock.  Returns (lev_y, lev_u, lev_v, rec dict)."""
+    key = ("bfinish", qp, block_size, bit_depth, wrap_around, deblocking,
+           orig_y.shape, stack0.shape[0])
+    if key not in _FUSED_CACHE:
+        from .. import deblock as deblock_mod
+        s = block_size
+
+        @jax.jit
+        def fn(idx0, idx1, stack0, stack1, dirs, pos0, pos1,
+               oy, ou, ov, r0y, r0u, r0v, r1y, r1u, r1v):
+            h, w = oy.shape
+            nby, nbx = h // s, w // s
+            p0 = predict_from_positions(pos0, r0y, r0u, r0v, bit_depth,
+                                        wrap_around)
+            p1 = predict_from_positions(pos1, r1y, r1u, r1v, bit_depth,
+                                        wrap_around)
+            py = _bi_combine_px(p0[0], p1[0], dirs, s, 1, bit_depth)
+            pu = _bi_combine_px(p0[1], p1[1], dirs, s, 2, bit_depth)
+            pv = _bi_combine_px(p0[2], p1[2], dirs, s, 2, bit_depth)
+            lev_y, _ = _residual_pass(oy, py, s, qp, bit_depth)
+            lev_u, _ = _residual_pass(ou, pu, s // 2, qp, bit_depth)
+            lev_v, _ = _residual_pass(ov, pv, s // 2, qp, bit_depth)
+            rec_y = _rec_plane(py, lev_y, s, qp, bit_depth, nby, nbx)
+            rec_u = _rec_plane(pu, lev_u, s // 2, qp, bit_depth, nby, nbx)
+            rec_v = _rec_plane(pv, lev_v, s // 2, qp, bit_depth, nby, nbx)
+            if deblocking:
+                sel0 = jnp.take_along_axis(
+                    stack0, idx0[None, :, :, None].astype(jnp.int32),
+                    axis=0)[0]
+                sel1 = jnp.take_along_axis(
+                    stack1, idx1[None, :, :, None].astype(jnp.int32),
+                    axis=0)[0]
+                sel = jnp.where(dirs[..., None] == 1, sel1, sel0)
+                has_resid = (jnp.any(lev_y != 0, axis=(2, 3))
+                             | jnp.any(lev_u != 0, axis=(2, 3))
+                             | jnp.any(lev_v != 0, axis=(2, 3)))
+                bs_v, bs_h = deblock_mod.boundary_strengths_inter(
+                    sel.astype(jnp.int32), has_resid)
+                rec_y, rec_u, rec_v = deblock_mod.deblock_frame(
+                    rec_y, rec_u, rec_v, bs_v, bs_h, s, qp, bit_depth)
+            return lev_y, lev_u, lev_v, rec_y, rec_u, rec_v
+
+        _FUSED_CACHE[key] = fn
+    ly, lu, lv, ry2, ru2, rv2 = _FUSED_CACHE[key](
+        idx0, idx1, stack0, stack1, dirs, pos0, pos1, orig_y, orig_u,
+        orig_v, ref0[0], ref0[1], ref0[2], ref1[0], ref1[1], ref1[2])
+    return ly, lu, lv, dict(y=ry2, u=ru2, v=rv2)
+
+
 # ------------------------------------------------------------- B frames
 
 

@@ -166,6 +166,9 @@ class SPS:
                                   # + HMVP, UnitTools.cpp:2272/3178)
     mrl: bool = False             # multi-reference-line intra (reference:
                                   # sps_mrl_enabled_flag, MRL refs)
+    amvr: bool = False            # adaptive MV resolution on P blocks
+                                  # (reference: sps_amvr_enabled_flag,
+                                  # EncCu.cpp:775-782 IMV mode loop)
     wpp: bool = False             # entropy substreams with entry points
                                   # (reference: WPP/tiles, EncSlice.cpp:
                                   # 2024-2113 substream termination)
@@ -218,6 +221,7 @@ class SPS:
         bw.write_flag(self.lfnst)
         bw.write_flag(self.tmvp)
         bw.write_flag(self.mrl)
+        bw.write_flag(self.amvr)
         bw.write_flag(self.wpp)
         if self.wpp:
             bw.write_uvlc(self.num_substreams)
@@ -276,6 +280,7 @@ class SPS:
         sps.lfnst = br.read_flag()
         sps.tmvp = br.read_flag()
         sps.mrl = br.read_flag()
+        sps.amvr = br.read_flag()
         sps.wpp = br.read_flag()
         if sps.wpp:
             sps.num_substreams = br.read_uvlc()

@@ -323,7 +323,8 @@ class DecLib:
                 mvs, ly, lu, lv = decode_p_slice(cabac_bytes, nby, nbx, s,
                                                  stats=self.stats,
                                                  col_mvs=col,
-                                                 use_tmvp=sps.tmvp)
+                                                 use_tmvp=sps.tmvp,
+                                                 use_amvr=sps.amvr)
                 self._mv_fields[sh.poc] = mvs.astype(np.int64)
                 recon = inter_frame.reconstruct_p_frame(
                     jnp.asarray(mvs), jnp.asarray(ly), jnp.asarray(lu),

@@ -362,12 +362,15 @@ def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
 
 def decode_p_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
                    col_mvs: np.ndarray | None = None,
-                   use_tmvp: bool = False
+                   use_tmvp: bool = False, use_amvr: bool = False
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                               np.ndarray]:
     """Returns (mvs (nby,nbx,2) 1/16-pel, lev_y, lev_u, lev_v).  With
     use_tmvp, mirrors the encoder's AMVP list (spatial/TMVP/HMVP/zero) and
-    parses the mvp index (encoder/inter_coder.py encode_p_slice)."""
+    parses the mvp index (encoder/inter_coder.py encode_p_slice).  With
+    use_amvr, parses the per-block AMVR precision and scales the MVD
+    (reference: CABACReader amvr_mode/imv)."""
+    from ..common.inter_frame import AMVR_SHIFTS, round_mv_amvr
     dec = _make(data, stats)
     sc = s // 2
     mvs = np.zeros((nby, nbx, 2), dtype=np.int64)
@@ -389,10 +392,21 @@ def decode_p_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
                 if use_tmvp:
                     _lbl(dec, "mvp_idx")
                     idx = dec.decode_bin(ctx_id("MvpIdx"))
+                sh = 0
+                if use_amvr:
+                    _lbl(dec, "amvr_mode")
+                    m = 0
+                    if dec.decode_bin(ctx_id("Amvr", 0)):
+                        m = 1 + dec.decode_bin(ctx_id("Amvr", 1))
+                    sh = AMVR_SHIFTS[m]
                 _lbl(dec, "mvd")
                 mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
                                dtype=np.int64)
-                mvs[by, bx] = cands[idx] + mvd
+                if use_amvr:
+                    mvs[by, bx] = (round_mv_amvr(cands[idx], sh)
+                                   + (mvd << sh))
+                else:
+                    mvs[by, bx] = cands[idx] + mvd
                 for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
                                         ("v", lev_v, sc)):
                     _lbl(dec, "cbf")

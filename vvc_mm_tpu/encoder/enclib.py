@@ -94,6 +94,9 @@ class EncCfg:
     lfnst: bool = False          # low-frequency non-separable secondary
                                  # transform (common/lfnst.py; --LFNST)
     tmvp: bool = False           # TMVP + HMVP AMVP candidates (--TMVP)
+    amvr: bool = False           # adaptive MV resolution (quarter/full/
+                                 # 4-pel per block; reference: IMV loop
+                                 # EncCu.cpp:775, --IMV)
     mrl: bool = False            # multi-reference-line intra (--MRL)
     wpp: bool = False            # entropy substreams + entry points (--WPP)
     num_substreams: int = 4
@@ -133,6 +136,7 @@ class EncCfg:
                    ciip=self.ciip, ibc=self.ibc,
                    dep_quant=self.dep_quant, cclm=self.cclm, mip=self.mip,
                    lfnst=self.lfnst, tmvp=self.tmvp, mrl=self.mrl,
+                   amvr=self.amvr,
                    wpp=self.wpp,
                    num_substreams=self.num_substreams,
                    ts=self.transform_skip or self.lossless,
@@ -347,21 +351,32 @@ class EncLib:
                           zip(epipole_mod.to_fixed(pred), epipole_delta)))
                 self.coded_epipoles.set_epipole(poc, ref_poc, ep_used)
                 epipoles = {MotionModelID.GEODESIC_CAMPOSE: ep_used}
-            model_idx, mvs_stack, ly, lu, lv, recon = \
-                mm_codec.encode_p_frame_mm(
-                    self.reproj, active, dev[0], dev[1], dev[2],
-                    rdev[0], rdev[1], rdev[2], qp, s, cfg.bit_depth,
-                    cfg.search_range, epipoles, cfg.wrap_around)
+            # fused path: ONE search program, the shared positions program,
+            # ONE residual/recon/deblock program; host entropy overlaps the
+            # SAO/ALF device chain (frame_codec.py fused-program rationale)
+            model_idx, mvs_stack = mm_codec.search_p_mm(
+                self.reproj, active, dev[0], rdev[0], qp, s,
+                cfg.bit_depth, cfg.search_range, epipoles, cfg.wrap_around)
+            positions = mm_codec.merged_positions(
+                self.reproj, active, model_idx, mvs_stack, s, epipoles)
+            ly, lu, lv, recon = mm_codec.enc_finish_p_mm(
+                model_idx, mvs_stack, positions, dev[0], dev[1], dev[2],
+                rdev[0], rdev[1], rdev[2], qp, s, cfg.bit_depth,
+                cfg.wrap_around, cfg.deblocking)
             ep_for_mvp = (epipoles or {}).get(
                 MotionModelID.GEODESIC_CAMPOSE)
-            mvs = jnp.take_along_axis(
-                mvs_stack, model_idx[None, :, :, None].astype(jnp.int32),
-                axis=0)[0]
-            (lyh, luh, lvh, model_idx_h, mvs_stack_h) = xfer.pull_levels(
-                ly, lu, lv, model_idx, mvs_stack)
-            payload = encode_p_slice_mm(
-                model_idx_h, active, mvs_stack_h.astype(np.int64),
-                lyh, luh, lvh, s, self.mvp_conv, ep_for_mvp)
+
+            def make_payload():
+                (lyh, luh, lvh, model_idx_h,
+                 mvs_stack_h) = xfer.pull_levels(ly, lu, lv, model_idx,
+                                                 mvs_stack)
+                return encode_p_slice_mm(
+                    model_idx_h, active, mvs_stack_h.astype(np.int64),
+                    lyh, luh, lvh, s, self.mvp_conv, ep_for_mvp)
+
+            return self._finish_slice_overlap(
+                poc, planes, recon, make_payload, qp, t0, SliceType.P,
+                [ref_poc], [], epipole_delta, 0, dev)
         elif cfg.qt_depth > 0 and cfg.mtt:
             # full multi-type-tree P encode (QT+BT+TT, common/mtt.py)
             from ..common import mtt as mtt_mod
@@ -452,15 +467,23 @@ class EncLib:
         else:
             wp = (self._estimate_wp(planes, ref)
                   if cfg.weighted_pred else None)
-            mvs, ly, lu, lv, recon = inter_frame.encode_p_frame(
+            out = inter_frame.encode_p_frame(
                 dev[0], dev[1], dev[2], rdev[0], rdev[1], rdev[2], qp, s,
                 cfg.bit_depth, cfg.search_range, cfg.wrap_around,
                 wp=None if wp is None else jnp.asarray(wp),
-                scaling=tuple(cfg.scaling_list) or None)
-            lyh, luh, lvh, mvs_h = xfer.pull_levels(ly, lu, lv, mvs)
+                scaling=tuple(cfg.scaling_list) or None, amvr=cfg.amvr)
+            if cfg.amvr:
+                mvs, imv, ly, lu, lv, recon = out
+                lyh, luh, lvh, mvs_h, imv_h = xfer.pull_levels(
+                    ly, lu, lv, mvs, imv)
+            else:
+                mvs, ly, lu, lv, recon = out
+                imv_h = None
+                lyh, luh, lvh, mvs_h = xfer.pull_levels(ly, lu, lv, mvs)
             col = self._mv_fields.get(ref_poc) if cfg.tmvp else None
             payload = encode_p_slice(mvs_h, lyh, luh, lvh,
-                                     col_mvs=col, use_tmvp=cfg.tmvp)
+                                     col_mvs=col, use_tmvp=cfg.tmvp,
+                                     imv=imv_h)
             self._mv_fields[poc] = mvs_h.astype(np.int64)
         if cfg.deblocking:
             has_resid = (jnp.any(ly != 0, axis=(2, 3))
@@ -519,6 +542,59 @@ class EncLib:
         return self._finish_slice(poc, planes, recon, payload, qp, t0,
                                   SliceType.P, [ref_poc], [],
                                   epipole_delta, 0, dev)
+
+    def _finish_slice_overlap(self, poc, planes, recon, make_payload, qp,
+                              t0, slice_type, ref_pocs_l0, ref_pocs_l1,
+                              epipole_delta, tid, dev):
+        """Inter-frame tail with entropy/filter overlap: dispatch the
+        SAO + ALF-stats device stages first (no sync), run the host entropy
+        pass (make_payload pulls the coded grids and writes CABAC) while
+        the device chain executes, then finish the filters.  The filter
+        chain never reads the entropy-coded grids, so the two are
+        independent (reference analog: EncGOP's separate compressSlice /
+        encodeSlice passes)."""
+        cfg = self.cfg
+        from . import filter_stage
+        lam = quant.lambda_from_qp(qp, intra=False)
+        sao_h = (filter_stage.sao_dispatch(recon, dev, lam, cfg.bit_depth)
+                 if cfg.sao else None)
+        post_sao = (dict(y=sao_h[0], u=sao_h[1], v=sao_h[2]) if cfg.sao
+                    else recon)
+        alf_h = (filter_stage.alf_stats_dispatch(post_sao, dev,
+                                                 cfg.bit_depth)
+                 if cfg.alf else None)
+        payload = make_payload()    # host entropy overlaps device filters
+        self._pending_alf_chroma = None
+        self._pending_ccalf = None
+        sao_params = None
+        if cfg.sao:
+            recon, sao_params = filter_stage.sao_finish(recon, sao_h)
+            recon = post_sao   # same values; keep the device chain's view
+        alf_params = None
+        if cfg.alf:
+            recon, alf_params, self._pending_alf_chroma, \
+                self._pending_ccalf = filter_stage.run_alf(
+                    post_sao, dev, lam, cfg.bit_depth, stats_handles=alf_h)
+        sh = SliceHeader(poc=poc, slice_type=slice_type, qp=qp,
+                         temporal_id=tid, ref_pocs_l0=ref_pocs_l0,
+                         ref_pocs_l1=ref_pocs_l1,
+                         epipole_delta=epipole_delta,
+                         sao_params=sao_params, alf_params=alf_params,
+                         alf_chroma_params=self._pending_alf_chroma,
+                         ccalf_params=self._pending_ccalf)
+        bw = BitWriter()
+        sh.write(bw, self.sps)
+        bw.write_bytes(payload)
+        nal = NalUnit(NAL_TRAIL, tid, bw.get_bytes())
+        self._dpb_dev[poc] = (recon["y"], recon["u"], recon["v"])
+        rec, psnrs = xfer.finalize_recon(recon, dev, cfg.bit_depth)
+        res = FrameResult(
+            poc=poc, bits=len(nal.payload) * 8,
+            psnr_y=psnrs[0], psnr_u=psnrs[1], psnr_v=psnrs[2],
+            recon=rec, seconds=time.time() - t0)
+        self._finish_frame(res, planes)
+        self.results.append(res)
+        return nal, res
 
     def _finish_slice(self, poc, planes, recon, payload, qp, t0, slice_type,
                       ref_pocs_l0, ref_pocs_l1, epipole_delta, tid,
@@ -586,41 +662,48 @@ class EncLib:
                         self.coded_epipoles.find_epipole(poc, ref0_poc)}
                 eps1 = {MotionModelID.GEODESIC_CAMPOSE:
                         self.coded_epipoles.find_epipole(poc, ref1_poc)}
-            (midx0, midx1, stack0, stack1, dirs, ly, lu, lv, recon) = \
-                mm_codec.encode_b_frame_mm(
-                    self.reproj, active, oy, ou, ov, r0, r1, qp, s,
-                    cfg.bit_depth, cfg.search_range, eps0, eps1,
-                    cfg.wrap_around, cfg.dmvr)
-            sel0 = jnp.take_along_axis(
-                stack0, midx0[None, :, :, None].astype(jnp.int32),
-                axis=0)[0]
-            sel1 = jnp.take_along_axis(
-                stack1, midx1[None, :, :, None].astype(jnp.int32),
-                axis=0)[0]
-            if cfg.deblocking:
-                has_resid = (jnp.any(ly != 0, axis=(2, 3))
-                             | jnp.any(lu != 0, axis=(2, 3))
-                             | jnp.any(lv != 0, axis=(2, 3)))
-                sel_mv = jnp.where(dirs[..., None] == 1, sel1, sel0)
-                bs_v, bs_h = deblock.boundary_strengths_inter(
-                    sel_mv.astype(jnp.int32), has_resid)
-                ry, ru, rv = deblock.deblock_frame(
-                    recon["y"], recon["u"], recon["v"], bs_v, bs_h, s, qp,
-                    cfg.bit_depth)
-                recon = dict(y=ry, u=ru, v=rv)
-            (lyh, luh, lvh, midx0_h, midx1_h, s0_h, s1_h,
-             dirs_h) = xfer.pull_levels(ly, lu, lv, midx0, midx1,
-                                        stack0, stack1, dirs)
-            from .inter_coder import encode_b_slice_mm
+            # fused path: ONE search program (both lists + uni/bi), the
+            # shared DMVR/positions programs, ONE residual/recon/deblock
+            # program; host entropy overlaps the SAO/ALF device chain
+            midx0, midx1, stack0, stack1, dirs = mm_codec.search_b_mm(
+                self.reproj, active, oy, r0[0], r1[0], qp, s,
+                cfg.bit_depth, cfg.search_range, eps0, eps1,
+                cfg.wrap_around)
+            if cfg.dmvr:
+                # projected DMVR refines the *prediction* MVs through the
+                # shared enc/dec programs; the SIGNALED stacks (and the
+                # deblock MV field) stay unrefined (decoder mirror:
+                # declib.py B-MM path, reconstruct_b_frame_mm dmvr=True)
+                rstack0, rstack1 = mm_codec.projected_dmvr(
+                    self.reproj, active, midx0, midx1, stack0, stack1,
+                    dirs, r0[0], r1[0], s, cfg.bit_depth, eps0, eps1,
+                    cfg.wrap_around)
+            else:
+                rstack0, rstack1 = stack0, stack1
+            pos0 = mm_codec.merged_positions(
+                self.reproj, active, midx0, rstack0, s, eps0)
+            pos1 = mm_codec.merged_positions(
+                self.reproj, active, midx1, rstack1, s, eps1)
+            ly, lu, lv, recon = mm_codec.enc_finish_b_mm(
+                midx0, midx1, stack0, stack1, dirs, pos0, pos1,
+                oy, ou, ov, tuple(r0), tuple(r1), qp, s, cfg.bit_depth,
+                cfg.wrap_around, cfg.deblocking)
             ep0_mvp = (eps0 or {}).get(MotionModelID.GEODESIC_CAMPOSE)
             ep1_mvp = (eps1 or {}).get(MotionModelID.GEODESIC_CAMPOSE)
-            payload = encode_b_slice_mm(
-                midx0_h, midx1_h, active, s0_h.astype(np.int64),
-                s1_h.astype(np.int64), dirs_h, lyh, luh, lvh, s,
-                self.mvp_conv, ep0_mvp, ep1_mvp)
-            return self._finish_slice(poc, planes, recon, payload, qp, t0,
-                                      SliceType.B, [ref0_poc], [ref1_poc],
-                                      None, tid, dev)
+
+            def make_payload():
+                (lyh, luh, lvh, midx0_h, midx1_h, s0_h, s1_h,
+                 dirs_h) = xfer.pull_levels(ly, lu, lv, midx0, midx1,
+                                            stack0, stack1, dirs)
+                from .inter_coder import encode_b_slice_mm
+                return encode_b_slice_mm(
+                    midx0_h, midx1_h, active, s0_h.astype(np.int64),
+                    s1_h.astype(np.int64), dirs_h, lyh, luh, lvh, s,
+                    self.mvp_conv, ep0_mvp, ep1_mvp)
+
+            return self._finish_slice_overlap(
+                poc, planes, recon, make_payload, qp, t0, SliceType.B,
+                [ref0_poc], [ref1_poc], None, tid, dev)
         if cfg.qt_depth > 0 and cfg.mtt:
             from ..common import mtt as mtt_mod
             from ..common import qtree

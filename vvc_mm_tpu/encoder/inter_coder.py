@@ -547,13 +547,20 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
 
 def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
                    lev_v: np.ndarray, col_mvs: np.ndarray | None = None,
-                   use_tmvp: bool = False) -> bytes:
+                   use_tmvp: bool = False,
+                   imv: np.ndarray | None = None) -> bytes:
     """mvs (nby, nbx, 2) 1/16-pel; lev_* (nby, nbx, s, s).  Raster order.
 
     With use_tmvp, MV prediction upgrades from the implicit spatial median
     to a 2-candidate AMVP list (spatial / TMVP col_mvs / HMVP / zero) with
     a context-coded mvp index; the HMVP FIFO updates per block (reference:
-    fillMvpCand + HMVP LUT)."""
+    fillMvpCand + HMVP LUT).
+
+    With imv (nby, nbx in {0,1,2}), each non-skip block signals its AMVR
+    precision (quarter/full/4-pel) and codes the MVD on that grid against
+    the grid-rounded predictor (reference: CABACWriter amvr_mode /
+    imv syntax; EncCu.cpp:775 IMV loop)."""
+    from ..common.inter_frame import AMVR_SHIFTS, round_mv_amvr
     enc = make_encoder()
     nby, nbx = mvs.shape[:2]
     mvs = mvs.astype(np.int64)
@@ -584,6 +591,14 @@ def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
             if not skip:
                 if use_tmvp:
                     enc.encode_bin(idx, ctx_id("MvpIdx"))
+                if imv is not None:
+                    m = int(imv[by, bx])
+                    sh = AMVR_SHIFTS[m]
+                    enc.encode_bin(int(m > 0), ctx_id("Amvr", 0))
+                    if m > 0:
+                        enc.encode_bin(int(m > 1), ctx_id("Amvr", 1))
+                    predr = round_mv_amvr(pred, sh)
+                    mvd = (mv - predr) >> sh
                 encode_mvd_comp(enc, int(mvd[0]))
                 encode_mvd_comp(enc, int(mvd[1]))
                 for cbf, lev, cid in ((cy, lev_y[by, bx], 0),
