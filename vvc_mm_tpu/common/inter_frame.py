@@ -97,6 +97,40 @@ AMVR_SHIFTS = (2, 4, 6)    # 1/16-pel grid shifts: quarter-, full-, 4-pel
                            # /IMV_4PEL; EncCu.cpp:775-782 IMV mode loop)
 
 
+def mcts_clamp_mvs(mvs: jnp.ndarray, block_size: int, width: int,
+                   height: int, tile_cols: int, tile_rows: int
+                   ) -> jnp.ndarray:
+    """Motion-constrained tile sets: clamp every block's MV so the full
+    interpolation support (8-tap: 3 left / 4 right of the integer sample)
+    stays inside the block's own tile (reference: MCTS.{cpp,h} —
+    MCTSInfo::clipMvToArea; SURVEY.md §2.8 maps MCTS to shard-local motion
+    so tiles stay independently decodable/extractable).
+
+    Encoder-side only — the decoder needs no change (signaled MVs simply
+    satisfy the constraint).  Bounds are rounded inward to the 4-pel grid
+    (multiples of 64 in 1/16-pel units) so a later AMVR rounding can never
+    push a clamped MV back out of the tile."""
+    s = block_size
+    nby, nbx = height // s, width // s
+    tw, th = width // tile_cols, height // tile_rows
+    bx = jnp.arange(nbx, dtype=jnp.int32) * s
+    by = jnp.arange(nby, dtype=jnp.int32) * s
+    tx0 = (bx // tw) * tw
+    ty0 = (by // th) * th
+    # support: [pos - 3, pos + s + 4) must stay in [t0, t0 + extent)
+    def bounds(b, t0, extent):
+        lo = (t0 - b + 3) * 16
+        hi = (t0 + extent - s - 4 - b) * 16
+        lo = ((lo + 63) // 64) * 64      # round inward to the 4-pel grid
+        hi = (hi // 64) * 64
+        return lo, jnp.maximum(hi, lo)
+    lo_x, hi_x = bounds(bx, tx0, tw)
+    lo_y, hi_y = bounds(by, ty0, th)
+    mx = jnp.clip(mvs[..., 0], lo_x[None, :], hi_x[None, :])
+    my = jnp.clip(mvs[..., 1], lo_y[:, None], hi_y[:, None])
+    return jnp.stack([mx, my], axis=-1)
+
+
 def round_mv_amvr(mv, shift: int):
     """Round a 1/16-pel MV (int array/scalar) to the AMVR grid — round
     half away from zero, shared enc/dec (reference: Mv::roundToAmvrSignalPrec
@@ -430,12 +464,13 @@ def apply_wp(plane: jnp.ndarray, w, o, bit_depth: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
                                              "search_range", "wrap_around",
-                                             "scaling", "amvr"))
+                                             "scaling", "amvr", "mcts"))
 def encode_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
                    block_size: int = 16, bit_depth: int = 8,
                    search_range: int = 24, wrap_around: bool = False,
                    wp: jnp.ndarray | None = None,
-                   scaling: tuple | None = None, amvr: bool = False):
+                   scaling: tuple | None = None, amvr: bool = False,
+                   mcts: tuple | None = None):
     """Full-frame P encode: batched ME -> MC -> residual -> recon.
 
     Returns (mvs (nby,nbx,2) 1/16-pel, levels y/u/v, recon dict); with
@@ -450,6 +485,9 @@ def encode_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
                                            MC_MARGIN, lam_bits_x16)
     mvs, _ = me_mod.fractional_refine(orig_y, ry_pad, mv_int, s, MC_MARGIN,
                                       bit_depth)
+    if mcts:
+        h, w = orig_y.shape
+        mvs = mcts_clamp_mvs(mvs, s, w, h, mcts[0], mcts[1])
     imv = None
     if amvr:
         imv, mvs = amvr_decide(orig_y, ry_pad, mvs, s, bit_depth,

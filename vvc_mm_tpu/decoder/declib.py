@@ -57,6 +57,7 @@ class DecLib:
         # DecLib.cpp:868 calcAndPrintHashStatus)
         self.hash_status: dict[int, str] = {}
         self.film_grain = None    # FilmGrainParams from an fgc SEI
+        self.mcts_tiles: tuple | None = None  # (cols, rows) from MCTS SEI
         self.concealed: list[int] = []  # POCs created by loss concealment
         # POC -> MV field (TMVP source, mirrors EncLib._mv_fields)
         self._mv_fields: dict[int, np.ndarray] = {}
@@ -97,6 +98,12 @@ class DecLib:
                     br = BitReader(nalu.payload)
                     br.read(8)
                     self.film_grain = FilmGrainParams.read(br)
+                elif nalu.payload and nalu.payload[0] == 134:
+                    # temporal MCTS: (cols, rows) tile grid whose motion
+                    # is self-contained (reference: MCTS SEI)
+                    br = BitReader(nalu.payload)
+                    br.read(8)
+                    self.mcts_tiles = (br.read_uvlc(), br.read_uvlc())
                 else:
                     self._check_hash_sei(nalu.payload)
             elif nalu.nal_type in (NAL_IDR, NAL_TRAIL):

@@ -115,6 +115,11 @@ class EncCfg:
     scaling_list: tuple = ()     # 64-entry 8x8 quant scaling matrix
                                  # (--ScalingList; classic P path +
                                  # decoder; empty = flat)
+    mcts_tiles: tuple = ()       # (cols, rows): motion-constrained tile
+                                 # sets — ME clamped so every prediction
+                                 # stays inside its block's tile, MCTS SEI
+                                 # emitted (reference: MCTS.{cpp,h},
+                                 # SEI temporal MCTS; --MCTSTiles)
 
     def make_sps(self) -> SPS:
         from ..common.slice_ps import HRDParams
@@ -250,7 +255,26 @@ class EncLib:
         bw = BitWriter()
         self.pps.write(bw)
         pps_nal = NalUnit(NAL_PPS, 0, bw.get_bytes())
-        return [sps_nal, pps_nal]
+        out = [sps_nal, pps_nal]
+        if self.cfg.mcts_tiles:
+            out.append(self._mcts_sei())
+        return out
+
+    SEI_MCTS = 134    # temporal motion-constrained tile sets (reference:
+                      # SEI::TEMPORAL_MOTION_CONSTRAINED_TILE_SETS)
+
+    def _mcts_sei(self) -> NalUnit:
+        """Signal the tile grid whose sets are motion-constrained, so an
+        extractor can pull any tile independently (reference: MCTS.{cpp,h}
+        + the temporal MCTS SEI; the ME-side constraint lives in
+        common/inter_frame.py mcts_clamp_mvs)."""
+        cols, rows = self.cfg.mcts_tiles
+        bw = BitWriter()
+        bw.write(self.SEI_MCTS, 8)
+        bw.write_uvlc(cols)
+        bw.write_uvlc(rows)
+        bw.align()
+        return NalUnit(NAL_SEI, 0, bw.get_bytes())
 
     def encode_intra_frame(self, poc: int, planes: list[np.ndarray],
                            qp: int | None = None
@@ -471,7 +495,8 @@ class EncLib:
                 dev[0], dev[1], dev[2], rdev[0], rdev[1], rdev[2], qp, s,
                 cfg.bit_depth, cfg.search_range, cfg.wrap_around,
                 wp=None if wp is None else jnp.asarray(wp),
-                scaling=tuple(cfg.scaling_list) or None, amvr=cfg.amvr)
+                scaling=tuple(cfg.scaling_list) or None, amvr=cfg.amvr,
+                mcts=tuple(cfg.mcts_tiles) or None)
             if cfg.amvr:
                 mvs, imv, ly, lu, lv, recon = out
                 lyh, luh, lvh, mvs_h, imv_h = xfer.pull_levels(
