@@ -58,6 +58,7 @@ def build_parser() -> OptionParser:
     p.add("MRL", False, "multi-reference-line intra prediction")
     p.add("TMVP", False, "temporal + history-based MV prediction")
     p.add("IMV", False, "adaptive MV resolution (AMVR; reference --IMV)")
+    p.add("MTS", False, "explicit multiple transform selection (intra)")
     p.add("MCTSTiles", "", "cols,rows: motion-constrained tile sets")
     p.add("WPP", False, "entropy substreams with entry points (WPP/tiles)")
     p.add("WeightedPredP", False, "explicit weighted prediction (P)")
@@ -114,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
                  mctf=opts["TemporalFilter"], lmcs=opts["LMCS"],
                  bdof=opts["BDOF"], dmvr=opts["DMVR"],
                  dep_quant=opts["DepQuant"], cclm=opts["CCLM"],
-                 mip=opts["MIP"], lfnst=opts["LFNST"], mrl=opts["MRL"], tmvp=opts["TMVP"], amvr=opts["IMV"],
+                 mip=opts["MIP"], lfnst=opts["LFNST"], mrl=opts["MRL"], tmvp=opts["TMVP"], amvr=opts["IMV"], mts=opts["MTS"],
                  mcts_tiles=(tuple(int(x) for x in opts["MCTSTiles"].split(","))
                              if opts["MCTSTiles"] else ()), wpp=opts["WPP"],
                  weighted_pred=opts["WeightedPredP"],

@@ -67,6 +67,7 @@ _CTX_SETS: list[tuple[str, int]] = [
     ("LastX", 25),
     ("LastY", 25),
     ("TsSigFlag", 3),
+    ("MtsIdx", 4),
     ("InterDir", 6),
     ("RefPic", 2),
     ("Mvd", 2),

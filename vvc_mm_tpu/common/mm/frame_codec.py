@@ -34,8 +34,10 @@ def _block_sad(diff_abs: jnp.ndarray, s: int) -> jnp.ndarray:
     return diff_abs.reshape(h // s, s, w // s, s).sum(axis=(1, 3))
 
 
-SAD_ROW_STEP = 2     # search-time SAD subsampling: every other 4-px row
-                     # band (reference: RdCost subShift; non-normative)
+SAD_ROW_STEP = 4     # search-time SAD subsampling: keep 1-of-4 4-px row
+                     # bands (reference: RdCost subShift; non-normative —
+                     # only steers the model/MV choice, never the
+                     # signaled reconstruction)
 
 
 def _subsample_rows(plane: jnp.ndarray, row_step: int) -> jnp.ndarray:
@@ -150,10 +152,14 @@ def diamond_search(eval_multi, orig, ref_padded, mv_init: jnp.ndarray,
     mv = mv_init.astype(jnp.int32)
     best = None
     plus = np.array([(0, -1), (-1, 0), (1, 0), (0, 1)], dtype=np.int32)
+    plus_c = np.array([(0, 0), (0, -1), (-1, 0), (1, 0), (0, 1)],
+                      dtype=np.int32)
     for i, step in enumerate(steps):
         if best is None:
-            cands = mv[None] + jnp.asarray(_DIAMOND * step)[:, None, None, :]
-            sads = eval_multi(orig, ref_padded, cands)   # (9, nby, nbx)
+            # first step: center + plus (5 evals; the full 9-point square
+            # buys <0.1% SAD for +80% evals at this stage)
+            cands = mv[None] + jnp.asarray(plus_c * step)[:, None, None, :]
+            sads = eval_multi(orig, ref_padded, cands)   # (5, nby, nbx)
         else:
             # refinement steps use the 4-point plus pattern (the TZ small
             # diamond) — half the evaluations of the full square

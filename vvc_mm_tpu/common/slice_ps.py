@@ -166,6 +166,10 @@ class SPS:
                                   # + HMVP, UnitTools.cpp:2272/3178)
     mrl: bool = False             # multi-reference-line intra (reference:
                                   # sps_mrl_enabled_flag, MRL refs)
+    mts: bool = False             # explicit MTS for intra luma (reference:
+                                  # sps_mts_enabled_flag +
+                                  # sps_explicit_mts_intra_enabled_flag,
+                                  # TrQuant.cpp:619 getTrTypes)
     amvr: bool = False            # adaptive MV resolution on P blocks
                                   # (reference: sps_amvr_enabled_flag,
                                   # EncCu.cpp:775-782 IMV mode loop)
@@ -221,6 +225,7 @@ class SPS:
         bw.write_flag(self.lfnst)
         bw.write_flag(self.tmvp)
         bw.write_flag(self.mrl)
+        bw.write_flag(self.mts)
         bw.write_flag(self.amvr)
         bw.write_flag(self.wpp)
         if self.wpp:
@@ -280,6 +285,7 @@ class SPS:
         sps.lfnst = br.read_flag()
         sps.tmvp = br.read_flag()
         sps.mrl = br.read_flag()
+        sps.mts = br.read_flag()
         sps.amvr = br.read_flag()
         sps.wpp = br.read_flag()
         if sps.wpp:

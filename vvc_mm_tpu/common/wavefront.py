@@ -285,6 +285,91 @@ def _tq_lfnst_decode(pred: jnp.ndarray, levels: jnp.ndarray,
     return jnp.clip(pred + r, 0, (1 << bit_depth) - 1)
 
 
+# Explicit MTS transform pairs, indexed by tu_mts_idx (reference:
+# TrQuant.cpp:619 getTrTypes — MTS_DCT2_DCT2, MTS_DST7_DST7, MTS_DCT8_DST7,
+# MTS_DST7_DCT8, MTS_DCT8_DCT8; DST7/DCT8 kernels in RomTr.cpp)
+MTS_PAIRS = ((transforms.rom.DCT2, transforms.rom.DCT2),
+             (transforms.rom.DST7, transforms.rom.DST7),
+             (transforms.rom.DCT8, transforms.rom.DST7),
+             (transforms.rom.DST7, transforms.rom.DCT8),
+             (transforms.rom.DCT8, transforms.rom.DCT8))
+
+
+def _tq_mts_encode(pred: jnp.ndarray, resid: jnp.ndarray,
+                   mode: jnp.ndarray, qp: int, s: int, bit_depth: int,
+                   dep: bool, use_lfnst: bool):
+    """Luma TQ with explicit-MTS (and optional LFNST) per-block RD choice:
+    the five transform pairs — plus the LFNST candidates on the DCT2 path,
+    since LFNST only combines with mts_idx 0 (reference: IntraSearch MTS
+    loop, TrQuant getTrTypes; LFNST-implies-DCT2 rule).  Returns
+    (levels, recon, lfnst_idx, mts_idx)."""
+    log2s = s.bit_length() - 1
+    lam = quant.lambda_from_qp(qp, intra=True)
+    maxv = (1 << bit_depth) - 1
+    zero = jnp.zeros(pred.shape[0], jnp.int32)
+    target = pred + resid
+    cands = []      # (lev, rec, lfnst_idx, mts_idx, cost)
+    coeff_dct2 = None
+    for m, (th, tv) in enumerate(MTS_PAIRS):
+        coeff = transforms.forward_transform(resid, th, tv,
+                                             bit_depth=bit_depth)
+        if m == 0:
+            coeff_dct2 = coeff
+        lev, dq = _quant_pair(coeff, None, qp, log2s, bit_depth, True, dep)
+        r = transforms.inverse_transform(dq, th, tv, bit_depth=bit_depth)
+        rec = jnp.clip(pred + r, 0, maxv)
+        ssd = ((rec - target) ** 2).sum((1, 2)).astype(jnp.float32)
+        bits = _rate_est(lev) + (1.0 if m == 0 else 1.0 + m)
+        cands.append((lev, rec, zero, jnp.full_like(zero, m),
+                      ssd + lam * bits))
+    if use_lfnst:
+        cls = lfnst.mode_class(mode)
+        for k in range(1, lfnst.N_LFNST_CAND + 1):
+            c = lfnst.forward(coeff_dct2, cls, k)
+            lev, dq = _quant_pair(c, None, qp, log2s, bit_depth, True, dep)
+            d2 = lfnst.inverse(dq, cls, k)
+            r = transforms.inverse_transform(d2, bit_depth=bit_depth)
+            rec = jnp.clip(pred + r, 0, maxv)
+            ssd = ((rec - target) ** 2).sum((1, 2)).astype(jnp.float32)
+            bits = _rate_est(lev) + 3.0
+            cands.append((lev, rec, jnp.full_like(zero, k), zero,
+                          ssd + lam * bits))
+    cost = jnp.stack([c[4] for c in cands], 1)
+    pick = jnp.argmin(cost, 1).astype(jnp.int32)
+
+    def sel(i, nd):
+        st = jnp.stack([c[i] for c in cands], 1)
+        idx = pick.reshape((-1,) + (1,) * nd)
+        return jnp.take_along_axis(st, idx, 1)[:, 0]
+    lev = sel(0, 3)
+    rec = sel(1, 3)
+    lfnst_idx = sel(2, 1)
+    mts_idx = sel(3, 1)
+    cbf = (lev != 0).any((1, 2))
+    return (lev, rec, jnp.where(cbf, lfnst_idx, 0),
+            jnp.where(cbf, mts_idx, 0))
+
+
+def _tq_mts_decode(pred: jnp.ndarray, levels: jnp.ndarray,
+                   mode: jnp.ndarray, mts_idx: jnp.ndarray,
+                   lfnst_idx: jnp.ndarray, qp: int, s: int, bit_depth: int,
+                   dep: bool, use_lfnst: bool) -> jnp.ndarray:
+    """Decoder-side luma reconstruction under explicit MTS (+LFNST)."""
+    log2s = s.bit_length() - 1
+    _, dq = _quant_pair(None, levels, qp, log2s, bit_depth, True, dep)
+    d2 = dq
+    if use_lfnst:
+        cls = lfnst.mode_class(mode)
+        for k in range(1, lfnst.N_LFNST_CAND + 1):
+            dk = lfnst.inverse(dq, cls, k)
+            d2 = jnp.where((lfnst_idx == k)[:, None, None], dk, d2)
+    r = jnp.zeros_like(pred)
+    for m, (th, tv) in enumerate(MTS_PAIRS):
+        rm = transforms.inverse_transform(d2, th, tv, bit_depth=bit_depth)
+        r = jnp.where((mts_idx == m)[:, None, None], rm, r)
+    return jnp.clip(pred + r, 0, (1 << bit_depth) - 1)
+
+
 def _bdpcm_diff(q: jnp.ndarray, horizontal: bool) -> jnp.ndarray:
     """Quantized-residual DPCM: coded value = q - left/above q (reference:
     BDPCM, CABACReader residual_codingTS + Quant BDPCM path)."""
@@ -306,14 +391,15 @@ def _bdpcm_cumsum(d: jnp.ndarray, horizontal: bool) -> jnp.ndarray:
                                              "use_mip", "use_lfnst",
                                              "use_mrl", "use_ts",
                                              "use_bdpcm", "lossless",
-                                             "use_ibc"))
+                                             "use_ibc", "use_mts"))
 def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                        orig_v: jnp.ndarray, qp: int, block_size: int = 8,
                        bit_depth: int = 8, dep_quant: bool = False,
                        use_cclm: bool = False, use_mip: bool = False,
                        use_lfnst: bool = False, use_mrl: bool = False,
                        use_ts: bool = False, use_bdpcm: bool = False,
-                       lossless: bool = False, use_ibc: bool = False):
+                       lossless: bool = False, use_ibc: bool = False,
+                       use_mts: bool = False):
     """Closed-loop wavefront intra encode of one frame.
 
     Returns dict with per-block modes (nby, nbx), levels for Y/U/V, and the
@@ -423,15 +509,22 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
             lev_y = quant.quantize_ts(ob - pred, qp, intra=True)
             rec = jnp.clip(pred + quant.dequantize_ts(lev_y, qp), 0, maxv)
             lfnst_idx = jnp.zeros(y0.shape, jnp.int32)
+            mtsm = jnp.zeros(y0.shape, jnp.int32)
             tsm = jnp.ones(y0.shape, jnp.int32)
         else:
-            if use_lfnst:
+            if use_mts:
+                lev_y, rec, lfnst_idx, mtsm = _tq_mts_encode(
+                    pred, ob - pred, mode, qp, s, bit_depth, dep_quant,
+                    use_lfnst)
+            elif use_lfnst:
                 lev_y, rec, lfnst_idx = _tq_lfnst_encode(
                     pred, ob - pred, mode, qp, s, bit_depth, dep_quant)
+                mtsm = jnp.zeros(y0.shape, jnp.int32)
             else:
                 lev_y, rec = _tq_reconstruct(pred, ob - pred, None, qp, s,
                                              bit_depth, True, dep=dep_quant)
                 lfnst_idx = jnp.zeros(y0.shape, jnp.int32)
+                mtsm = jnp.zeros(y0.shape, jnp.int32)
             tsm = jnp.zeros(y0.shape, jnp.int32)
             if use_ts:
                 # per-block RD over {regular, transform-skip, BDPCM-H/V}
@@ -439,14 +532,14 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                 # TrQuant.cpp transformSkip path)
                 lam = quant.lambda_from_qp(qp, intra=True)
                 ssd0 = ((rec - ob) ** 2).sum((1, 2)).astype(jnp.float32)
-                cands = [(lev_y, rec, lfnst_idx, mode,
+                cands = [(lev_y, rec, lfnst_idx, mtsm, mode,
                           ssd0 + lam * (_rate_est(lev_y) + 1.0))]
                 zero = jnp.zeros(y0.shape, jnp.int32)
                 lev1 = quant.quantize_ts(ob - pred, qp, intra=True)
                 rec1 = jnp.clip(pred + quant.dequantize_ts(lev1, qp),
                                 0, maxv)
                 ssd1 = ((rec1 - ob) ** 2).sum((1, 2)).astype(jnp.float32)
-                cands.append((lev1, rec1, zero, mode,
+                cands.append((lev1, rec1, zero, zero, mode,
                               ssd1 + lam * (_rate_est(lev1) + 2.0)))
                 if use_bdpcm:
                     for hor, bmode in ((True, 18), (False, 50)):
@@ -458,10 +551,10 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                         ssdb = ((recb - ob) ** 2).sum((1, 2)) \
                             .astype(jnp.float32)
                         # BDPCM block's signaled mode becomes HOR/VER
-                        cands.append((db, recb, zero,
+                        cands.append((db, recb, zero, zero,
                                       jnp.full_like(mode, bmode),
                                       ssdb + lam * (_rate_est(db) + 3.0)))
-                cost = jnp.stack([c[4] for c in cands], 1)
+                cost = jnp.stack([c[5] for c in cands], 1)
                 pick = jnp.argmin(cost, 1).astype(jnp.int32)
                 tsm = pick
 
@@ -469,8 +562,8 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                     st = jnp.stack([c[i] for c in cands], 1)
                     idx = pick.reshape((-1,) + (1,) * (st.ndim - 1))
                     return jnp.take_along_axis(st, idx, 1)[:, 0]
-                lev_y, rec, lfnst_idx, mode = (sel(0), sel(1), sel(2),
-                                               sel(3))
+                lev_y, rec, lfnst_idx, mtsm, mode = (sel(0), sel(1), sel(2),
+                                                     sel(3), sel(4))
                 if use_mrl:
                     mrl = jnp.where(tsm > 0, 0, mrl)
         if use_ibc:
@@ -541,7 +634,7 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
             else:
                 rv_new = _scatter_blocks(rv, y0c, x0c, recc)
         return ((ry, ru_new, rv_new, mode_map),
-                (mode, lm_flag, lfnst_idx, mrl, tsm, lev_y, lev_c[0],
+                (mode, lm_flag, lfnst_idx, mrl, tsm, mtsm, lev_y, lev_c[0],
                  lev_c[1]))
 
     (ry, ru, rv, _), outs = jax.lax.scan(
@@ -558,7 +651,7 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                                              "use_cclm", "use_mip",
                                              "use_lfnst", "use_mrl",
                                              "use_ts", "lossless",
-                                             "use_ibc"))
+                                             "use_ibc", "use_mts"))
 def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                        lev_u: jnp.ndarray, lev_v: jnp.ndarray,
                        qp: int, height: int, width: int, block_size: int = 8,
@@ -571,7 +664,9 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
                        mrl_steps: jnp.ndarray | None = None,
                        use_ts: bool = False,
                        ts_steps: jnp.ndarray | None = None,
-                       lossless: bool = False, use_ibc: bool = False):
+                       lossless: bool = False, use_ibc: bool = False,
+                       use_mts: bool = False,
+                       mts_steps: jnp.ndarray | None = None):
     """Wavefront intra decode: same scan as the encoder with parsed
     modes/levels; identical reconstruction math -> bit-exact recon."""
     s = block_size
@@ -596,10 +691,12 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
         mrl_steps = jnp.zeros(modes_steps.shape, jnp.int32)
     if ts_steps is None:
         ts_steps = jnp.zeros(modes_steps.shape, jnp.int32)
+    if mts_steps is None:
+        mts_steps = jnp.zeros(modes_steps.shape, jnp.int32)
 
     def step(state, xs):
         ry, ru, rv = state
-        cds, vld, mode, lmflag, lfidx, mrl, tsm, ly, lu, lv = xs
+        cds, vld, mode, lmflag, lfidx, mrl, tsm, mtsm, ly, lu, lv = xs
         by, bx = cds[:, 0], cds[:, 1]
         y0 = jnp.where(vld, MARGIN + by * s, ry.shape[0] - s - 4)
         x0 = jnp.where(vld, MARGIN + bx * s, ry.shape[1] - s - 4)
@@ -633,7 +730,10 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
         if lossless:
             rec = jnp.clip(pred + quant.dequantize_ts(ly, qp), 0, maxv)
         else:
-            if use_lfnst:
+            if use_mts:
+                rec = _tq_mts_decode(pred, ly, mode, mtsm, lfidx, qp, s,
+                                     bit_depth, dep_quant, use_lfnst)
+            elif use_lfnst:
                 rec = _tq_lfnst_decode(pred, ly, mode, lfidx, qp, s,
                                        bit_depth, dep_quant)
             else:
@@ -686,7 +786,7 @@ def decode_intra_frame(modes_steps: jnp.ndarray, lev_y: jnp.ndarray,
     (ry, ru, rv), _ = jax.lax.scan(
         step, (ry, ru, rv),
         (coords, valid, modes_steps, cclm_steps, lfnst_steps, mrl_steps,
-         ts_steps, lev_y, lev_u, lev_v))
+         ts_steps, mts_steps, lev_y, lev_u, lev_v))
     return dict(
         y=jax.lax.dynamic_slice(ry, (MARGIN, MARGIN), (h, w)),
         u=jax.lax.dynamic_slice(ru, (MARGIN, MARGIN), (h // 2, w // 2)),

@@ -185,11 +185,11 @@ class DecLib:
             nby, nbx = sps.height // s, sps.width // s
             parse = (decode_intra_slice_wpp if sps.wpp
                      else decode_intra_slice)
-            modes, lm, lf, mr, tsg, ly, lu, lv = parse(
+            modes, lm, lf, mr, tsg, mtsg, ly, lu, lv = parse(
                 cabac_bytes, nby, nbx, s, stats=self.stats, cclm=sps.cclm,
                 mip=sps.mip, lfnst=sps.lfnst, mrl=sps.mrl,
                 ts=sps.ts and not sps.lossless, bdpcm=sps.bdpcm,
-                ibc=sps.ibc)
+                ibc=sps.ibc, mts=sps.mts)
             if sps.lossless:
                 tsg = np.ones_like(tsg)
             coords, valid = wavefront.wavefront_coords(nby, nbx)
@@ -198,6 +198,7 @@ class DecLib:
             lf_steps = wavefront.grid_to_steps(lf, coords, valid)
             mr_steps = wavefront.grid_to_steps(mr, coords, valid)
             ts_steps = wavefront.grid_to_steps(tsg, coords, valid)
+            mts_steps = wavefront.grid_to_steps(mtsg, coords, valid)
             ly_s = wavefront.grid_to_steps(ly, coords, valid)
             lu_s = wavefront.grid_to_steps(lu, coords, valid)
             lv_s = wavefront.grid_to_steps(lv, coords, valid)
@@ -210,7 +211,8 @@ class DecLib:
                 use_lfnst=sps.lfnst, lfnst_steps=jnp.asarray(lf_steps),
                 use_mrl=sps.mrl, mrl_steps=jnp.asarray(mr_steps),
                 use_ts=sps.ts, ts_steps=jnp.asarray(ts_steps),
-                lossless=sps.lossless, use_ibc=sps.ibc)
+                lossless=sps.lossless, use_ibc=sps.ibc,
+                use_mts=sps.mts, mts_steps=jnp.asarray(mts_steps))
             if sps.deblocking:
                 # reference: DecLib.cpp:669 executeLoopFilters
                 bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)

@@ -40,7 +40,7 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
                        cclm: bool = False, mip: bool = False,
                        lfnst: bool = False, mrl: bool = False,
                        ts: bool = False, bdpcm: bool = False,
-                       ibc: bool = False):
+                       ibc: bool = False, mts: bool = False):
     """Returns (modes, cclm_flags, lfnst_idx, lev_y, lev_u, lev_v) dense
     grids.  With `stats` (utils.trace.BitStats) the Python spec coder runs
     with per-syntax accounting (DecoderAnalyserApp analog)."""
@@ -51,7 +51,7 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
         dec = make_decoder(data)
     grids = _alloc_grids(nby, nbx, s)
     _decode_intra_rows(dec, grids, s, cclm, mip, lfnst, 0, nby, mrl, ts,
-                       bdpcm, ibc)
+                       bdpcm, ibc, mts)
     return grids
 
 
@@ -59,7 +59,7 @@ def decode_intra_slice_wpp(data: bytes, nby: int, nbx: int, s: int,
                            stats=None, cclm: bool = False, mip: bool = False,
                            lfnst: bool = False, mrl: bool = False,
                            ts: bool = False, bdpcm: bool = False,
-                           ibc: bool = False):
+                           ibc: bool = False, mts: bool = False):
     """Entry-point substream variant (mirrors
     encoder/intra_coder.py encode_intra_slice_wpp: u16 count, u32 lengths,
     independent per-row-group CABAC streams with fresh contexts)."""
@@ -78,13 +78,15 @@ def decode_intra_slice_wpp(data: bytes, nby: int, nbx: int, s: int,
         else:
             dec = make_decoder(sub)
         _decode_intra_rows(dec, grids, s, cclm, mip, lfnst,
-                           bounds[i], bounds[i + 1], mrl, ts, bdpcm, ibc)
+                           bounds[i], bounds[i + 1], mrl, ts, bdpcm, ibc,
+                           mts)
     return grids
 
 
 def _alloc_grids(nby: int, nbx: int, s: int):
     sc = s // 2
     return (np.zeros((nby, nbx), dtype=np.int32),
+            np.zeros((nby, nbx), dtype=np.int32),
             np.zeros((nby, nbx), dtype=np.int32),
             np.zeros((nby, nbx), dtype=np.int32),
             np.zeros((nby, nbx), dtype=np.int32),
@@ -97,8 +99,8 @@ def _alloc_grids(nby: int, nbx: int, s: int):
 def _decode_intra_rows(dec, grids, s: int, cclm: bool, mip: bool,
                        lfnst: bool, r0: int, r1: int, mrl: bool = False,
                        ts: bool = False, bdpcm: bool = False,
-                       ibc: bool = False) -> None:
-    modes, lm, lf, mr, tsg, lev_y, lev_u, lev_v = grids
+                       ibc: bool = False, mts: bool = False) -> None:
+    modes, lm, lf, mr, tsg, mtsg, lev_y, lev_u, lev_v = grids
     nby, nbx = modes.shape
     sc = s // 2
     for by in range(r0, r1):
@@ -148,3 +150,12 @@ def _decode_intra_rows(dec, grids, s: int, cclm: bool, mip: bool,
                     _lbl(dec, "lfnst_idx")
                     if dec.decode_bin(ctx_id("LFNSTIdx", 0)):
                         lf[by, bx] = 1 + dec.decode_bin(ctx_id("LFNSTIdx", 1))
+                if comp == "y" and mts and cbf and tsg[by, bx] == 0 \
+                        and (not lfnst or lf[by, bx] == 0):
+                    _lbl(dec, "mts_idx")
+                    m = 0
+                    for k in range(4):
+                        if not dec.decode_bin(ctx_id("MtsIdx", k)):
+                            break
+                        m += 1
+                    mtsg[by, bx] = m

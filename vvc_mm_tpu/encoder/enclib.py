@@ -94,6 +94,10 @@ class EncCfg:
     lfnst: bool = False          # low-frequency non-separable secondary
                                  # transform (common/lfnst.py; --LFNST)
     tmvp: bool = False           # TMVP + HMVP AMVP candidates (--TMVP)
+    mts: bool = False            # explicit MTS for intra luma: per-block
+                                 # DCT2/DST7/DCT8 pair RD choice + mts_idx
+                                 # syntax (reference: TrQuant getTrTypes,
+                                 # --MTS)
     amvr: bool = False           # adaptive MV resolution (quarter/full/
                                  # 4-pel per block; reference: IMV loop
                                  # EncCu.cpp:775, --IMV)
@@ -141,7 +145,7 @@ class EncCfg:
                    ciip=self.ciip, ibc=self.ibc,
                    dep_quant=self.dep_quant, cclm=self.cclm, mip=self.mip,
                    lfnst=self.lfnst, tmvp=self.tmvp, mrl=self.mrl,
-                   amvr=self.amvr,
+                   mts=self.mts, amvr=self.amvr,
                    wpp=self.wpp,
                    num_substreams=self.num_substreams,
                    ts=self.transform_skip or self.lossless,
@@ -179,6 +183,7 @@ class EncLib:
             cfg.deblocking = cfg.sao = cfg.alf = cfg.lmcs = False
             cfg.dep_quant = False
             cfg.lfnst = False
+            cfg.mts = False
         self.cfg = cfg
         self.sps = cfg.make_sps()
         self.pps = PPS(base_qp=cfg.qp)
@@ -289,10 +294,11 @@ class EncLib:
             dep_quant=cfg.dep_quant, use_cclm=cfg.cclm,
             use_mip=cfg.mip, use_lfnst=cfg.lfnst, use_mrl=cfg.mrl,
             use_ts=cfg.transform_skip and not cfg.lossless,
-            use_bdpcm=cfg.bdpcm, lossless=cfg.lossless, use_ibc=cfg.ibc)
+            use_bdpcm=cfg.bdpcm, lossless=cfg.lossless, use_ibc=cfg.ibc,
+            use_mts=cfg.mts)
         # ONE packed int16 D2H hop for all mode/level outputs (levels fit
         # int16, modes uint8) — tunnel round trips are the scarce resource
-        (modes_steps, lm_steps, lf_steps, mrl_steps, ts_steps,
+        (modes_steps, lm_steps, lf_steps, mrl_steps, ts_steps, mts_steps,
          ly, lu, lv) = xfer.pull_levels(*outs)
         nby, nbx = cfg.height // s, cfg.width // s
         coords, valid = wavefront.wavefront_coords(nby, nbx)
@@ -301,6 +307,7 @@ class EncLib:
         lf = wavefront.steps_to_grid(lf_steps, coords, valid)
         mrl = wavefront.steps_to_grid(mrl_steps, coords, valid)
         tsg = wavefront.steps_to_grid(ts_steps, coords, valid)
+        mtsg = wavefront.steps_to_grid(mts_steps, coords, valid)
         ly = wavefront.steps_to_grid(ly, coords, valid)
         lu = wavefront.steps_to_grid(lu, coords, valid)
         lv = wavefront.steps_to_grid(lv, coords, valid)
@@ -310,7 +317,8 @@ class EncLib:
                           lfnst=lf if cfg.lfnst else None,
                           mrl=mrl if cfg.mrl else None,
                           ts=tsg if use_ts_syntax else None,
-                          bdpcm=cfg.bdpcm, ibc=cfg.ibc)
+                          bdpcm=cfg.bdpcm, ibc=cfg.ibc,
+                          mts=mtsg if cfg.mts else None)
         if cfg.wpp:
             payload = encode_intra_slice_wpp(
                 modes, ly, lu, lv, num_substreams=cfg.num_substreams,

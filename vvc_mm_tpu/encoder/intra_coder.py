@@ -44,7 +44,8 @@ def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
                        lfnst: np.ndarray | None = None,
                        mrl: np.ndarray | None = None,
                        ts: np.ndarray | None = None,
-                       bdpcm: bool = False, ibc: bool = False) -> bytes:
+                       bdpcm: bool = False, ibc: bool = False,
+                       mts: np.ndarray | None = None) -> bytes:
     """modes (nby, nbx); lev_* (nby, nbx, s, s).  Raster block order.
     cclm: optional (nby, nbx) chroma-LM flags (SPS-gated; reference:
     CABACWriter intra_chroma_pred_mode LM branch).  mip: SPS MIP enable —
@@ -54,13 +55,14 @@ def encode_intra_slice(modes: np.ndarray, lev_y: np.ndarray,
     intra_bdpcm_luma_flag)."""
     enc = make_encoder()
     _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
-                       0, modes.shape[0], mrl, ts, bdpcm, ibc)
+                       0, modes.shape[0], mrl, ts, bdpcm, ibc, mts)
     return enc.finish()
 
 
 def _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
                        r0: int, r1: int, mrl=None, ts=None,
-                       bdpcm: bool = False, ibc: bool = False) -> None:
+                       bdpcm: bool = False, ibc: bool = False,
+                       mts=None) -> None:
     """Code block rows [r0, r1) into `enc` (one substream's worth)."""
     nby, nbx = modes.shape
     for by in range(r0, r1):
@@ -109,6 +111,16 @@ def _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
                     enc.encode_bin(int(idx > 0), ctx_id("LFNSTIdx", 0))
                     if idx > 0:
                         enc.encode_bin(int(idx > 1), ctx_id("LFNSTIdx", 1))
+                if comp == "y" and mts is not None and cbf and tsm == 0 \
+                        and (lfnst is None or int(lfnst[by, bx]) == 0):
+                    # tu_mts_idx: truncated unary over 4 contexts
+                    # (reference: CABACWriter mts_idx; only on the DCT2/
+                    # no-LFNST, non-TS path)
+                    m = int(mts[by, bx])
+                    for k in range(4):
+                        enc.encode_bin(int(m > k), ctx_id("MtsIdx", k))
+                        if m <= k:
+                            break
 
 
 def encode_intra_slice_wpp(modes: np.ndarray, lev_y: np.ndarray,
@@ -119,6 +131,7 @@ def encode_intra_slice_wpp(modes: np.ndarray, lev_y: np.ndarray,
                            mrl: np.ndarray | None = None,
                            ts: np.ndarray | None = None,
                            bdpcm: bool = False, ibc: bool = False,
+                           mts: np.ndarray | None = None,
                            num_substreams: int = 4) -> bytes:
     """Wavefront/tile-style entropy substreams with entry points.
 
@@ -144,7 +157,7 @@ def encode_intra_slice_wpp(modes: np.ndarray, lev_y: np.ndarray,
         enc = make_encoder()
         _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip,
                            lfnst, bounds[i], bounds[i + 1], mrl, ts, bdpcm,
-                           ibc)
+                           ibc, mts)
         return enc.finish()
 
     with cf.ThreadPoolExecutor(max_workers=min(n, 8)) as ex:
