@@ -55,6 +55,7 @@ def test_wpp_framing_parses_substreams():
     assert sum(lens) == len(data) - 2 - 4 * n
 
     from vvc_mm_tpu.decoder.intra_parser import decode_intra_slice_wpp
-    m2, _, _, _, _, ly2, lu2, lv2 = decode_intra_slice_wpp(data, nby, nbx, s)
+    m2, _, _, _, _, _, ly2, lu2, lv2 = decode_intra_slice_wpp(data, nby,
+                                                              nbx, s)
     np.testing.assert_array_equal(m2, modes)
     np.testing.assert_array_equal(ly2, ly)
