@@ -1,0 +1,163 @@
+"""Merge/skip candidate machinery: list derivation units + codec round
+trips (reference: UnitTools.cpp:1059 getInterMergeCandidates,
+CABACWriter/Reader merge_flag / merge_idx / cu_skip_flag)."""
+import hashlib
+
+import numpy as np
+import pytest
+
+from vvc_mm_tpu.common.typedefs import ChromaFormat
+from vvc_mm_tpu.decoder.declib import DecLib
+from vvc_mm_tpu.encoder.enclib import EncCfg, EncLib
+from vvc_mm_tpu.encoder.inter_coder import (HmvpList, MERGE_MAX,
+                                            merge_candidates)
+from vvc_mm_tpu.utils.yuv_io import VideoFormat, synthetic_sequence
+
+
+def _md5(planes):
+    m = hashlib.md5()
+    for p in planes:
+        m.update(np.asarray(p).astype(np.uint8).tobytes())
+    return m.hexdigest()
+
+
+def test_merge_candidates_order_and_dedup():
+    mvs = np.zeros((4, 4, 2), np.int64)
+    mvs[1, 0] = (8, 4)      # left of (1,1)
+    mvs[0, 1] = (8, 4)      # above (duplicate of left)
+    mvs[0, 2] = (16, 0)     # above-right
+    cands = merge_candidates(mvs, 1, 1)
+    assert cands[0] == (8, 4)
+    assert cands[1] == (16, 0)           # dup dropped
+    assert cands[2] == (0, 0)            # above-left is zero grid entry
+    # pairwise average of first two
+    assert cands[3] == ((8 + 16 + 1) >> 1, (4 + 0 + 1) >> 1)
+    assert len(cands) == MERGE_MAX
+
+
+def test_merge_candidates_parallel_merge_level():
+    """Neighbors inside the same merge-estimation region are excluded
+    (reference: isDiffMER / sps_log2_parallel_merge_level)."""
+    mvs = np.zeros((4, 4, 2), np.int64)
+    mvs[1, 0] = (8, 4)      # left of (1,1) — same 2x2-block region
+    mvs[0, 2] = (16, 0)     # above-right — different region
+    cands = merge_candidates(mvs, 1, 1, mer_blocks_log2=1)
+    # left (1,0), above (0,1) and above-left (0,0) share the region with
+    # (1,1); only above-right (0,2) survives
+    assert cands[0] == (0, 0) or cands[0] == (16, 0)
+    assert (16, 0) in cands[:2]
+    assert (8, 4) not in cands
+
+
+def test_merge_candidates_tmvp_hmvp():
+    mvs = np.zeros((2, 2, 2), np.int64)
+    h = HmvpList()
+    h.push(np.array((32, -16)))
+    cands = merge_candidates(mvs, 0, 0, col_mv=np.array((4, 4)), hist=h)
+    assert cands[0] == (4, 4)            # TMVP (no spatial at origin)
+    assert cands[1] == (32, -16)         # HMVP
+    assert cands[2] == ((4 + 32 + 1) >> 1, (4 - 16 + 1) >> 1)  # pairwise
+
+
+def test_merge_p_roundtrip_bitexact():
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 5, motion=(3.0, 1.0))
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=32, gop="LDP",
+                 inter_block_size=16, merge=True)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    assert len(out) == len(frames)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
+def test_merge_p_tmvp_amvr_roundtrip_bitexact():
+    """Merge composed with the AMVP-side tools (TMVP/HMVP list + AMVR)."""
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 5, motion=(4.5, 1.5))
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=32, gop="LDP",
+                 inter_block_size=16, merge=True, tmvp=True, amvr=True)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
+def test_merge_parallel_merge_level_roundtrip():
+    """A 64-px merge-estimation region changes the candidate lists on both
+    sides identically (the SPS bits are read, not dead)."""
+    fmt = VideoFormat(64, 64, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 4, motion=(3.0, 1.0))
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=32, gop="LDP",
+                 inter_block_size=16, merge=True,
+                 log2_parallel_merge_level=6)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
+def test_merge_ra_roundtrip_bitexact():
+    """RA GOP (P anchors + hierarchical B) with whole-motion B merge."""
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 9, motion=(3.0, 1.0))
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=32, gop="RA",
+                 gop_size=4, inter_block_size=16, merge=True)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    assert len(out) == len(frames)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
+def test_merge_b_gpm_ciip_roundtrip():
+    """B merge composed with GPM/CIIP (those blocks never merge; their
+    stored bi motion still feeds neighbors' candidate lists)."""
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 5, motion=(4.0, 2.0))
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=32, gop="RA",
+                 gop_size=4, inter_block_size=16, merge=True, gpm=True,
+                 ciip=True, dmvr=True, bdof=True)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
+def test_merge_saves_bits_on_coherent_motion():
+    """Global translation: neighbor MVs are perfect predictors, so merge
+    coding must not lose to the AMVP-only coder and merge-coded blocks
+    must dominate the frame (VERDICT round-4 acceptance check)."""
+    import jax.numpy as jnp
+
+    from vvc_mm_tpu.common import inter_frame, quant
+    from vvc_mm_tpu.encoder.inter_coder import select_merge_p
+    from vvc_mm_tpu.utils import xfer
+
+    fmt = VideoFormat(128, 64, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 6, motion=(5.0, 2.0))
+    base = EncLib(EncCfg(width=fmt.width, height=fmt.height, qp=32,
+                         gop="LDP", inter_block_size=16, merge=False))
+    base.encode_sequence(frames)
+    m = EncLib(EncCfg(width=fmt.width, height=fmt.height, qp=32,
+                      gop="LDP", inter_block_size=16, merge=True))
+    m.encode_sequence(frames)
+    sb, sm = base.summary(), m.summary()
+    assert sm["bits"] <= sb["bits"]
+    assert sm["psnr_y"] > sb["psnr_y"] - 0.15
+    # merge-coded blocks dominate a coherent-motion P frame
+    dev = xfer.upload_planes(frames[1], 8)
+    rdev = xfer.upload_planes(frames[0], 8)
+    col = jnp.zeros((fmt.height // 16, fmt.width // 16, 2), jnp.int32)
+    out = inter_frame.search_p_frame(dev[0], rdev[0], col, 32, 16, 8, 24,
+                                     False)
+    mvs_h, _, sad_h, cmv_h, csad_h = xfer.pull_i32(*out)
+    lam_sqrt = quant.lambda_from_qp(32, intra=False) ** 0.5
+    _, mflag, _ = select_merge_p(mvs_h, sad_h, cmv_h, csad_h, None,
+                                 lam_sqrt, False, 0)
+    assert mflag.mean() > 0.5

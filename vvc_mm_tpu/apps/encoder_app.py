@@ -57,6 +57,9 @@ def build_parser() -> OptionParser:
     p.add("LFNST", False, "low-frequency non-separable secondary transform")
     p.add("MRL", False, "multi-reference-line intra prediction")
     p.add("TMVP", False, "temporal + history-based MV prediction")
+    p.add("Merge", True, "merge/skip candidate list (merge_flag/merge_idx)")
+    p.add("Log2ParallelMergeLevel", 2, "merge-estimation region size "
+          "(log2; reference: sps_log2_parallel_merge_level)")
     p.add("IMV", False, "adaptive MV resolution (AMVR; reference --IMV)")
     p.add("MTS", False, "explicit multiple transform selection (intra)")
     p.add("MCTSTiles", "", "cols,rows: motion-constrained tile sets")
@@ -115,7 +118,10 @@ def main(argv: list[str] | None = None) -> int:
                  mctf=opts["TemporalFilter"], lmcs=opts["LMCS"],
                  bdof=opts["BDOF"], dmvr=opts["DMVR"],
                  dep_quant=opts["DepQuant"], cclm=opts["CCLM"],
-                 mip=opts["MIP"], lfnst=opts["LFNST"], mrl=opts["MRL"], tmvp=opts["TMVP"], amvr=opts["IMV"], mts=opts["MTS"],
+                 mip=opts["MIP"], lfnst=opts["LFNST"], mrl=opts["MRL"],
+                 tmvp=opts["TMVP"], merge=opts["Merge"],
+                 log2_parallel_merge_level=opts["Log2ParallelMergeLevel"],
+                 amvr=opts["IMV"], mts=opts["MTS"],
                  mcts_tiles=(tuple(int(x) for x in opts["MCTSTiles"].split(","))
                              if opts["MCTSTiles"] else ()), wpp=opts["WPP"],
                  weighted_pred=opts["WeightedPredP"],

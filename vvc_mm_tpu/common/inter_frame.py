@@ -510,6 +510,178 @@ def encode_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, qp: int,
             dict(y=rec_y, u=rec_u, v=rec_v))
 
 
+# ------------------------------------------------------- merge/skip search
+#
+# Merge mode needs the encoder to (a) know the SAD of candidate MVs it did
+# not itself search and (b) recompute the residual after blocks snap to a
+# candidate.  The batched design splits the former single-program P encode
+# into two device programs around one host selection pass:
+#   search_p_frame: ME + per-block SADs of the merge-candidate *fields*
+#                   (neighbor-shifted ME field, zero, TMVP) — one jit.
+#   <host>        : encoder/inter_coder.select_merge_p walks the frame in
+#                   coding order, derives the decoder-mirrored candidate
+#                   lists and snaps blocks to merge candidates by RD cost.
+#   finish_p_frame: prediction/residual/recon from the FINAL MV field.
+# (reference: merge candidates UnitTools.cpp:1059 getInterMergeCandidates;
+# the EncCu merge RD loop xCheckRDCostMerge2Nx2N.)
+
+N_CAND_FIELDS = 5     # left, above, above-right, zero, TMVP
+
+
+def _shift_mv_field(mvs: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """out[by, bx] = mvs[by + dy, bx + dx]; out-of-range entries 0."""
+    nby, nbx = mvs.shape[:2]
+    p = jnp.pad(mvs, ((1, 1), (1, 1), (0, 0)))
+    return jax.lax.dynamic_slice(p, (1 + dy, 1 + dx, 0), (nby, nbx, 2))
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
+                                             "search_range", "wrap_around",
+                                             "amvr", "mcts"))
+def search_p_frame(orig_y, ref_y, col_mvs, qp: int, block_size: int,
+                   bit_depth: int, search_range: int, wrap_around: bool,
+                   amvr: bool = False, mcts: tuple | None = None):
+    """Merge-aware P search: hierarchical ME + fractional refine (+AMVR
+    rounding/MCTS clamp), then ONE batched MC+SAD pass per candidate field.
+
+    col_mvs: (nby, nbx, 2) TMVP co-located field (zeros when absent).
+    Returns (mvs, imv, sad_me, cand_mvs (K,nby,nbx,2), cand_sads (K,...))."""
+    s = block_size
+    h, w = orig_y.shape
+    nby, nbx = h // s, w // s
+    lam = quant.lambda_from_qp(qp, intra=False)
+    lam_bits_x16 = int(lam ** 0.5 * 16)
+
+    ry_pad = pad_ref(ref_y, MC_MARGIN, wrap_around)
+    mv_int, _ = me_mod.hierarchical_search(orig_y, ry_pad, s, search_range,
+                                           MC_MARGIN, lam_bits_x16)
+    mvs, sad_me = me_mod.fractional_refine(orig_y, ry_pad, mv_int, s,
+                                           MC_MARGIN, bit_depth)
+    if mcts:
+        mvs = mcts_clamp_mvs(mvs, s, w, h, mcts[0], mcts[1])
+    imv = jnp.zeros((nby, nbx), dtype=jnp.int32)
+    if amvr:
+        imv, mvs = amvr_decide(orig_y, ry_pad, mvs, s, bit_depth,
+                               lam_bits_x16)
+        # post-rounding SAD so merge-vs-AMVP costs compare like for like
+        sad_me = _field_sad(orig_y, ry_pad, mvs, s, bit_depth)
+    cand_fields = [
+        _shift_mv_field(mvs, 0, -1),       # left neighbor's MV
+        _shift_mv_field(mvs, -1, 0),       # above
+        _shift_mv_field(mvs, -1, 1),       # above-right
+        jnp.zeros_like(mvs),               # zero MV
+        col_mvs.astype(mvs.dtype),         # TMVP co-located
+    ]
+    cand_mvs = jnp.stack(cand_fields)
+    cand_sads = jnp.stack([_field_sad(orig_y, ry_pad, f, s, bit_depth)
+                           for f in cand_fields])
+    return mvs, imv, sad_me, cand_mvs, cand_sads
+
+
+def _field_sad(orig_y, ref_y_padded, mvs, s: int, bit_depth: int):
+    """Per-block SAD of one MV field (batched MC + reduce)."""
+    h, w = orig_y.shape
+    nby, nbx = h // s, w // s
+    yb, xb = _block_coords(nby, nbx, s)
+    pred = interp.finalize_uni(
+        interp.mc_luma(ref_y_padded, mvs.reshape(-1, 2), yb, xb, s, s,
+                       MC_MARGIN, bit_depth), bit_depth)
+    ob = _to_blocks(orig_y, s)
+    return jnp.sum(jnp.abs(pred - ob), axis=(1, 2)).reshape(nby, nbx)
+
+
+def _shift_i_field(f: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """out[by, bx] = f[by + dy, bx + dx]; out-of-range entries 0."""
+    nby, nbx = f.shape
+    p = jnp.pad(f, ((1, 1), (1, 1)))
+    return jax.lax.dynamic_slice(p, (1 + dy, 1 + dx), (nby, nbx))
+
+
+def _b_field_sad(orig_y, r0p, r1p, mv0f, mv1f, dirsf, s: int,
+                 bit_depth: int):
+    """Per-block SAD of one whole-motion B field (dirs 0/1/2)."""
+    h, w = orig_y.shape
+    nby, nbx = h // s, w // s
+    yb, xb = _block_coords(nby, nbx, s)
+    p0 = interp.mc_luma(r0p, mv0f.reshape(-1, 2), yb, xb, s, s, MC_MARGIN,
+                        bit_depth)
+    p1 = interp.mc_luma(r1p, mv1f.reshape(-1, 2), yb, xb, s, s, MC_MARGIN,
+                        bit_depth)
+    pred = _combine_bi(p0, p1, dirsf, nby, nbx, bit_depth)
+    diff = jnp.abs(pred - orig_y)
+    return diff.reshape(nby, s, nbx, s).sum(axis=(1, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
+                                             "search_range", "wrap_around",
+                                             "gpm", "ciip"))
+def search_b_frame_merge(orig_y, ref0_y, ref1_y, qp: int, block_size: int,
+                         bit_depth: int, search_range: int,
+                         wrap_around: bool, gpm: bool = False,
+                         ciip: bool = False):
+    """Merge-aware B search: the per-list ME + direction decision of
+    search_b_frame, plus per-block SADs of the whole-motion merge
+    candidate fields (neighbor shifts of (mv0, mv1, dirs) and zero-bi).
+    Candidate dirs from GPM/CIIP neighbors collapse to BI — a merge
+    candidate carries motion, not the mask/intra sub-state (reference:
+    GEO neighbors contribute their stored bi motion to merge lists).
+
+    Returns (mv0, mv1, dirs, gpm_modes, sad_sel,
+             cand_mv0/mv1 (K,nby,nbx,2), cand_dirs (K,..), cand_sads)."""
+    s = block_size
+    mv0, mv1, dirs, gpm_modes = search_b_frame(
+        orig_y, ref0_y, ref1_y, qp, s, bit_depth, search_range,
+        wrap_around, gpm, ciip)
+    r0p = pad_ref(ref0_y, MC_MARGIN, wrap_around)
+    r1p = pad_ref(ref1_y, MC_MARGIN, wrap_around)
+    d_base = jnp.minimum(dirs, 2)
+    sad_sel = _b_field_sad(orig_y, r0p, r1p, mv0, mv1, d_base, s, bit_depth)
+    cand_mv0, cand_mv1, cand_dirs, cand_sads = [], [], [], []
+    for (dy, dx) in ((0, -1), (-1, 0), (-1, 1)):
+        c0 = _shift_mv_field(mv0, dy, dx)
+        c1 = _shift_mv_field(mv1, dy, dx)
+        cd = jnp.minimum(_shift_i_field(dirs, dy, dx), 2)
+        cand_mv0.append(c0)
+        cand_mv1.append(c1)
+        cand_dirs.append(cd)
+        cand_sads.append(_b_field_sad(orig_y, r0p, r1p, c0, c1, cd, s,
+                                      bit_depth))
+    # zero-MV bi candidate
+    z = jnp.zeros_like(mv0)
+    zd = jnp.full_like(dirs, 2)
+    cand_mv0.append(z)
+    cand_mv1.append(z)
+    cand_dirs.append(zd)
+    cand_sads.append(_b_field_sad(orig_y, r0p, r1p, z, z, zd, s,
+                                  bit_depth))
+    return (mv0, mv1, dirs, gpm_modes, sad_sel, jnp.stack(cand_mv0),
+            jnp.stack(cand_mv1), jnp.stack(cand_dirs),
+            jnp.stack(cand_sads))
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
+                                             "wrap_around", "scaling"))
+def finish_p_frame(orig_y, orig_u, orig_v, ref_y, ref_u, ref_v, mvs,
+                   qp: int, block_size: int, bit_depth: int,
+                   wrap_around: bool, wp: jnp.ndarray | None = None,
+                   scaling: tuple | None = None):
+    """Residual/levels/recon from a FINAL MV field (the merge pipeline's
+    second device program; the math is encode_p_frame minus the ME)."""
+    s = block_size
+    pred_y, pred_u, pred_v = mc_predict(ref_y, ref_u, ref_v, mvs, s,
+                                        bit_depth, wrap_around)
+    if wp is not None:
+        pred_y = apply_wp(pred_y, wp[0, 0], wp[0, 1], bit_depth)
+        pred_u = apply_wp(pred_u, wp[1, 0], wp[1, 1], bit_depth)
+        pred_v = apply_wp(pred_v, wp[2, 0], wp[2, 1], bit_depth)
+    lev_y, rec_y = _residual_pass(orig_y, pred_y, s, qp, bit_depth, scaling)
+    lev_u, rec_u = _residual_pass(orig_u, pred_u, s // 2, qp, bit_depth,
+                                  scaling)
+    lev_v, rec_v = _residual_pass(orig_v, pred_v, s // 2, qp, bit_depth,
+                                  scaling)
+    return lev_y, lev_u, lev_v, dict(y=rec_y, u=rec_u, v=rec_v)
+
+
 @functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
                                              "wrap_around", "scaling"))
 def reconstruct_p_frame(mvs, lev_y, lev_u, lev_v, ref_y, ref_u, ref_v,

@@ -164,6 +164,11 @@ class SPS:
     tmvp: bool = False            # temporal + history MVP in the AMVP list
                                   # (reference: sps_temporal_mvp_enabled_flag
                                   # + HMVP, UnitTools.cpp:2272/3178)
+    merge: bool = False           # merge/skip candidate machinery: spatial/
+                                  # TMVP/HMVP/pairwise/zero list, merge_flag
+                                  # + merge_idx (reference: six-candidate
+                                  # merge, UnitTools.cpp:1059
+                                  # getInterMergeCandidates)
     mrl: bool = False             # multi-reference-line intra (reference:
                                   # sps_mrl_enabled_flag, MRL refs)
     mts: bool = False             # explicit MTS for intra luma (reference:
@@ -224,6 +229,7 @@ class SPS:
         bw.write_flag(self.mip)
         bw.write_flag(self.lfnst)
         bw.write_flag(self.tmvp)
+        bw.write_flag(self.merge)
         bw.write_flag(self.mrl)
         bw.write_flag(self.mts)
         bw.write_flag(self.amvr)
@@ -284,6 +290,7 @@ class SPS:
         sps.mip = br.read_flag()
         sps.lfnst = br.read_flag()
         sps.tmvp = br.read_flag()
+        sps.merge = br.read_flag()
         sps.mrl = br.read_flag()
         sps.mts = br.read_flag()
         sps.amvr = br.read_flag()

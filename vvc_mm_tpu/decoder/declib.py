@@ -329,11 +329,15 @@ class DecLib:
             else:
                 col = (self._mv_fields.get(sh.ref_pocs_l0[0])
                        if sps.tmvp else None)
+                mer_blk = max(0, sps.log2_parallel_merge_level
+                              - (s.bit_length() - 1))
                 mvs, ly, lu, lv = decode_p_slice(cabac_bytes, nby, nbx, s,
                                                  stats=self.stats,
                                                  col_mvs=col,
                                                  use_tmvp=sps.tmvp,
-                                                 use_amvr=sps.amvr)
+                                                 use_amvr=sps.amvr,
+                                                 use_merge=sps.merge,
+                                                 mer_blocks_log2=mer_blk)
                 self._mv_fields[sh.poc] = mvs.astype(np.int64)
                 recon = inter_frame.reconstruct_p_frame(
                     jnp.asarray(mvs), jnp.asarray(ly), jnp.asarray(lu),
@@ -480,9 +484,12 @@ class DecLib:
                     planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
                             np.asarray(recon["v"])]))
                 return
+            mer_blk = max(0, sps.log2_parallel_merge_level
+                          - (s.bit_length() - 1))
             mv0, mv1, dirs, ly, lu, lv, gpm_modes = decode_b_slice(
                 cabac_bytes, nby, nbx, s, stats=self.stats,
-                use_gpm=sps.gpm, use_ciip=sps.ciip)
+                use_gpm=sps.gpm, use_ciip=sps.ciip, use_merge=sps.merge,
+                mer_blocks_log2=mer_blk)
             r0 = tuple(jnp.asarray(p) for p in ref0.planes)
             r1 = tuple(jnp.asarray(p) for p in ref1.planes)
             recon = inter_frame.reconstruct_b_frame(

@@ -13,8 +13,9 @@ from ..utils.native import coeffs_decode, make_decoder
 from ..common.contexts import ctx_id
 from ..common.residual_coding import decode_coeffs
 from ..encoder.inter_coder import (HmvpList, _mm_mvp, amvp_list,
-                                   inherited_model, mvp_median,
-                                   mvp_median_same_model, mvp_unit_grid)
+                                   inherited_model, merge_candidates,
+                                   mvp_median, mvp_median_same_model,
+                                   mvp_unit_grid, MERGE_MAX)
 
 
 def _lbl(dec, name: str) -> None:
@@ -37,6 +38,17 @@ def decode_mvd_comp(dec: BinDecoder, ctx_base: str = "Mvd") -> int:
     if dec.decode_bin(ctx_id(ctx_base, 1)):
         a = 2 + dec.decode_eg(1)
     return -a if dec.decode_bin_ep() else a
+
+
+def decode_merge_idx(dec: BinDecoder, n: int = MERGE_MAX) -> int:
+    """Inverse of encoder.inter_coder.encode_merge_idx (reference:
+    CABACReader::merge_idx — first bin context, rest bypass TU)."""
+    if n <= 1 or not dec.decode_bin(ctx_id("MergeIdx")):
+        return 0
+    idx = 1
+    while idx < n - 1 and dec.decode_bin_ep():
+        idx += 1
+    return idx
 
 
 def decode_motion_model(dec: BinDecoder, n_active: int) -> int:
@@ -279,12 +291,14 @@ def decode_b_slice_qt(data: bytes, h: int, w: int, top: int, depth: int,
 
 
 def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
-                   use_gpm: bool = False, use_ciip: bool = False
+                   use_gpm: bool = False, use_ciip: bool = False,
+                   use_merge: bool = False, mer_blocks_log2: int = 0
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                               np.ndarray, np.ndarray, np.ndarray,
                               np.ndarray]:
     """Exact inverse of encoder.inter_coder.encode_b_slice.  Returns
     (mv0, mv1, dirs, lev_y, lev_u, lev_v, gpm_modes)."""
+    from ..encoder.inter_coder import merge_candidates_b
     dec = _make(data, stats)
     sc = s // 2
     mv0 = np.zeros((nby, nbx, 2), dtype=np.int64)
@@ -301,7 +315,44 @@ def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
             d_pred = (int(dirs[by, bx - 1]) if bx > 0
                       else int(dirs[by - 1, bx]) if by > 0 else 0)
             d_pred = min(d_pred, 2)
-            if (_lbl(dec, "skip_flag") or dec.decode_bin(ctx_id("SkipFlag"))):
+            if use_merge:
+                mcands = merge_candidates_b(
+                    dirs, mv0, mv1, by, bx,
+                    mer_blocks_log2=mer_blocks_log2)
+
+                def apply_cand(c):
+                    cd, c0, c1 = c
+                    dirs[by, bx] = cd
+                    mv0[by, bx] = c0
+                    mv1[by, bx] = c1
+                    # entropy convention: unused list takes its MVP
+                    if cd == 0:
+                        mv1[by, bx] = pred1
+                    elif cd == 1:
+                        mv0[by, bx] = pred0
+
+                _lbl(dec, "skip_flag")
+                if dec.decode_bin(ctx_id("SkipFlag")):
+                    _lbl(dec, "merge_idx")
+                    apply_cand(mcands[decode_merge_idx(dec)])
+                    continue
+                _lbl(dec, "merge_flag")
+                if dec.decode_bin(ctx_id("MergeFlag")):
+                    _lbl(dec, "merge_idx")
+                    apply_cand(mcands[decode_merge_idx(dec)])
+                    for comp, lev, size in (("y", lev_y, s),
+                                            ("u", lev_u, sc),
+                                            ("v", lev_v, sc)):
+                        _lbl(dec, "cbf")
+                        if dec.decode_bin(
+                                ctx_id("QtCbf",
+                                       {"y": 0, "u": 4, "v": 5}[comp])):
+                            _lbl(dec, "residual_" + comp)
+                            lev[by, bx] = coeffs_decode(
+                                dec, size, size, chroma=(comp != "y"))
+                    continue
+            elif (_lbl(dec, "skip_flag")
+                  or dec.decode_bin(ctx_id("SkipFlag"))):
                 dirs[by, bx] = d_pred
                 mv0[by, bx] = pred0
                 mv1[by, bx] = pred1
@@ -362,14 +413,18 @@ def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
 
 def decode_p_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
                    col_mvs: np.ndarray | None = None,
-                   use_tmvp: bool = False, use_amvr: bool = False
+                   use_tmvp: bool = False, use_amvr: bool = False,
+                   use_merge: bool = False, mer_blocks_log2: int = 0
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                               np.ndarray]:
     """Returns (mvs (nby,nbx,2) 1/16-pel, lev_y, lev_u, lev_v).  With
     use_tmvp, mirrors the encoder's AMVP list (spatial/TMVP/HMVP/zero) and
     parses the mvp index (encoder/inter_coder.py encode_p_slice).  With
     use_amvr, parses the per-block AMVR precision and scales the MVD
-    (reference: CABACReader amvr_mode/imv)."""
+    (reference: CABACReader amvr_mode/imv).  With use_merge, skip means
+    merge+no-residual and non-skip blocks carry a merge_flag; merge blocks
+    take candidate merge_idx of the shared list (reference: CABACReader
+    merge_data / merge_idx)."""
     from ..common.inter_frame import AMVR_SHIFTS, round_mv_amvr
     dec = _make(data, stats)
     sc = s // 2
@@ -380,12 +435,41 @@ def decode_p_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
     hist = HmvpList() if use_tmvp else None
     for by in range(nby):
         for bx in range(nbx):
+            col = (col_mvs[by, bx]
+                   if (use_tmvp and col_mvs is not None) else None)
+            if use_merge:
+                mcands = merge_candidates(mvs, by, bx, col, hist,
+                                          mer_blocks_log2=mer_blocks_log2)
+                _lbl(dec, "skip_flag")
+                if dec.decode_bin(ctx_id("SkipFlag")):
+                    _lbl(dec, "merge_idx")
+                    mvs[by, bx] = mcands[decode_merge_idx(dec)]
+                    if hist is not None:
+                        hist.push(mvs[by, bx])
+                    continue
+                _lbl(dec, "merge_flag")
+                if dec.decode_bin(ctx_id("MergeFlag")):
+                    _lbl(dec, "merge_idx")
+                    mvs[by, bx] = mcands[decode_merge_idx(dec)]
+                    for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
+                                            ("v", lev_v, sc)):
+                        _lbl(dec, "cbf")
+                        if dec.decode_bin(
+                                ctx_id("QtCbf",
+                                       {"y": 0, "u": 4, "v": 5}[comp])):
+                            _lbl(dec, "residual_" + comp)
+                            lev[by, bx] = coeffs_decode(dec, size, size,
+                                                        chroma=(comp != "y"))
+                    if hist is not None:
+                        hist.push(mvs[by, bx])
+                    continue
             if use_tmvp:
-                col = col_mvs[by, bx] if col_mvs is not None else None
                 cands = amvp_list(mvs, by, bx, col, hist)
             else:
                 cands = [mvp_median(mvs, by, bx)]
-            if (_lbl(dec, "skip_flag") or dec.decode_bin(ctx_id("SkipFlag"))):
+            if (not use_merge
+                    and (_lbl(dec, "skip_flag")
+                         or dec.decode_bin(ctx_id("SkipFlag")))):
                 mvs[by, bx] = cands[0]
             else:
                 idx = 0

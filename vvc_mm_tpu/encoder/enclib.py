@@ -94,6 +94,17 @@ class EncCfg:
     lfnst: bool = False          # low-frequency non-separable secondary
                                  # transform (common/lfnst.py; --LFNST)
     tmvp: bool = False           # TMVP + HMVP AMVP candidates (--TMVP)
+    merge: bool = True           # merge/skip candidate machinery on the
+                                 # dense-grid inter paths: 6-candidate list
+                                 # (spatial/TMVP/HMVP/pairwise/zero),
+                                 # merge_flag + merge_idx, encoder snapping
+                                 # (reference: UnitTools.cpp:1059
+                                 # getInterMergeCandidates; --Merge)
+    log2_parallel_merge_level: int = 2  # merge-estimation region size:
+                                 # spatial candidates inside the current
+                                 # block's region are excluded so a region
+                                 # derives lists in parallel (reference:
+                                 # sps_log2_parallel_merge_level)
     mts: bool = False            # explicit MTS for intra luma: per-block
                                  # DCT2/DST7/DCT8 pair RD choice + mts_idx
                                  # syntax (reference: TrQuant getTrTypes,
@@ -133,6 +144,7 @@ class EncCfg:
                          num_units_in_tick=1000)
                if self.target_bitrate_kbps > 0 else None)
         return SPS(width=self.width, height=self.height, hrd=hrd,
+                   log2_parallel_merge_level=self.log2_parallel_merge_level,
                    scaling_list=tuple(int(v) for v in self.scaling_list),
                    bit_depth=self.bit_depth,
                    intra_block_size=self.intra_block_size,
@@ -144,7 +156,8 @@ class EncCfg:
                    bdof=self.bdof, dmvr=self.dmvr, gpm=self.gpm,
                    ciip=self.ciip, ibc=self.ibc,
                    dep_quant=self.dep_quant, cclm=self.cclm, mip=self.mip,
-                   lfnst=self.lfnst, tmvp=self.tmvp, mrl=self.mrl,
+                   lfnst=self.lfnst, tmvp=self.tmvp, merge=self.merge,
+                   mrl=self.mrl,
                    mts=self.mts, amvr=self.amvr,
                    wpp=self.wpp,
                    num_substreams=self.num_substreams,
@@ -496,6 +509,46 @@ class EncLib:
                 ly, lu, lv, mvs, aff, dmv)
             payload = encode_p_slice_affine(mvs_h, aff_h, dmv_h,
                                             lyh, luh, lvh)
+        elif cfg.merge:
+            # merge/skip pipeline: device search (ME + candidate-field
+            # SADs) -> host merge selection in coding order -> device
+            # finish from the FINAL MV field (inter_frame.search_p_frame /
+            # finish_p_frame; reference: merge candidates
+            # UnitTools.cpp:1059, EncCu xCheckRDCostMerge2Nx2N)
+            from .inter_coder import select_merge_p
+            wp = (self._estimate_wp(planes, ref)
+                  if cfg.weighted_pred else None)
+            nby, nbx = cfg.height // s, cfg.width // s
+            col = self._mv_fields.get(ref_poc) if cfg.tmvp else None
+            col_dev = jnp.asarray(
+                col.astype(np.int32) if col is not None
+                else np.zeros((nby, nbx, 2), np.int32))
+            mvs_d, imv_d, sad_d, cmv_d, csad_d = inter_frame.search_p_frame(
+                dev[0], rdev[0], col_dev, qp, s, cfg.bit_depth,
+                cfg.search_range, cfg.wrap_around, amvr=cfg.amvr,
+                mcts=tuple(cfg.mcts_tiles) or None)
+            (mvs_h, imv_h, sad_h, cmv_h,
+             csad_h) = xfer.pull_i32(mvs_d, imv_d, sad_d, cmv_d, csad_d)
+            lam_sqrt = quant.lambda_from_qp(qp, intra=False) ** 0.5
+            mer_blk = max(0, self.sps.log2_parallel_merge_level
+                          - (s.bit_length() - 1))
+            # MCTS clamps bind per-block MVs: a neighbor's MV can violate
+            # this block's tile bound, so snapping is disabled there
+            final, mflag, midx = select_merge_p(
+                mvs_h, sad_h, cmv_h, csad_h, col, lam_sqrt, cfg.tmvp,
+                mer_blk, snap=not cfg.mcts_tiles)
+            mvs = jnp.asarray(final.astype(np.int32))
+            ly, lu, lv, recon = inter_frame.finish_p_frame(
+                dev[0], dev[1], dev[2], rdev[0], rdev[1], rdev[2], mvs,
+                qp, s, cfg.bit_depth, cfg.wrap_around,
+                wp=None if wp is None else jnp.asarray(wp),
+                scaling=tuple(cfg.scaling_list) or None)
+            lyh, luh, lvh = xfer.pull_levels(ly, lu, lv)
+            payload = encode_p_slice(final, lyh, luh, lvh, col_mvs=col,
+                                     use_tmvp=cfg.tmvp,
+                                     imv=imv_h if cfg.amvr else None,
+                                     merge_flag=mflag, merge_idx=midx)
+            self._mv_fields[poc] = final.astype(np.int64)
         else:
             wp = (self._estimate_wp(planes, ref)
                   if cfg.weighted_pred else None)
@@ -829,9 +882,32 @@ class EncLib:
             return self._finish_slice(poc, planes, recon, payload, qp, t0,
                                       SliceType.B, [ref0_poc], [ref1_poc],
                                       None, tid, dev)
-        mv0, mv1, dirs, gpm_modes = inter_frame.search_b_frame(
-            oy, r0[0], r1[0], qp, s, cfg.bit_depth, cfg.search_range,
-            cfg.wrap_around, cfg.gpm, cfg.ciip)
+        mflag = midx = None
+        if cfg.merge:
+            # merge/skip pipeline for B: device search with whole-motion
+            # candidate-field SADs -> host selection in coding order ->
+            # shared prediction/residual from the FINAL grids
+            from .inter_coder import select_merge_b
+            out = inter_frame.search_b_frame_merge(
+                oy, r0[0], r1[0], qp, s, cfg.bit_depth, cfg.search_range,
+                cfg.wrap_around, cfg.gpm, cfg.ciip)
+            (mv0_h, mv1_h, dirs_h, gpm_h, sad_h, c0_h, c1_h, cd_h,
+             cs_h) = xfer.pull_i32(*out)
+            lam_sqrt = quant.lambda_from_qp(qp, intra=False) ** 0.5
+            mer_blk = max(0, self.sps.log2_parallel_merge_level
+                          - (s.bit_length() - 1))
+            f0, f1, fd, mflag, midx = select_merge_b(
+                mv0_h, mv1_h, dirs_h, sad_h, c0_h, c1_h, cd_h, cs_h,
+                lam_sqrt, mer_blk)
+            mv0_h, mv1_h, dirs_h = f0, f1, fd     # final grids (entropy)
+            mv0 = jnp.asarray(f0.astype(np.int32))
+            mv1 = jnp.asarray(f1.astype(np.int32))
+            dirs = jnp.asarray(fd)
+            gpm_modes = jnp.asarray(gpm_h)
+        else:
+            mv0, mv1, dirs, gpm_modes = inter_frame.search_b_frame(
+                oy, r0[0], r1[0], qp, s, cfg.bit_depth, cfg.search_range,
+                cfg.wrap_around, cfg.gpm, cfg.ciip)
         ly, lu, lv, _ = inter_frame.bpred_and_residual(
             oy, ou, ov, tuple(r0), tuple(r1), mv0, mv1, dirs, qp, s,
             cfg.bit_depth, cfg.wrap_around, cfg.bdof, cfg.dmvr,
@@ -867,12 +943,16 @@ class EncLib:
                                                  cfg.bit_depth)
                  if cfg.alf else None)
         # host entropy overlaps the device filter chain dispatched above
-        (lyh, luh, lvh, mv0_h, mv1_h, dirs_h,
-         gpm_h) = xfer.pull_levels(ly, lu, lv, mv0, mv1, dirs, gpm_modes)
+        if cfg.merge:
+            lyh, luh, lvh = xfer.pull_levels(ly, lu, lv)
+        else:
+            (lyh, luh, lvh, mv0_h, mv1_h, dirs_h,
+             gpm_h) = xfer.pull_levels(ly, lu, lv, mv0, mv1, dirs,
+                                       gpm_modes)
         payload, coded0, coded1 = encode_b_slice(
             mv0_h, mv1_h, dirs_h, lyh, luh,
             lvh, gpm_modes=gpm_h, use_gpm=cfg.gpm,
-            use_ciip=cfg.ciip)
+            use_ciip=cfg.ciip, merge_flag=mflag, merge_idx=midx)
         self._pending_alf_chroma = None
         self._pending_ccalf = None
         sao_params = None

@@ -107,6 +107,253 @@ def _mvd_bits(v: np.ndarray) -> int:
                for c in v)
 
 
+MERGE_MAX = 6     # merge candidate list size (reference: CommonDef.h
+                  # MRG_MAX_NUM_CANDS = 6)
+
+
+def merge_candidates(coded: np.ndarray, by: int, bx: int, col_mv=None,
+                     hist: "HmvpList | None" = None, n: int = MERGE_MAX,
+                     mer_blocks_log2: int = 0) -> list[tuple[int, int]]:
+    """Merge candidate list from the causally-decoded MV grid, shared
+    bit-exactly by encoder and decoder (reference: UnitTools.cpp:1059
+    getInterMergeCandidates — spatial A1/B1/B0/B2, TMVP, HMVP,
+    pairwise-average, zero).
+
+    mer_blocks_log2: parallel-merge-level region size in BLOCK units
+    (log2); spatial neighbors inside the current block's merge-estimation
+    region are excluded so all blocks of a region can derive their lists
+    in parallel (reference: isDiffMER, UnitTools.cpp:857;
+    sps_log2_parallel_merge_level)."""
+    nby, nbx = coded.shape[:2]
+
+    def same_mer(y: int, x: int) -> bool:
+        if mer_blocks_log2 <= 0:
+            return False
+        return ((y >> mer_blocks_log2) == (by >> mer_blocks_log2)
+                and (x >> mer_blocks_log2) == (bx >> mer_blocks_log2))
+
+    cands: list[tuple[int, int]] = []
+    for (y, x) in ((by, bx - 1), (by - 1, bx), (by - 1, bx + 1),
+                   (by - 1, bx - 1)):
+        if (0 <= y < nby and 0 <= x < nbx and (y, x) < (by, bx)
+                and not same_mer(y, x)):
+            cands.append((int(coded[y, x, 0]), int(coded[y, x, 1])))
+    if col_mv is not None:
+        cands.append((int(col_mv[0]), int(col_mv[1])))
+    if hist is not None:
+        for c in hist.cands():
+            cands.append((int(c[0]), int(c[1])))
+    out: list[tuple[int, int]] = []
+    for c in cands:
+        if c not in out:
+            out.append(c)
+        if len(out) == n:
+            break
+    if len(out) >= 2 and len(out) < n:
+        # pairwise average of the first two DISTINCT candidates
+        # (reference: the VVC pairwise-average candidate); same rounding
+        # as the 2-candidate spatial average elsewhere in this codec
+        pw = ((out[0][0] + out[1][0] + 1) >> 1,
+              (out[0][1] + out[1][1] + 1) >> 1)
+        if pw not in out:
+            out.append(pw)
+    if len(out) < n and (0, 0) not in out:
+        out.append((0, 0))
+    while len(out) < n:
+        out.append((0, 0))
+    return out
+
+
+def encode_merge_idx(enc: BinEncoder, idx: int, n: int = MERGE_MAX) -> None:
+    """Truncated-unary merge index: first bin context-coded, rest EP
+    (reference: CABACWriter::merge_idx)."""
+    if n <= 1:
+        return
+    enc.encode_bin(int(idx > 0), ctx_id("MergeIdx"))
+    for i in range(1, idx):
+        enc.encode_bin_ep(1)
+    if 0 < idx < n - 1:
+        enc.encode_bin_ep(0)
+
+
+def select_merge_p(mv_me: np.ndarray, sad_me: np.ndarray,
+                   cand_mvs: np.ndarray, cand_sads: np.ndarray,
+                   col_mvs: np.ndarray | None, lam_sqrt: float,
+                   use_tmvp: bool, mer_blocks_log2: int = 0,
+                   snap: bool = True):
+    """Encoder merge decision in coding order (host pass between the two
+    device programs; reference analog: EncCu::xCheckRDCostMerge2Nx2N).
+
+    For each block, the decoder-mirrored candidate list is derived from
+    the evolving FINAL MV grid; candidates whose SAD is known (they match
+    one of the device-evaluated candidate fields, or the ME MV itself)
+    compete against the AMVP coding of the ME MV on SAD + lambda*bits.
+    With snap=False only candidates equal to the ME MV are taken (MV field
+    unchanged — used when an external constraint like MCTS binds the MVs).
+
+    Returns (final_mvs, merge_flag, merge_idx)."""
+    nby, nbx = mv_me.shape[:2]
+    final = mv_me.astype(np.int64).copy()
+    merge_flag = np.zeros((nby, nbx), dtype=bool)
+    merge_idx = np.zeros((nby, nbx), dtype=np.int32)
+    hist = HmvpList() if use_tmvp else None
+    n_fields = cand_mvs.shape[0]
+    for by in range(nby):
+        for bx in range(nbx):
+            col = (col_mvs[by, bx] if (use_tmvp and col_mvs is not None)
+                   else None)
+            cands = merge_candidates(final, by, bx, col, hist,
+                                     mer_blocks_log2=mer_blocks_log2)
+            me_mv = (int(mv_me[by, bx, 0]), int(mv_me[by, bx, 1]))
+            best = None                       # (cost, idx, mv)
+            for i, c in enumerate(cands):
+                if c == me_mv:
+                    sad = int(sad_me[by, bx])
+                elif snap:
+                    sad = None
+                    for k in range(n_fields):
+                        if (int(cand_mvs[k, by, bx, 0]) == c[0]
+                                and int(cand_mvs[k, by, bx, 1]) == c[1]):
+                            sad = int(cand_sads[k, by, bx])
+                            break
+                    if sad is None:
+                        continue
+                else:
+                    continue
+                cost = sad + lam_sqrt * (i + 2)
+                if best is None or cost < best[0]:
+                    best = (cost, i, c)
+            pred = mvp_median(final, by, bx)
+            mvd = np.asarray(me_mv, dtype=np.int64) - pred
+            amvp_cost = int(sad_me[by, bx]) + lam_sqrt * (2 + _mvd_bits(mvd))
+            if best is not None and best[0] <= amvp_cost:
+                merge_flag[by, bx] = True
+                merge_idx[by, bx] = best[1]
+                final[by, bx] = best[2]
+            if hist is not None:
+                hist.push(final[by, bx])
+    return final, merge_flag, merge_idx
+
+
+def merge_candidates_b(dirs_g: np.ndarray, mv0_g: np.ndarray,
+                       mv1_g: np.ndarray, by: int, bx: int,
+                       n: int = MERGE_MAX, mer_blocks_log2: int = 0
+                       ) -> list[tuple[int, tuple[int, int],
+                                       tuple[int, int]]]:
+    """Whole-motion B merge candidates (inter_dir, mv0, mv1) from the
+    causally-decoded grids, shared bit-exactly by encoder and decoder
+    (reference: getInterMergeCandidates carries interDirNeighbours +
+    mvFieldNeighbours for both lists, UnitTools.cpp:1059).  GPM/CIIP
+    neighbor dirs collapse to BI; pairwise averages both lists; the list
+    closes with the zero-BI candidate."""
+    nby, nbx = dirs_g.shape
+
+    def same_mer(y: int, x: int) -> bool:
+        if mer_blocks_log2 <= 0:
+            return False
+        return ((y >> mer_blocks_log2) == (by >> mer_blocks_log2)
+                and (x >> mer_blocks_log2) == (bx >> mer_blocks_log2))
+
+    cands = []
+    for (y, x) in ((by, bx - 1), (by - 1, bx), (by - 1, bx + 1),
+                   (by - 1, bx - 1)):
+        if (0 <= y < nby and 0 <= x < nbx and (y, x) < (by, bx)
+                and not same_mer(y, x)):
+            cands.append((min(int(dirs_g[y, x]), 2),
+                          (int(mv0_g[y, x, 0]), int(mv0_g[y, x, 1])),
+                          (int(mv1_g[y, x, 0]), int(mv1_g[y, x, 1]))))
+    out = []
+    for c in cands:
+        if c not in out:
+            out.append(c)
+        if len(out) == n:
+            break
+    if len(out) >= 2 and len(out) < n:
+        a, b = out[0], out[1]
+        pw = (2, ((a[1][0] + b[1][0] + 1) >> 1,
+                  (a[1][1] + b[1][1] + 1) >> 1),
+              ((a[2][0] + b[2][0] + 1) >> 1,
+               (a[2][1] + b[2][1] + 1) >> 1))
+        if pw not in out:
+            out.append(pw)
+    zero = (2, (0, 0), (0, 0))
+    if len(out) < n and zero not in out:
+        out.append(zero)
+    while len(out) < n:
+        out.append(zero)
+    return out
+
+
+def select_merge_b(mv0_me: np.ndarray, mv1_me: np.ndarray,
+                   dirs_me: np.ndarray, sad_sel: np.ndarray,
+                   cand_mv0: np.ndarray, cand_mv1: np.ndarray,
+                   cand_dirs: np.ndarray, cand_sads: np.ndarray,
+                   lam_sqrt: float, mer_blocks_log2: int = 0):
+    """Encoder B merge decision in coding order (reference analog:
+    EncCu::xCheckRDCostMerge2Nx2N for B slices).  GPM/CIIP blocks
+    (dirs >= 3) keep their searched mode and never merge.
+
+    Returns (mv0, mv1, dirs, merge_flag, merge_idx) — grids evolve with
+    the entropy convention (unused-list entries take their MVP)."""
+    nby, nbx = dirs_me.shape
+    f_mv0 = mv0_me.astype(np.int64).copy()
+    f_mv1 = mv1_me.astype(np.int64).copy()
+    f_dirs = dirs_me.astype(np.int32).copy()
+    merge_flag = np.zeros((nby, nbx), dtype=bool)
+    merge_idx = np.zeros((nby, nbx), dtype=np.int32)
+    n_fields = cand_mv0.shape[0]
+    for by in range(nby):
+        for bx in range(nbx):
+            d = int(dirs_me[by, bx])
+            pred0 = mvp_median(f_mv0, by, bx)
+            pred1 = mvp_median(f_mv1, by, bx)
+            if d >= 3:     # GPM/CIIP sub-state is not merge-representable
+                continue
+            cands = merge_candidates_b(f_dirs, f_mv0, f_mv1, by, bx,
+                                       mer_blocks_log2=mer_blocks_log2)
+            me = (d, (int(mv0_me[by, bx, 0]), int(mv0_me[by, bx, 1])),
+                  (int(mv1_me[by, bx, 0]), int(mv1_me[by, bx, 1])))
+            best = None
+            for i, c in enumerate(cands):
+                if c == me:
+                    sad = int(sad_sel[by, bx])
+                else:
+                    sad = None
+                    for k in range(n_fields):
+                        if (int(cand_dirs[k, by, bx]) == c[0]
+                                and int(cand_mv0[k, by, bx, 0]) == c[1][0]
+                                and int(cand_mv0[k, by, bx, 1]) == c[1][1]
+                                and int(cand_mv1[k, by, bx, 0]) == c[2][0]
+                                and int(cand_mv1[k, by, bx, 1]) == c[2][1]):
+                            sad = int(cand_sads[k, by, bx])
+                            break
+                    if sad is None:
+                        continue
+                cost = sad + lam_sqrt * (i + 2)
+                if best is None or cost < best[0]:
+                    best = (cost, i, c)
+            mvd_bits = 0
+            if d != 1:
+                mvd_bits += _mvd_bits(np.asarray(me[1], np.int64) - pred0)
+            if d != 0:
+                mvd_bits += _mvd_bits(np.asarray(me[2], np.int64) - pred1)
+            amvp_cost = int(sad_sel[by, bx]) + lam_sqrt * (3 + mvd_bits)
+            if best is not None and best[0] <= amvp_cost:
+                merge_flag[by, bx] = True
+                merge_idx[by, bx] = best[1]
+                cd, c0, c1 = best[2]
+                f_dirs[by, bx] = cd
+                f_mv0[by, bx] = c0
+                f_mv1[by, bx] = c1
+                d = cd
+            # entropy convention: unused-list grid entries take their MVP
+            if d == 0:
+                f_mv1[by, bx] = pred1
+            elif d == 1:
+                f_mv0[by, bx] = pred0
+    return f_mv0, f_mv1, f_dirs, merge_flag, merge_idx
+
+
 def encode_mvd_comp(enc: BinEncoder, v: int, ctx_base: str = "Mvd") -> None:
     """VVC mvd_coding per component: gt0(ctx), gt1(ctx), EG1 remainder,
     sign (reference: CABACWriter.cpp mvd_coding)."""
@@ -460,7 +707,9 @@ def encode_b_slice_qt(splits, mv0s, mv1s, dirss, levels, top: int,
 def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
                    lev_y: np.ndarray, lev_u: np.ndarray, lev_v: np.ndarray,
                    gpm_modes: np.ndarray | None = None,
-                   use_gpm: bool = False, use_ciip: bool = False
+                   use_gpm: bool = False, use_ciip: bool = False,
+                   merge_flag: np.ndarray | None = None,
+                   merge_idx: np.ndarray | None = None
                    ) -> tuple[bytes, np.ndarray, np.ndarray]:
     """B-slice entropy coding: skip / inter_dir / per-list mvd / residual
     (reference: CABACWriter inter_pred_idc + mvd_coding per list; GEO
@@ -474,6 +723,7 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
     both sides)."""
     enc = make_encoder()
     nby, nbx = dirs.shape
+    use_merge = merge_flag is not None
     coded0 = mv0.astype(np.int64).copy()
     coded1 = mv1.astype(np.int64).copy()
     # vectorized per-block coded-block flags (hoisted out of the scan loop)
@@ -485,6 +735,26 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
             d = int(dirs[by, bx])
             pred0 = mvp_median(coded0, by, bx)
             pred1 = mvp_median(coded1, by, bx)
+            if use_merge:
+                cy_, cu_, cv_ = (bool(cbf_y[by, bx]), bool(cbf_u[by, bx]),
+                                 bool(cbf_v[by, bx]))
+                no_resid_ = not (cy_ or cu_ or cv_)
+                mrg = bool(merge_flag[by, bx])
+                skip = mrg and no_resid_
+                enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+                if skip:
+                    encode_merge_idx(enc, int(merge_idx[by, bx]))
+                    continue
+                enc.encode_bin(int(mrg), ctx_id("MergeFlag"))
+                if mrg:
+                    encode_merge_idx(enc, int(merge_idx[by, bx]))
+                    for cbf, lev, cid in ((cy_, lev_y[by, bx], 0),
+                                          (cu_, lev_u[by, bx], 4),
+                                          (cv_, lev_v[by, bx], 5)):
+                        enc.encode_bin(int(cbf), ctx_id("QtCbf", cid))
+                        if cbf:
+                            coeffs_encode(enc, lev, chroma=(cid != 0))
+                    continue
             if d == 0:
                 coded1[by, bx] = pred1
             elif d == 1:
@@ -503,8 +773,11 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
             d_pred = min(d_pred, 2)
             used_zero = ((d == 1 or (mvd0x == 0 and mvd0y == 0))
                          and (d == 0 or (mvd1x == 0 and mvd1y == 0)))
-            skip = no_resid and d == d_pred and used_zero
-            enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+            # with merge on, skip means merge and was coded above
+            skip = (not use_merge and no_resid and d == d_pred
+                    and used_zero)
+            if not use_merge:
+                enc.encode_bin(int(skip), ctx_id("SkipFlag"))
             if skip:
                 continue
             enc.encode_bin(int(d >= 2), ctx_id("InterDir", 0))
@@ -548,7 +821,9 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
 def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
                    lev_v: np.ndarray, col_mvs: np.ndarray | None = None,
                    use_tmvp: bool = False,
-                   imv: np.ndarray | None = None) -> bytes:
+                   imv: np.ndarray | None = None,
+                   merge_flag: np.ndarray | None = None,
+                   merge_idx: np.ndarray | None = None) -> bytes:
     """mvs (nby, nbx, 2) 1/16-pel; lev_* (nby, nbx, s, s).  Raster order.
 
     With use_tmvp, MV prediction upgrades from the implicit spatial median
@@ -559,11 +834,17 @@ def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
     With imv (nby, nbx in {0,1,2}), each non-skip block signals its AMVR
     precision (quarter/full/4-pel) and codes the MVD on that grid against
     the grid-rounded predictor (reference: CABACWriter amvr_mode /
-    imv syntax; EncCu.cpp:775 IMV loop)."""
+    imv syntax; EncCu.cpp:775 IMV loop).
+
+    With merge_flag/merge_idx (from select_merge_p), merge mode is active:
+    skip_flag means merge+no-residual and is followed by merge_idx; non-
+    skip blocks signal merge_flag, then either merge_idx (+residual) or
+    the AMVP syntax (reference: CABACWriter merge_flag/merge_idx/cu_skip)."""
     from ..common.inter_frame import AMVR_SHIFTS, round_mv_amvr
     enc = make_encoder()
     nby, nbx = mvs.shape[:2]
     mvs = mvs.astype(np.int64)
+    use_merge = merge_flag is not None
     hist = HmvpList() if use_tmvp else None
     cbf_yg = (lev_y != 0).any(axis=(2, 3))
     cbf_ug = (lev_u != 0).any(axis=(2, 3))
@@ -571,6 +852,30 @@ def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
     for by in range(nby):
         for bx in range(nbx):
             mv = mvs[by, bx]
+            cy, cu, cv = (bool(cbf_yg[by, bx]), bool(cbf_ug[by, bx]),
+                          bool(cbf_vg[by, bx]))
+            no_resid = not (cy or cu or cv)
+            if use_merge:
+                mrg = bool(merge_flag[by, bx])
+                skip = mrg and no_resid
+                enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+                if skip:
+                    encode_merge_idx(enc, int(merge_idx[by, bx]))
+                    if hist is not None:
+                        hist.push(mv)
+                    continue
+                enc.encode_bin(int(mrg), ctx_id("MergeFlag"))
+                if mrg:
+                    encode_merge_idx(enc, int(merge_idx[by, bx]))
+                    for cbf, lev, cid in ((cy, lev_y[by, bx], 0),
+                                          (cu, lev_u[by, bx], 4),
+                                          (cv, lev_v[by, bx], 5)):
+                        enc.encode_bin(int(cbf), ctx_id("QtCbf", cid))
+                        if cbf:
+                            coeffs_encode(enc, lev, chroma=(cid != 0))
+                    if hist is not None:
+                        hist.push(mv)
+                    continue
             if use_tmvp:
                 col = col_mvs[by, bx] if col_mvs is not None else None
                 cands = amvp_list(mvs, by, bx, col, hist)
@@ -581,13 +886,11 @@ def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
                 idx = 0
                 pred = mvp_median(mvs, by, bx)
                 mvd = mv - pred
-            cy, cu, cv = (bool(cbf_yg[by, bx]), bool(cbf_ug[by, bx]),
-                          bool(cbf_vg[by, bx]))
-            no_resid = not (cy or cu or cv)
-            # skip reconstructs from candidate 0
-            skip = (no_resid and mvd[0] == 0 and mvd[1] == 0
-                    and (not use_tmvp or idx == 0))
-            enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+            # legacy skip (merge off): zero mvd vs candidate 0, no residual
+            skip = (not use_merge and no_resid and mvd[0] == 0
+                    and mvd[1] == 0 and (not use_tmvp or idx == 0))
+            if not use_merge:
+                enc.encode_bin(int(skip), ctx_id("SkipFlag"))
             if not skip:
                 if use_tmvp:
                     enc.encode_bin(idx, ctx_id("MvpIdx"))

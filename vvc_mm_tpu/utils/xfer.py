@@ -45,6 +45,24 @@ def pull_levels(*arrs) -> list[np.ndarray]:
     return out
 
 
+@jax.jit
+def _pack_i32(arrs):
+    return jnp.concatenate([a.astype(jnp.int32).reshape(-1) for a in arrs])
+
+
+def pull_i32(*arrs) -> list[np.ndarray]:
+    """Pull arrays that may exceed int16 range (e.g. per-block SADs) in
+    ONE int32 D2H transfer."""
+    flat = np.asarray(_pack_i32(list(arrs)))
+    out = []
+    off = 0
+    for a in arrs:
+        n = int(np.prod(a.shape))
+        out.append(flat[off:off + n].reshape(a.shape))
+        off += n
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("bit_depth",))
 def _pack_recon_sse(ry, ru, rv, oy, ou, ov, bit_depth):
     dt = jnp.uint8 if bit_depth <= 8 else jnp.uint16
