@@ -129,6 +129,45 @@ def test_merge_b_gpm_ciip_roundtrip():
         assert _md5(f.planes) == _md5(res.recon), f.poc
 
 
+def test_merge_mm_p_roundtrip_bitexact():
+    """MM P slices with merge: candidates carry (model, mv) — model
+    inheritance through the merge list (reference: UnitTools.cpp:872-885)."""
+    from vvc_mm_tpu.common.slice_ps import MMConfig
+    from vvc_mm_tpu.common.typedefs import ProjectionID
+
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 4, motion=(3.0, 1.0))
+    mm = MMConfig(mpa=True, rot=True,
+                  projection=ProjectionID.EQUIRECTANGULAR)
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=32, gop="LDP",
+                 inter_block_size=16, merge=True, mm=mm, wrap_around=True)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    assert len(out) == len(frames)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
+def test_merge_mm_ra_roundtrip_bitexact():
+    """MM RA GOP: merge-coded P anchors + (non-merge) MM B slices in one
+    stream decode bit-exactly."""
+    from vvc_mm_tpu.common.slice_ps import MMConfig
+    from vvc_mm_tpu.common.typedefs import ProjectionID
+
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 5, motion=(3.0, 1.0))
+    mm = MMConfig(mpa=True, projection=ProjectionID.EQUIRECTANGULAR)
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=32, gop="RA",
+                 gop_size=4, inter_block_size=16, merge=True, mm=mm,
+                 wrap_around=True)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
 def test_merge_saves_bits_on_coherent_motion():
     """Global translation: neighbor MVs are perfect predictors, so merge
     coding must not lose to the AMVP-only coder and merge-coded blocks

@@ -413,6 +413,83 @@ def search_p_mm(reproj: MVReprojection, active_models: list[int],
     return _FUSED_CACHE[key](orig_y, ref_y)
 
 
+def search_p_mm_merge(reproj: MVReprojection, active_models: list[int],
+                      orig_y, ref_y, qp: int, block_size: int,
+                      bit_depth: int, search_range: int,
+                      epipoles: dict | None = None,
+                      wrap_around: bool = False):
+    """One-jit P-frame MM search with merge-candidate SADs: the
+    search_p_mm program plus, for each candidate field (neighbor shifts
+    of the selected (model, mv) grid and zero-CLASSIC), a reprojection +
+    MC + SAD pass.  Candidates applied at the CURRENT block's location go
+    through the reprojection there — a neighbor's (model, mv) produces
+    different target positions at this block (reference: merge candidates
+    carry their motion model, UnitTools.cpp:872-885).
+
+    Returns (model_idx, mvs_stack, sad_sel, cand_idx (K,nby,nbx),
+    cand_mv (K,nby,nbx,2), cand_sads (K,nby,nbx))."""
+    key = ("psearch_merge", _geom_key(reproj), tuple(active_models), qp,
+           block_size, bit_depth, search_range, wrap_around,
+           _eps_key(epipoles))
+    if key not in _FUSED_CACHE:
+        from ...encoder import me as me_mod
+        _warm_models(reproj, active_models)
+        s = block_size
+        lam = quant.lambda_from_qp(qp, intra=False)
+        lam_bits = lam ** 0.5 * 4.0
+        lam16 = int(lam ** 0.5 * 16)
+
+        def shift2(f, dy, dx):
+            nby, nbx = f.shape[:2]
+            pad = ((1, 1), (1, 1)) + ((0, 0),) * (f.ndim - 2)
+            p = jnp.pad(f, pad)
+            start = (1 + dy, 1 + dx) + (0,) * (f.ndim - 2)
+            return jax.lax.dynamic_slice(p, start, f.shape)
+
+        @jax.jit
+        def fn(oy, ry):
+            refp = pad_ref(ry, MC_MARGIN, wrap_around)
+            mv_int, _ = me_mod.hierarchical_search(oy, refp, s,
+                                                   search_range, MC_MARGIN,
+                                                   lam16)
+            cmv, csad = me_mod.fractional_refine(oy, refp, mv_int, s,
+                                                 MC_MARGIN, bit_depth)
+            idx, mvs, _ = search_models(
+                reproj, active_models, oy, ry, cmv, csad, s, bit_depth,
+                lam_bits, epipoles, wrap_around)
+            stack = jnp.stack([mvs[m] for m in active_models])
+
+            def field_sad(idx_f, stack_f):
+                pos = _merged_positions(reproj, active_models, s, epipoles,
+                                        idx_f, stack_f)
+                pred = mm_mc.mc_luma_positions(refp, pos, MC_MARGIN,
+                                               bit_depth)
+                return _block_sad(jnp.abs(oy - pred), s)
+
+            sad_sel = field_sad(idx, stack)
+            mv_sel = jnp.take_along_axis(
+                stack, idx[None, :, :, None].astype(jnp.int32), axis=0)[0]
+            cand_idx, cand_mv, cand_sads = [], [], []
+            for (dy, dx) in ((0, -1), (-1, 0), (-1, 1)):
+                idx_s = shift2(idx, dy, dx)
+                stack_s = jnp.stack([shift2(stack[i], dy, dx)
+                                     for i in range(stack.shape[0])])
+                cand_idx.append(idx_s)
+                cand_mv.append(shift2(mv_sel, dy, dx))
+                cand_sads.append(field_sad(idx_s, stack_s))
+            # zero-CLASSIC candidate (active_models[0] is CLASSIC)
+            zi = jnp.zeros_like(idx)
+            zs = jnp.zeros_like(stack)
+            cand_idx.append(zi)
+            cand_mv.append(jnp.zeros_like(mv_sel))
+            cand_sads.append(field_sad(zi, zs))
+            return (idx, stack, sad_sel, jnp.stack(cand_idx),
+                    jnp.stack(cand_mv), jnp.stack(cand_sads))
+
+        _FUSED_CACHE[key] = fn
+    return _FUSED_CACHE[key](orig_y, ref_y)
+
+
 def search_b_mm(reproj: MVReprojection, active_models: list[int],
                 orig_y, ref0_y, ref1_y, qp: int, block_size: int,
                 bit_depth: int, search_range: int, epipoles0=None,

@@ -245,9 +245,12 @@ class DecLib:
                     epipoles = {MotionModelID.GEODESIC_CAMPOSE: ep}
                 ep_for_mvp = (epipoles or {}).get(
                     MotionModelID.GEODESIC_CAMPOSE)
+                mer_blk = max(0, sps.log2_parallel_merge_level
+                              - (s.bit_length() - 1))
                 model_idx, mvs, ly, lu, lv = decode_p_slice_mm(
                     cabac_bytes, nby, nbx, s, active, self.mvp_conv,
-                    ep_for_mvp, stats=self.stats)
+                    ep_for_mvp, stats=self.stats, use_merge=sps.merge,
+                    mer_blocks_log2=mer_blk)
                 mvs_stack = np.zeros((len(active),) + mvs.shape,
                                      dtype=np.int64)
                 np.put_along_axis(mvs_stack, model_idx[None, :, :, None]

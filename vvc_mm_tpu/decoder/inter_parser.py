@@ -63,10 +63,12 @@ def decode_motion_model(dec: BinDecoder, n_active: int) -> int:
 
 def decode_p_slice_mm(data: bytes, nby: int, nbx: int, s: int,
                       active_models: list[int], conv=None, epipole=None,
-                      stats=None
+                      stats=None, use_merge: bool = False,
+                      mer_blocks_log2: int = 0
                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                  np.ndarray, np.ndarray]:
     """Returns (model_idx, mvs (nby,nbx,2), lev_y, lev_u, lev_v)."""
+    from ..encoder.inter_coder import merge_candidates_mm
     dec = _make(data, stats)
     sc = s // 2
     model_idx = np.zeros((nby, nbx), dtype=np.int32)
@@ -78,7 +80,39 @@ def decode_p_slice_mm(data: bytes, nby: int, nbx: int, s: int,
     model_to_idx = {m: i for i, m in enumerate(active_models)}
     for by in range(nby):
         for bx in range(nbx):
-            if (_lbl(dec, "skip_flag") or dec.decode_bin(ctx_id("SkipFlag"))):
+            if use_merge:
+                mcands = merge_candidates_mm(
+                    model_idx, mvs, by, bx,
+                    mer_blocks_log2=mer_blocks_log2)
+
+                def apply_cand(c):
+                    ci, cmv = c
+                    model_idx[by, bx] = ci
+                    models_sel[by, bx] = active_models[ci]
+                    mvs[by, bx] = cmv
+
+                _lbl(dec, "skip_flag")
+                if dec.decode_bin(ctx_id("SkipFlag")):
+                    _lbl(dec, "merge_idx")
+                    apply_cand(mcands[decode_merge_idx(dec)])
+                    continue
+                _lbl(dec, "merge_flag")
+                if dec.decode_bin(ctx_id("MergeFlag")):
+                    _lbl(dec, "merge_idx")
+                    apply_cand(mcands[decode_merge_idx(dec)])
+                    for comp, lev, size in (("y", lev_y, s),
+                                            ("u", lev_u, sc),
+                                            ("v", lev_v, sc)):
+                        _lbl(dec, "cbf")
+                        if dec.decode_bin(
+                                ctx_id("QtCbf",
+                                       {"y": 0, "u": 4, "v": 5}[comp])):
+                            _lbl(dec, "residual_" + comp)
+                            lev[by, bx] = coeffs_decode(
+                                dec, size, size, chroma=(comp != "y"))
+                    continue
+            elif (_lbl(dec, "skip_flag")
+                  or dec.decode_bin(ctx_id("SkipFlag"))):
                 model = inherited_model(models_sel, by, bx)
                 models_sel[by, bx] = model
                 model_idx[by, bx] = model_to_idx[model]

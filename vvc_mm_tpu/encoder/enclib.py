@@ -396,22 +396,53 @@ class EncLib:
                           zip(epipole_mod.to_fixed(pred), epipole_delta)))
                 self.coded_epipoles.set_epipole(poc, ref_poc, ep_used)
                 epipoles = {MotionModelID.GEODESIC_CAMPOSE: ep_used}
-            # fused path: ONE search program, the shared positions program,
-            # ONE residual/recon/deblock program; host entropy overlaps the
-            # SAO/ALF device chain (frame_codec.py fused-program rationale)
-            model_idx, mvs_stack = mm_codec.search_p_mm(
-                self.reproj, active, dev[0], rdev[0], qp, s,
-                cfg.bit_depth, cfg.search_range, epipoles, cfg.wrap_around)
+            ep_for_mvp = (epipoles or {}).get(
+                MotionModelID.GEODESIC_CAMPOSE)
+            if cfg.merge:
+                # merge-aware fused search: candidate-field SADs ride the
+                # single search program; host selection snaps blocks to
+                # (model, mv) candidates, then positions/finish run from
+                # the FINAL grids (model inheritance through merge,
+                # reference: UnitTools.cpp:872-885)
+                from .inter_coder import select_merge_mm
+                out = mm_codec.search_p_mm_merge(
+                    self.reproj, active, dev[0], rdev[0], qp, s,
+                    cfg.bit_depth, cfg.search_range, epipoles,
+                    cfg.wrap_around)
+                (midx_h, stack_h, sad_h, cidx_h, cmv_h,
+                 csad_h) = xfer.pull_i32(*out)
+                lam_sqrt = quant.lambda_from_qp(qp, intra=False) ** 0.5
+                mer_blk = max(0, self.sps.log2_parallel_merge_level
+                              - (s.bit_length() - 1))
+                f_midx, f_stack, mflag, midx_m = select_merge_mm(
+                    midx_h, stack_h, sad_h, cidx_h, cmv_h, csad_h,
+                    active, lam_sqrt, s, self.mvp_conv, ep_for_mvp,
+                    mer_blk)
+                model_idx = jnp.asarray(f_midx)
+                mvs_stack = jnp.asarray(f_stack.astype(np.int32))
+            else:
+                # fused path: ONE search program, the shared positions
+                # program, ONE residual/recon/deblock program; host entropy
+                # overlaps the SAO/ALF device chain (frame_codec.py
+                # fused-program rationale)
+                model_idx, mvs_stack = mm_codec.search_p_mm(
+                    self.reproj, active, dev[0], rdev[0], qp, s,
+                    cfg.bit_depth, cfg.search_range, epipoles,
+                    cfg.wrap_around)
             positions = mm_codec.merged_positions(
                 self.reproj, active, model_idx, mvs_stack, s, epipoles)
             ly, lu, lv, recon = mm_codec.enc_finish_p_mm(
                 model_idx, mvs_stack, positions, dev[0], dev[1], dev[2],
                 rdev[0], rdev[1], rdev[2], qp, s, cfg.bit_depth,
                 cfg.wrap_around, cfg.deblocking)
-            ep_for_mvp = (epipoles or {}).get(
-                MotionModelID.GEODESIC_CAMPOSE)
 
             def make_payload():
+                if cfg.merge:
+                    lyh, luh, lvh = xfer.pull_levels(ly, lu, lv)
+                    return encode_p_slice_mm(
+                        f_midx, active, f_stack.astype(np.int64),
+                        lyh, luh, lvh, s, self.mvp_conv, ep_for_mvp,
+                        merge_flag=mflag, merge_idx=midx_m)
                 (lyh, luh, lvh, model_idx_h,
                  mvs_stack_h) = xfer.pull_levels(ly, lu, lv, model_idx,
                                                  mvs_stack)

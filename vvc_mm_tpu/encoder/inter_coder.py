@@ -459,18 +459,130 @@ def encode_motion_model(enc: BinEncoder, idx: int, n_active: int) -> None:
         enc.encode_bin(0, ctx_id("MotionModel", min(idx, 10)))
 
 
+def merge_candidates_mm(midx_g: np.ndarray, mvs_sel: np.ndarray, by: int,
+                        bx: int, n: int = MERGE_MAX,
+                        mer_blocks_log2: int = 0
+                        ) -> list[tuple[int, tuple[int, int]]]:
+    """MM merge candidates (model_idx, mv) from the causally-decoded
+    grids — candidates carry their motion MODEL, so merge inherits model
+    and MV together (reference: UnitTools.cpp:872-885 model inheritance
+    through merge candidates).  Pairwise averaging applies only between
+    same-model candidates (cross-model MV averaging is meaningless);
+    the list closes with zero-CLASSIC (index 0)."""
+    nby, nbx = midx_g.shape
+
+    def same_mer(y: int, x: int) -> bool:
+        if mer_blocks_log2 <= 0:
+            return False
+        return ((y >> mer_blocks_log2) == (by >> mer_blocks_log2)
+                and (x >> mer_blocks_log2) == (bx >> mer_blocks_log2))
+
+    cands = []
+    for (y, x) in ((by, bx - 1), (by - 1, bx), (by - 1, bx + 1),
+                   (by - 1, bx - 1)):
+        if (0 <= y < nby and 0 <= x < nbx and (y, x) < (by, bx)
+                and not same_mer(y, x)):
+            cands.append((int(midx_g[y, x]),
+                          (int(mvs_sel[y, x, 0]), int(mvs_sel[y, x, 1]))))
+    out = []
+    for c in cands:
+        if c not in out:
+            out.append(c)
+        if len(out) == n:
+            break
+    if len(out) >= 2 and len(out) < n and out[0][0] == out[1][0]:
+        pw = (out[0][0], ((out[0][1][0] + out[1][1][0] + 1) >> 1,
+                          (out[0][1][1] + out[1][1][1] + 1) >> 1))
+        if pw not in out:
+            out.append(pw)
+    zero = (0, (0, 0))
+    if len(out) < n and zero not in out:
+        out.append(zero)
+    while len(out) < n:
+        out.append(zero)
+    return out
+
+
+def select_merge_mm(midx_me: np.ndarray, mvs_stack: np.ndarray,
+                    sad_sel: np.ndarray, cand_idx: np.ndarray,
+                    cand_mv: np.ndarray, cand_sads: np.ndarray,
+                    active_models: list[int], lam_sqrt: float,
+                    block_size: int, conv=None, epipole=None,
+                    mer_blocks_log2: int = 0):
+    """Encoder MM merge decision in coding order.  Returns
+    (final_midx, final_stack, merge_flag, merge_idx) — final_stack has
+    each block's FINAL mv written into its selected model's layer (the
+    positions/finish programs read it through final_midx)."""
+    nby, nbx = midx_me.shape
+    n_active = len(active_models)
+    f_midx = midx_me.astype(np.int32).copy()
+    f_stack = mvs_stack.astype(np.int64).copy()
+    mvs_sel = np.take_along_axis(
+        f_stack, f_midx[None, :, :, None].astype(np.int64), axis=0
+    )[0].astype(np.int64)
+    models_sel = np.asarray([active_models[i] for i in f_midx.reshape(-1)],
+                            dtype=np.int32).reshape(nby, nbx)
+    merge_flag = np.zeros((nby, nbx), dtype=bool)
+    merge_idx = np.zeros((nby, nbx), dtype=np.int32)
+    n_fields = cand_idx.shape[0]
+    for by in range(nby):
+        for bx in range(nbx):
+            cands = merge_candidates_mm(f_midx, mvs_sel, by, bx,
+                                        mer_blocks_log2=mer_blocks_log2)
+            me = (int(midx_me[by, bx]),
+                  (int(mvs_sel[by, bx, 0]), int(mvs_sel[by, bx, 1])))
+            best = None
+            for i, c in enumerate(cands):
+                if c == me:
+                    sad = int(sad_sel[by, bx])
+                else:
+                    sad = None
+                    for k in range(n_fields):
+                        if (int(cand_idx[k, by, bx]) == c[0]
+                                and int(cand_mv[k, by, bx, 0]) == c[1][0]
+                                and int(cand_mv[k, by, bx, 1]) == c[1][1]):
+                            sad = int(cand_sads[k, by, bx])
+                            break
+                    if sad is None:
+                        continue
+                cost = sad + lam_sqrt * (i + 2)
+                if best is None or cost < best[0]:
+                    best = (cost, i, c)
+            model = int(models_sel[by, bx])
+            pred = _mm_mvp(mvs_sel, models_sel, by, bx, model, block_size,
+                           conv, epipole)
+            mvd = np.asarray(me[1], np.int64) - pred
+            model_bins = min(me[0] + 1, n_active - 1)
+            amvp_cost = (int(sad_sel[by, bx])
+                         + lam_sqrt * (2 + model_bins + _mvd_bits(mvd)))
+            if best is not None and best[0] <= amvp_cost:
+                merge_flag[by, bx] = True
+                merge_idx[by, bx] = best[1]
+                ci, cmv = best[2]
+                f_midx[by, bx] = ci
+                f_stack[ci, by, bx] = cmv
+                mvs_sel[by, bx] = cmv
+                models_sel[by, bx] = active_models[ci]
+    return f_midx, f_stack, merge_flag, merge_idx
+
+
 def encode_p_slice_mm(model_idx: np.ndarray, active_models: list[int],
                       mvs_stack: np.ndarray, lev_y: np.ndarray,
                       lev_u: np.ndarray, lev_v: np.ndarray,
                       block_size: int = 16, conv=None,
-                      epipole=None) -> bytes:
+                      epipole=None, merge_flag: np.ndarray | None = None,
+                      merge_idx: np.ndarray | None = None) -> bytes:
     """MM P-slice: per block skip / motion_model / mvd / residual.
 
     model_idx: (nby, nbx) index into active_models; mvs_stack
-    (n_models, nby, nbx, 2)."""
+    (n_models, nby, nbx, 2).  With merge_flag/merge_idx (from
+    select_merge_mm), skip means merge+no-residual and candidates carry
+    (model, mv) — model inheritance through the merge list (reference:
+    UnitTools.cpp:872-885)."""
     enc = make_encoder()
     nby, nbx = model_idx.shape
     n_active = len(active_models)
+    use_merge = merge_flag is not None
     mvs_sel = np.take_along_axis(
         mvs_stack, model_idx[None, :, :, None].astype(np.int64), axis=0
     )[0].astype(np.int64)                              # (nby, nbx, 2)
@@ -488,14 +600,32 @@ def encode_p_slice_mm(model_idx: np.ndarray, active_models: list[int],
             cy, cu, cv = (bool(cbf_y[by, bx]), bool(cbf_u[by, bx]),
                           bool(cbf_v[by, bx]))
             no_resid = not (cy or cu or cv)
-            inh = inherited_model(models_sel, by, bx)
-            inh_mv = _mm_mvp(mvs_sel, models_sel, by, bx, inh, block_size,
-                             conv, epipole)
-            skip = (no_resid and model == inh
-                    and mv[0] == inh_mv[0] and mv[1] == inh_mv[1])
-            enc.encode_bin(int(skip), ctx_id("SkipFlag"))
-            if skip:
-                continue
+            if use_merge:
+                mrg = bool(merge_flag[by, bx])
+                skip = mrg and no_resid
+                enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+                if skip:
+                    encode_merge_idx(enc, int(merge_idx[by, bx]))
+                    continue
+                enc.encode_bin(int(mrg), ctx_id("MergeFlag"))
+                if mrg:
+                    encode_merge_idx(enc, int(merge_idx[by, bx]))
+                    for cbf, lev, cid in ((cy, lev_y[by, bx], 0),
+                                          (cu, lev_u[by, bx], 4),
+                                          (cv, lev_v[by, bx], 5)):
+                        enc.encode_bin(int(cbf), ctx_id("QtCbf", cid))
+                        if cbf:
+                            coeffs_encode(enc, lev, chroma=(cid != 0))
+                    continue
+            else:
+                inh = inherited_model(models_sel, by, bx)
+                inh_mv = _mm_mvp(mvs_sel, models_sel, by, bx, inh,
+                                 block_size, conv, epipole)
+                skip = (no_resid and model == inh
+                        and mv[0] == inh_mv[0] and mv[1] == inh_mv[1])
+                enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+                if skip:
+                    continue
             encode_motion_model(enc, midx, n_active)
             pred = _mm_mvp(mvs_sel, models_sel, by, bx, model, block_size,
                            conv, epipole)
