@@ -129,6 +129,73 @@ def test_merge_b_gpm_ciip_roundtrip():
         assert _md5(f.planes) == _md5(res.recon), f.poc
 
 
+def test_2ref_p_roundtrip_bitexact():
+    """Two active references with per-block ref_idx (LDP: poc-1, poc-2;
+    reference: per-ref ME loop InterSearch.cpp:4937 + ref_idx syntax)."""
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 6, motion=(3.0, 1.0))
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=32, gop="LDP",
+                 inter_block_size=16, merge=True, max_num_ref=2)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    assert len(out) == len(frames)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
+def test_2ref_uses_second_reference():
+    """Alternating-occlusion content: some blocks must pick ref_idx 1
+    (the two-frames-back reference) and the stream stays decodeable."""
+    import jax.numpy as jnp
+
+    from vvc_mm_tpu.common import inter_frame
+    from vvc_mm_tpu.utils import xfer
+
+    rng = np.random.default_rng(3)
+    h, w = 64, 64
+    base = rng.integers(40, 200, size=(h, w)).astype(np.int32)
+    flash = base.copy()
+    flash[16:48, 16:48] = 30          # occluder present only in frame 1
+    f0, f1, f2 = base, flash, base    # frame 2 matches frame 0, not 1
+    dev = xfer.upload_planes([f2, f2[::2, ::2] // 2, f2[::2, ::2] // 2], 8)
+    r0 = xfer.upload_planes([f1, f1[::2, ::2] // 2, f1[::2, ::2] // 2], 8)
+    r1 = xfer.upload_planes([f0, f0[::2, ::2] // 2, f0[::2, ::2] // 2], 8)
+    col = jnp.zeros((h // 16, w // 16, 2), jnp.int32)
+    out = inter_frame.search_p_frame_2ref(dev[0], r0[0], r1[0], col, 32,
+                                          16, 8, 8, False)
+    ref_h = np.asarray(out[0])
+    assert (ref_h == 1).any()         # occluded blocks prefer ref 1
+
+
+def test_2ref_tmvp_amvr_roundtrip_bitexact():
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 6, motion=(4.0, 1.5))
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=32, gop="LDP",
+                 inter_block_size=16, merge=True, max_num_ref=2,
+                 tmvp=True, amvr=True)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
+def test_2ref_ra_anchor_roundtrip_bitexact():
+    """RA: GOP-anchor P frames reference the previous TWO anchors."""
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 13, motion=(3.0, 1.0))
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=32, gop="RA",
+                 gop_size=4, inter_block_size=16, merge=True,
+                 max_num_ref=2)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    assert len(out) == len(frames)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
 def test_merge_mm_p_roundtrip_bitexact():
     """MM P slices with merge: candidates carry (model, mv) — model
     inheritance through the merge list (reference: UnitTools.cpp:872-885)."""

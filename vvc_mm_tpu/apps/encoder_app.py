@@ -56,6 +56,8 @@ def build_parser() -> OptionParser:
     p.add("MIP", False, "matrix-based intra prediction")
     p.add("LFNST", False, "low-frequency non-separable secondary transform")
     p.add("MRL", False, "multi-reference-line intra prediction")
+    p.add("IntraSplit", False, "two-level intra partitioning (16 vs 8x8)")
+    p.add("MaxNumRef", 2, "active references per list (plain P path)")
     p.add("TMVP", False, "temporal + history-based MV prediction")
     p.add("Merge", True, "merge/skip candidate list (merge_flag/merge_idx)")
     p.add("Log2ParallelMergeLevel", 2, "merge-estimation region size "
@@ -120,6 +122,8 @@ def main(argv: list[str] | None = None) -> int:
                  dep_quant=opts["DepQuant"], cclm=opts["CCLM"],
                  mip=opts["MIP"], lfnst=opts["LFNST"], mrl=opts["MRL"],
                  tmvp=opts["TMVP"], merge=opts["Merge"],
+                 intra_split=opts["IntraSplit"],
+                 max_num_ref=opts["MaxNumRef"],
                  log2_parallel_merge_level=opts["Log2ParallelMergeLevel"],
                  amvr=opts["IMV"], mts=opts["MTS"],
                  mcts_tiles=(tuple(int(x) for x in opts["MCTSTiles"].split(","))

@@ -590,6 +590,154 @@ def _field_sad(orig_y, ref_y_padded, mvs, s: int, bit_depth: int):
     return jnp.sum(jnp.abs(pred - ob), axis=(1, 2)).reshape(nby, nbx)
 
 
+@functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
+                                             "search_range", "wrap_around",
+                                             "amvr", "mcts"))
+def search_p_frame_2ref(orig_y, ref0_y, ref1_y, col_mvs, qp: int,
+                        block_size: int, bit_depth: int, search_range: int,
+                        wrap_around: bool, amvr: bool = False,
+                        mcts: tuple | None = None):
+    """Two-reference merge-aware P search: per-ref ME, per-block ref_idx
+    decision, then candidate-field SADs where each candidate carries its
+    (ref_idx, mv) and its SAD gathers from ITS reference (reference:
+    the per-ref ME loop InterSearch.cpp:4937 + ref_idx RD; DPB holds up
+    to 16 refs — this batched design takes two, the CTC's effective
+    active-ref count for low delay).
+
+    Returns (ref_idx, mvs, imv, sad_sel, cand_ref (K,..), cand_mvs,
+    cand_sads)."""
+    s = block_size
+    h, w = orig_y.shape
+    nby, nbx = h // s, w // s
+    lam = quant.lambda_from_qp(qp, intra=False)
+    lam_bits_x16 = int(lam ** 0.5 * 16)
+
+    pads, mvs_r, sads_r, imvs_r = [], [], [], []
+    for ry in (ref0_y, ref1_y):
+        ry_pad = pad_ref(ry, MC_MARGIN, wrap_around)
+        pads.append(ry_pad)
+        mv_int, _ = me_mod.hierarchical_search(orig_y, ry_pad, s,
+                                               search_range, MC_MARGIN,
+                                               lam_bits_x16)
+        mvs, sad = me_mod.fractional_refine(orig_y, ry_pad, mv_int, s,
+                                            MC_MARGIN, bit_depth)
+        if mcts:
+            mvs = mcts_clamp_mvs(mvs, s, w, h, mcts[0], mcts[1])
+        imv = jnp.zeros((nby, nbx), dtype=jnp.int32)
+        if amvr:
+            imv, mvs = amvr_decide(orig_y, ry_pad, mvs, s, bit_depth,
+                                   lam_bits_x16)
+            sad = _field_sad(orig_y, ry_pad, mvs, s, bit_depth)
+        mvs_r.append(mvs)
+        sads_r.append(sad)
+        imvs_r.append(imv)
+    # ref decision: the second ref pays one more context bin
+    ref_pen = lam_bits_x16 >> 4
+    ref_idx = (sads_r[1] + ref_pen < sads_r[0]).astype(jnp.int32)
+    rsel = ref_idx[..., None]
+    mv_sel = jnp.where(rsel == 1, mvs_r[1], mvs_r[0])
+    imv_sel = jnp.where(ref_idx == 1, imvs_r[1], imvs_r[0])
+    sad_sel = jnp.where(ref_idx == 1, sads_r[1], sads_r[0])
+
+    def field_sad_ref(rf, mf):
+        s0 = _field_sad(orig_y, pads[0], mf, s, bit_depth)
+        s1 = _field_sad(orig_y, pads[1], mf, s, bit_depth)
+        return jnp.where(rf == 1, s1, s0)
+
+    cand_ref, cand_mvs, cand_sads = [], [], []
+    for (dy, dx) in ((0, -1), (-1, 0), (-1, 1)):
+        cr = _shift_i_field(ref_idx, dy, dx)
+        cm = _shift_mv_field(mv_sel, dy, dx)
+        cand_ref.append(cr)
+        cand_mvs.append(cm)
+        cand_sads.append(field_sad_ref(cr, cm))
+    z = jnp.zeros_like(ref_idx)
+    cand_ref.append(z)
+    cand_mvs.append(jnp.zeros_like(mv_sel))
+    cand_sads.append(_field_sad(orig_y, pads[0],
+                                jnp.zeros_like(mv_sel), s, bit_depth))
+    cand_ref.append(z)          # TMVP candidate rides ref 0
+    cand_mvs.append(col_mvs.astype(mv_sel.dtype))
+    cand_sads.append(_field_sad(orig_y, pads[0],
+                                col_mvs.astype(mv_sel.dtype), s,
+                                bit_depth))
+    return (ref_idx, mv_sel, imv_sel, sad_sel, jnp.stack(cand_ref),
+            jnp.stack(cand_mvs), jnp.stack(cand_sads))
+
+
+def _mc_predict_2ref(ref0, ref1, ref_idx, mvs, s: int, bit_depth: int,
+                     wrap_around: bool):
+    """Per-block two-reference MC: both refs motion-compensated, the
+    block's ref_idx selects (the gather stays batched on the MXU; a
+    data-dependent single-ref gather would defeat XLA tiling)."""
+    p0 = mc_predict(ref0[0], ref0[1], ref0[2], mvs, s, bit_depth,
+                    wrap_around)
+    p1 = mc_predict(ref1[0], ref1[1], ref1[2], mvs, s, bit_depth,
+                    wrap_around)
+    out = []
+    for i, sub in enumerate((1, 2, 2)):
+        k = s // sub
+        r = jnp.repeat(jnp.repeat(ref_idx, k, 0), k, 1)
+        out.append(jnp.where(r == 1, p1[i], p0[i]))
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
+                                             "wrap_around", "scaling"))
+def finish_p_frame_2ref(orig_y, orig_u, orig_v, ref0, ref1, ref_idx, mvs,
+                        qp: int, block_size: int, bit_depth: int,
+                        wrap_around: bool, wp: jnp.ndarray | None = None,
+                        scaling: tuple | None = None):
+    """Residual/levels/recon from FINAL (ref_idx, mv) fields."""
+    s = block_size
+    pred_y, pred_u, pred_v = _mc_predict_2ref(ref0, ref1, ref_idx, mvs, s,
+                                              bit_depth, wrap_around)
+    if wp is not None:
+        pred_y = apply_wp(pred_y, wp[0, 0], wp[0, 1], bit_depth)
+        pred_u = apply_wp(pred_u, wp[1, 0], wp[1, 1], bit_depth)
+        pred_v = apply_wp(pred_v, wp[2, 0], wp[2, 1], bit_depth)
+    lev_y, rec_y = _residual_pass(orig_y, pred_y, s, qp, bit_depth, scaling)
+    lev_u, rec_u = _residual_pass(orig_u, pred_u, s // 2, qp, bit_depth,
+                                  scaling)
+    lev_v, rec_v = _residual_pass(orig_v, pred_v, s // 2, qp, bit_depth,
+                                  scaling)
+    return lev_y, lev_u, lev_v, dict(y=rec_y, u=rec_u, v=rec_v)
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "block_size", "bit_depth",
+                                             "wrap_around", "scaling"))
+def reconstruct_p_frame_2ref(ref_idx, mvs, lev_y, lev_u, lev_v, ref0, ref1,
+                             qp: int, block_size: int = 16,
+                             bit_depth: int = 8, wrap_around: bool = False,
+                             wp: jnp.ndarray | None = None,
+                             scaling: tuple | None = None):
+    """Decoder-side two-reference P reconstruction (shared math with
+    finish_p_frame_2ref -> bit-exact)."""
+    s = block_size
+    sc = s // 2
+    h, w = ref0[0].shape
+    nby, nbx = h // s, w // s
+    pred_y, pred_u, pred_v = _mc_predict_2ref(ref0, ref1, ref_idx, mvs, s,
+                                              bit_depth, wrap_around)
+    if wp is not None:
+        pred_y = apply_wp(pred_y, wp[0, 0], wp[0, 1], bit_depth)
+        pred_u = apply_wp(pred_u, wp[1, 0], wp[1, 1], bit_depth)
+        pred_v = apply_wp(pred_v, wp[2, 0], wp[2, 1], bit_depth)
+
+    def rec_plane(pred, lev, size):
+        log2s = size.bit_length() - 1
+        pb = _to_blocks(pred, size)
+        dq = quant.dequantize(lev.reshape(-1, size, size), qp, log2s, log2s,
+                              bit_depth, scaling=scaling)
+        r = transforms.inverse_transform(dq, bit_depth=bit_depth)
+        rec = jnp.clip(pb + r, 0, (1 << bit_depth) - 1)
+        return _from_blocks(rec, nby, nbx)
+
+    return dict(y=rec_plane(pred_y, lev_y, s),
+                u=rec_plane(pred_u, lev_u, sc),
+                v=rec_plane(pred_v, lev_v, sc))
+
+
 def _shift_i_field(f: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """out[by, bx] = f[by + dy, bx + dx]; out-of-range entries 0."""
     nby, nbx = f.shape

@@ -189,6 +189,12 @@ class SPS:
                                   # sps_bdpcm_enabled_flag)
     lossless: bool = False        # all-TS qStep-1 lossless coding (the
                                   # reference lossless cfg path, cfg/lossless)
+    intra_split: bool = False     # two-level intra partitioning: 16x16
+                                  # superblocks with a per-SB split into
+                                  # 8x8 quads (common/intra_part.py;
+                                  # reference: one level of the QTMT intra
+                                  # recursion, EncCu.cpp:499 +
+                                  # split_cu_flag)
     mm: MMConfig = field(default_factory=MMConfig)
 
     def write(self, bw: BitWriter) -> None:
@@ -239,6 +245,7 @@ class SPS:
         bw.write_flag(self.ts)
         bw.write_flag(self.bdpcm)
         bw.write_flag(self.lossless)
+        bw.write_flag(self.intra_split)
         mm = self.mm
         bw.write_flag(mm.any_enabled())
         if mm.any_enabled():
@@ -300,6 +307,7 @@ class SPS:
         sps.ts = br.read_flag()
         sps.bdpcm = br.read_flag()
         sps.lossless = br.read_flag()
+        sps.intra_split = br.read_flag()
         if br.read_flag():
             mm = sps.mm
             mm.mpa, mm.t3d, mm.tan, mm.rot, mm.ged, mm.geda = (

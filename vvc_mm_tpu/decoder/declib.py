@@ -180,7 +180,31 @@ class DecLib:
         br = BitReader(payload)
         sh = SliceHeader.read(br, sps)
         cabac_bytes = bytes(payload[br._pos // 8:])
-        if sh.slice_type == SliceType.I:
+        if sh.slice_type == SliceType.I and sps.intra_split:
+            from ..common import intra_part
+            from .intra_parser import decode_intra_slice_part
+            nsy = sps.height // intra_part.SB
+            nsx = sps.width // intra_part.SB
+            grids = decode_intra_slice_part(cabac_bytes, nsy, nsx,
+                                            stats=self.stats)
+            coords, valid = wavefront.wavefront_coords(nsy, nsx)
+            steps = [jnp.asarray(wavefront.grid_to_steps(g, coords, valid))
+                     for g in grids]
+            recon = intra_part.decode_intra_frame_part(
+                *steps, sh.qp, sps.height, sps.width, sps.bit_depth)
+            if sps.deblocking:
+                nby, nbx = sps.height // 8, sps.width // 8
+                bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)
+                ry, ru, rv = deblock.deblock_frame(
+                    recon["y"], recon["u"], recon["v"], bs_v, bs_h, 8,
+                    sh.qp, sps.bit_depth)
+                recon = dict(y=ry, u=ru, v=rv)
+            recon = self._apply_sao(recon, sh)
+            self.frames.append(DecodedFrame(
+                poc=sh.poc,
+                planes=[np.asarray(recon["y"]), np.asarray(recon["u"]),
+                        np.asarray(recon["v"])]))
+        elif sh.slice_type == SliceType.I:
             s = sps.intra_block_size
             nby, nbx = sps.height // s, sps.width // s
             parse = (decode_intra_slice_wpp if sps.wpp
@@ -329,6 +353,30 @@ class DecLib:
                     jnp.asarray(ref.planes[0]), jnp.asarray(ref.planes[1]),
                     jnp.asarray(ref.planes[2]), sh.qp, s, sps.bit_depth,
                     sps.wrap_around)
+            elif len(sh.ref_pocs_l0) >= 2 and sps.merge:
+                # two-reference P slice: per-block ref_idx (reference:
+                # ref_idx syntax; RPL in the slice header)
+                from .inter_parser import decode_p_slice_2ref
+                ref2 = self._ref_by_poc(sh.ref_pocs_l0[1])
+                col = (self._mv_fields.get(sh.ref_pocs_l0[0])
+                       if sps.tmvp else None)
+                mer_blk = max(0, sps.log2_parallel_merge_level
+                              - (s.bit_length() - 1))
+                ridx, mvs, ly, lu, lv = decode_p_slice_2ref(
+                    cabac_bytes, nby, nbx, s, stats=self.stats,
+                    col_mvs=col, use_tmvp=sps.tmvp, use_amvr=sps.amvr,
+                    mer_blocks_log2=mer_blk)
+                self._mv_fields[sh.poc] = mvs.astype(np.int64)
+                recon = inter_frame.reconstruct_p_frame_2ref(
+                    jnp.asarray(ridx), jnp.asarray(mvs),
+                    jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
+                    tuple(jnp.asarray(p) for p in ref.planes),
+                    tuple(jnp.asarray(p) for p in ref2.planes),
+                    sh.qp, s, sps.bit_depth, sps.wrap_around,
+                    wp=(None if sh.wp_params is None
+                        else jnp.asarray(np.asarray(sh.wp_params,
+                                                    dtype=np.int32))),
+                    scaling=tuple(sps.scaling_list) or None)
             else:
                 col = (self._mv_fields.get(sh.ref_pocs_l0[0])
                        if sps.tmvp else None)

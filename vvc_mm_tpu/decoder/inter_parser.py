@@ -538,6 +538,78 @@ def decode_p_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
     return mvs, lev_y, lev_u, lev_v
 
 
+def decode_p_slice_2ref(data: bytes, nby: int, nbx: int, s: int,
+                        stats=None, col_mvs: np.ndarray | None = None,
+                        use_tmvp: bool = False, use_amvr: bool = False,
+                        mer_blocks_log2: int = 0):
+    """Exact inverse of encoder.inter_coder.encode_p_slice_2ref.  Returns
+    (ref_idx, mvs, lev_y, lev_u, lev_v)."""
+    from ..common.inter_frame import AMVR_SHIFTS, round_mv_amvr
+    from ..encoder.inter_coder import merge_candidates_ref
+    dec = _make(data, stats)
+    sc = s // 2
+    ref_idx = np.zeros((nby, nbx), dtype=np.int32)
+    mvs = np.zeros((nby, nbx, 2), dtype=np.int64)
+    lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
+    lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    hist = HmvpList() if use_tmvp else None
+    for by in range(nby):
+        for bx in range(nbx):
+            col = (col_mvs[by, bx]
+                   if (use_tmvp and col_mvs is not None) else None)
+            mcands = merge_candidates_ref(ref_idx, mvs, by, bx, col, hist,
+                                          mer_blocks_log2=mer_blocks_log2)
+            _lbl(dec, "skip_flag")
+            skip = bool(dec.decode_bin(ctx_id("SkipFlag")))
+            mrg = skip
+            if not skip:
+                _lbl(dec, "merge_flag")
+                mrg = bool(dec.decode_bin(ctx_id("MergeFlag")))
+            if mrg:
+                _lbl(dec, "merge_idx")
+                r, mv = mcands[decode_merge_idx(dec)]
+                ref_idx[by, bx] = r
+                mvs[by, bx] = mv
+            else:
+                _lbl(dec, "ref_idx")
+                ref_idx[by, bx] = dec.decode_bin(ctx_id("RefPic", 0))
+                if use_tmvp:
+                    cands = amvp_list(mvs, by, bx, col, hist)
+                    _lbl(dec, "mvp_idx")
+                    idx = dec.decode_bin(ctx_id("MvpIdx"))
+                else:
+                    cands = [mvp_median(mvs, by, bx)]
+                    idx = 0
+                sh = 0
+                if use_amvr:
+                    _lbl(dec, "amvr_mode")
+                    m = 0
+                    if dec.decode_bin(ctx_id("Amvr", 0)):
+                        m = 1 + dec.decode_bin(ctx_id("Amvr", 1))
+                    sh = AMVR_SHIFTS[m]
+                _lbl(dec, "mvd")
+                mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
+                               dtype=np.int64)
+                if use_amvr:
+                    mvs[by, bx] = (round_mv_amvr(cands[idx], sh)
+                                   + (mvd << sh))
+                else:
+                    mvs[by, bx] = cands[idx] + mvd
+            if not skip:
+                for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
+                                        ("v", lev_v, sc)):
+                    _lbl(dec, "cbf")
+                    if dec.decode_bin(
+                            ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp])):
+                        _lbl(dec, "residual_" + comp)
+                        lev[by, bx] = coeffs_decode(dec, size, size,
+                                                    chroma=(comp != "y"))
+            if hist is not None:
+                hist.push(mvs[by, bx])
+    return ref_idx, mvs, lev_y, lev_u, lev_v
+
+
 # ---------------------------------------------------------------- MTT
 
 def _parse_split_syntax(dec, d, s, u):

@@ -55,6 +55,60 @@ def decode_intra_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
     return grids
 
 
+def decode_intra_slice_part(data: bytes, nsy: int, nsx: int, stats=None):
+    """Exact inverse of encoder.intra_coder.encode_intra_slice_part.
+    Returns (split, mode16, modes8, l16y, l16u, l16v, l8y, l8u, l8v)."""
+    from ..common.intra_part import _QUADS, SB, SUB
+    if stats is not None:
+        from ..utils.trace import StatsBinDecoder
+        dec = StatsBinDecoder(data, stats)
+    else:
+        dec = make_decoder(data)
+    sc16, sc8 = SB // 2, SUB // 2
+    split = np.zeros((nsy, nsx), dtype=np.int32)
+    mode16 = np.zeros((nsy, nsx), dtype=np.int32)
+    modes8 = np.zeros((nsy, nsx, 4), dtype=np.int32)
+    l16y = np.zeros((nsy, nsx, SB, SB), dtype=np.int32)
+    l16u = np.zeros((nsy, nsx, sc16, sc16), dtype=np.int32)
+    l16v = np.zeros((nsy, nsx, sc16, sc16), dtype=np.int32)
+    l8y = np.zeros((nsy, nsx, 4, SUB, SUB), dtype=np.int32)
+    l8u = np.zeros((nsy, nsx, 4, sc8, sc8), dtype=np.int32)
+    l8v = np.zeros((nsy, nsx, 4, sc8, sc8), dtype=np.int32)
+    cell = np.full((2 * nsy, 2 * nsx), -1, dtype=np.int32)
+
+    def parse_one(cy, cx, ly, lu, lv, sizes):
+        left = int(cell[cy, cx - 1]) if cx > 0 else -1
+        above = int(cell[cy - 1, cx]) if cy > 0 else -1
+        _lbl(dec, "intra_mode")
+        mode = decode_intra_mode(dec, left, above)
+        for lev, sz, cid in ((ly, sizes[0], 0), (lu, sizes[1], 4),
+                             (lv, sizes[1], 5)):
+            _lbl(dec, "cbf")
+            if dec.decode_bin(ctx_id("QtCbf", cid)):
+                _lbl(dec, "residual")
+                lev[...] = coeffs_decode(dec, sz, sz, chroma=(cid != 0))
+        return mode
+
+    for sy in range(nsy):
+        for sx in range(nsx):
+            _lbl(dec, "split_flag")
+            sp = dec.decode_bin(ctx_id("SplitFlag", 0))
+            split[sy, sx] = sp
+            if sp:
+                for k, (qy, qx) in enumerate(_QUADS):
+                    cy, cx = 2 * sy + qy, 2 * sx + qx
+                    m = parse_one(cy, cx, l8y[sy, sx, k], l8u[sy, sx, k],
+                                  l8v[sy, sx, k], (SUB, sc8))
+                    modes8[sy, sx, k] = m
+                    cell[cy, cx] = m
+            else:
+                m = parse_one(2 * sy, 2 * sx, l16y[sy, sx], l16u[sy, sx],
+                              l16v[sy, sx], (SB, sc16))
+                mode16[sy, sx] = m
+                cell[2 * sy:2 * sy + 2, 2 * sx:2 * sx + 2] = m
+    return split, mode16, modes8, l16y, l16u, l16v, l8y, l8u, l8v
+
+
 def decode_intra_slice_wpp(data: bytes, nby: int, nbx: int, s: int,
                            stats=None, cclm: bool = False, mip: bool = False,
                            lfnst: bool = False, mrl: bool = False,

@@ -49,6 +49,11 @@ class EncCfg:
     gop_size: int = 8            # RA mini-GOP (reference:
                                  # cfg/encoder_randomaccess_vtm.cfg GOP table)
     search_range: int = 24
+    max_num_ref: int = 2         # active references per list (plain-grid
+                                 # P path; reference: per-ref ME loop
+                                 # InterSearch.cpp:4937, RPL selection
+                                 # EncLib.cpp:2213).  2 = ref_idx syntax
+                                 # on, 1 = single-ref like round 3
     qt_depth: int = 0            # inter quadtree depth (0 = fixed grid;
                                  # QTMT analog — common/qtree.py)
     mtt: bool = False            # BT/TT splits on top of the quadtree
@@ -113,6 +118,12 @@ class EncCfg:
                                  # 4-pel per block; reference: IMV loop
                                  # EncCu.cpp:775, --IMV)
     mrl: bool = False            # multi-reference-line intra (--MRL)
+    intra_split: bool = False    # two-level intra partitioning: 16x16
+                                 # superblocks split into 8x8 quads by RD
+                                 # (common/intra_part.py; reference: one
+                                 # level of QTMT intra, EncCu.cpp:499).
+                                 # Base toolset only (no CCLM/MIP/... —
+                                 # those ride the fixed-grid path)
     wpp: bool = False            # entropy substreams + entry points (--WPP)
     num_substreams: int = 4
     weighted_pred: bool = False  # explicit weighted prediction P slices
@@ -144,6 +155,7 @@ class EncCfg:
                          num_units_in_tick=1000)
                if self.target_bitrate_kbps > 0 else None)
         return SPS(width=self.width, height=self.height, hrd=hrd,
+                   max_num_ref=self.max_num_ref,
                    log2_parallel_merge_level=self.log2_parallel_merge_level,
                    scaling_list=tuple(int(v) for v in self.scaling_list),
                    bit_depth=self.bit_depth,
@@ -159,7 +171,7 @@ class EncCfg:
                    lfnst=self.lfnst, tmvp=self.tmvp, merge=self.merge,
                    mrl=self.mrl,
                    mts=self.mts, amvr=self.amvr,
-                   wpp=self.wpp,
+                   wpp=self.wpp, intra_split=self.intra_split,
                    num_substreams=self.num_substreams,
                    ts=self.transform_skip or self.lossless,
                    bdpcm=self.bdpcm, lossless=self.lossless)
@@ -302,6 +314,8 @@ class EncLib:
         t0 = time.time()
         s = cfg.intra_block_size
         dev = xfer.upload_planes(planes, cfg.bit_depth)
+        if cfg.intra_split:
+            return self._encode_intra_frame_part(poc, planes, dev, qp, t0)
         outs, recon = wavefront.encode_intra_frame(
             dev[0], dev[1], dev[2], qp, s, cfg.bit_depth,
             dep_quant=cfg.dep_quant, use_cclm=cfg.cclm,
@@ -365,12 +379,59 @@ class EncLib:
         self.results.append(res)
         return nal, res
 
+    def _encode_intra_frame_part(self, poc, planes, dev, qp, t0):
+        """Two-level (16 vs 8x8-quad) intra frame (common/intra_part.py)."""
+        from ..common import intra_part
+        from .intra_coder import encode_intra_slice_part
+        cfg = self.cfg
+        outs, recon = intra_part.encode_intra_frame_part(
+            dev[0], dev[1], dev[2], qp, cfg.bit_depth)
+        pulled = xfer.pull_levels(*outs)
+        nsy = cfg.height // intra_part.SB
+        nsx = cfg.width // intra_part.SB
+        coords, valid = wavefront.wavefront_coords(nsy, nsx)
+        grids = [wavefront.steps_to_grid(p, coords, valid) for p in pulled]
+        payload = encode_intra_slice_part(*grids)
+        if cfg.deblocking:
+            # both sides deblock on the 8-grid (every possible transform
+            # edge) — self-consistent, decoder mirrors identically
+            nby, nbx = cfg.height // 8, cfg.width // 8
+            bs_v, bs_h = deblock.boundary_strengths_intra(nby, nbx)
+            ry, ru, rv = deblock.deblock_frame(
+                recon["y"], recon["u"], recon["v"], bs_v, bs_h, 8, qp,
+                cfg.bit_depth)
+            recon = dict(y=ry, u=ru, v=rv)
+        recon, sao_params = self._sao_stage(recon, dev, qp)
+        recon, alf_params = self._alf_stage(recon, dev[0], qp,
+                                            (dev[1], dev[2]))
+        sh = SliceHeader(poc=poc, slice_type=SliceType.I, qp=qp,
+                         sao_params=sao_params, alf_params=alf_params,
+                         alf_chroma_params=self._pending_alf_chroma,
+                         ccalf_params=self._pending_ccalf)
+        bw = BitWriter()
+        sh.write(bw, self.sps)
+        bw.write_bytes(payload)
+        nal = NalUnit(NAL_IDR, 0, bw.get_bytes())
+        self._dpb_dev[poc] = (recon["y"], recon["u"], recon["v"])
+        rec, psnrs = xfer.finalize_recon(recon, dev, cfg.bit_depth)
+        res = FrameResult(
+            poc=poc, bits=len(nal.payload) * 8,
+            psnr_y=psnrs[0], psnr_u=psnrs[1], psnr_v=psnrs[2],
+            recon=rec, seconds=time.time() - t0)
+        self._finish_frame(res, planes)
+        self.results.append(res)
+        return nal, res
+
     def encode_p_frame(self, poc: int, planes: list[np.ndarray],
                        ref: list[np.ndarray], ref_poc: int,
-                       qp: int | None = None
+                       qp: int | None = None,
+                       ref2: list[np.ndarray] | None = None,
+                       ref2_poc: int = -1
                        ) -> tuple[NalUnit, FrameResult]:
-        """Low-delay P encode against one reference reconstruction
-        (reference: EncGOP::compressGOP inter picture path)."""
+        """Low-delay P encode against one or two reference reconstructions
+        (reference: EncGOP::compressGOP inter picture path; per-ref ME
+        InterSearch.cpp:4937).  ref2 activates per-block ref_idx on the
+        plain merge path."""
         cfg = self.cfg
         qp = self.cfg.qp if qp is None else qp
         t0 = time.time()
@@ -379,6 +440,14 @@ class EncLib:
         rdev = self._dpb_dev.get(ref_poc)
         if rdev is None:
             rdev = xfer.upload_planes(ref, cfg.bit_depth)
+        use_2ref = (ref2 is not None and cfg.max_num_ref >= 2
+                    and cfg.merge and not cfg.mm.any_enabled()
+                    and cfg.qt_depth == 0 and not cfg.affine
+                    and not cfg.mcts_tiles)
+        if use_2ref:
+            r2dev = self._dpb_dev.get(ref2_poc)
+            if r2dev is None:
+                r2dev = xfer.upload_planes(ref2, cfg.bit_depth)
         epipole_delta = None
         wp = None     # weighted prediction: plain-P path only
         if cfg.mm.any_enabled():
@@ -540,6 +609,44 @@ class EncLib:
                 ly, lu, lv, mvs, aff, dmv)
             payload = encode_p_slice_affine(mvs_h, aff_h, dmv_h,
                                             lyh, luh, lvh)
+        elif use_2ref:
+            # two-reference merge pipeline: per-ref ME + ref_idx decision
+            # on device, host merge selection with (ref, mv) candidates,
+            # finish from the FINAL fields (reference: per-ref ME loop
+            # InterSearch.cpp:4937 + ref_idx syntax)
+            from .inter_coder import (encode_p_slice_2ref,
+                                      select_merge_p_2ref)
+            wp = (self._estimate_wp(planes, ref)
+                  if cfg.weighted_pred else None)
+            nby, nbx = cfg.height // s, cfg.width // s
+            col = self._mv_fields.get(ref_poc) if cfg.tmvp else None
+            col_dev = jnp.asarray(
+                col.astype(np.int32) if col is not None
+                else np.zeros((nby, nbx, 2), np.int32))
+            out = inter_frame.search_p_frame_2ref(
+                dev[0], rdev[0], r2dev[0], col_dev, qp, s, cfg.bit_depth,
+                cfg.search_range, cfg.wrap_around, amvr=cfg.amvr)
+            (ref_h, mvs_h, imv_h, sad_h, cref_h, cmv_h,
+             csad_h) = xfer.pull_i32(*out)
+            lam_sqrt = quant.lambda_from_qp(qp, intra=False) ** 0.5
+            mer_blk = max(0, self.sps.log2_parallel_merge_level
+                          - (s.bit_length() - 1))
+            f_ref, f_mv, mflag, midx = select_merge_p_2ref(
+                ref_h, mvs_h, sad_h, cref_h, cmv_h, csad_h, col,
+                lam_sqrt, cfg.tmvp, mer_blk)
+            mvs = jnp.asarray(f_mv.astype(np.int32))
+            ly, lu, lv, recon = inter_frame.finish_p_frame_2ref(
+                dev[0], dev[1], dev[2], tuple(rdev), tuple(r2dev),
+                jnp.asarray(f_ref), mvs, qp, s, cfg.bit_depth,
+                cfg.wrap_around,
+                wp=None if wp is None else jnp.asarray(wp),
+                scaling=tuple(cfg.scaling_list) or None)
+            lyh, luh, lvh = xfer.pull_levels(ly, lu, lv)
+            payload = encode_p_slice_2ref(
+                f_ref, f_mv, lyh, luh, lvh, col_mvs=col,
+                use_tmvp=cfg.tmvp, imv=imv_h if cfg.amvr else None,
+                merge_flag=mflag, merge_idx=midx)
+            self._mv_fields[poc] = f_mv.astype(np.int64)
         elif cfg.merge:
             # merge/skip pipeline: device search (ME + candidate-field
             # SADs) -> host merge selection in coding order -> device
@@ -616,7 +723,9 @@ class EncLib:
         recon, alf_params = self._alf_stage(recon, dev[0], qp,
                                             (dev[1], dev[2]))
         sh = SliceHeader(poc=poc, slice_type=SliceType.P, qp=qp,
-                         ref_pocs_l0=[ref_poc], epipole_delta=epipole_delta,
+                         ref_pocs_l0=([ref_poc, ref2_poc] if use_2ref
+                                      else [ref_poc]),
+                         epipole_delta=epipole_delta,
                          sao_params=sao_params, alf_params=alf_params,
                          alf_chroma_params=self._pending_alf_chroma,
                          ccalf_params=self._pending_ccalf,
@@ -1091,11 +1200,23 @@ class EncLib:
                 nalus.append(self._hash_sei(0, res.recon))
             dpb[0] = res.recon
             order = self.ra_coding_order(len(frames), self.cfg.gop_size)
-            for i, (poc, r0, r1, tid) in enumerate(order):
+            # GOP-anchor P frames take the previous TWO anchors as their
+            # reference list (RPL from the GOP structure; reference:
+            # EncLib.cpp:2213 RPL selection, cfg GOP tables)
+            anchors = [0]
+            order2 = []
+            for (poc, r0, r1, tid) in order:
+                r2 = -1
                 if r1 < 0:
-                    nal, res = self.encode_p_frame(poc, frames[poc],
-                                                   dpb[r0], r0,
-                                                   qp=rc_qp("P"))
+                    r2 = anchors[-2] if len(anchors) >= 2 else -1
+                    anchors.append(poc)
+                order2.append((poc, r0, r1, r2, tid))
+            for i, (poc, r0, r1, r2, tid) in enumerate(order2):
+                if r1 < 0:
+                    nal, res = self.encode_p_frame(
+                        poc, frames[poc], dpb[r0], r0, qp=rc_qp("P"),
+                        ref2=dpb.get(r2) if r2 >= 0 else None,
+                        ref2_poc=r2)
                 else:
                     nal, res = self.encode_b_frame(poc, frames[poc],
                                                    dpb[r0], r0, dpb[r1], r1,
@@ -1109,8 +1230,8 @@ class EncLib:
                                                 else 0))
                 # prune device-side DPB: keep only pictures still needed
                 # as references by the remaining coding order
-                needed = {p for (_, a, b, _t) in order[i + 1:]
-                          for p in (a, b) if p >= 0}
+                needed = {p for (_, a, b, c, _t) in order2[i + 1:]
+                          for p in (a, b, c) if p >= 0}
                 for p in list(self._dpb_dev):
                     if p not in needed:
                         del self._dpb_dev[p]
@@ -1118,7 +1239,8 @@ class EncLib:
             self._lmcs_outputs(originals)
             return write_annexb(nalus)
         last_rec: list[np.ndarray] | None = None
-        last_poc = -1
+        prev2_rec: list[np.ndarray] | None = None
+        last_poc = prev2_poc = -1
         for poc, planes in enumerate(frames):
             is_intra = (self.cfg.gop == "AI" or last_rec is None
                         or (self.cfg.intra_period > 0
@@ -1126,17 +1248,26 @@ class EncLib:
             if is_intra:
                 nal, res = self.encode_intra_frame(poc, planes,
                                                    qp=rc_qp("I"))
+                # closed GOP: references never cross the IDR
+                prev2_rec, prev2_poc = None, -1
             else:
                 nal, res = self.encode_p_frame(poc, planes, last_rec,
-                                               last_poc, qp=rc_qp("P"))
+                                               last_poc, qp=rc_qp("P"),
+                                               ref2=prev2_rec,
+                                               ref2_poc=prev2_poc)
             rc_upd(res)
             if poc == 0 and self.cfg.film_grain:
                 fg_nal = self._film_grain_sei(planes, res.recon)
                 if fg_nal is not None:
                     nalus.append(fg_nal)
-            for p in list(self._dpb_dev):   # LDP: only the last recon refs
-                if p != poc:
+            # LDP: the last TWO recons stay referenceable
+            for p in list(self._dpb_dev):
+                if p not in (poc, last_poc):
                     del self._dpb_dev[p]
+            if is_intra:
+                prev2_rec, prev2_poc = None, -1   # next P: IDR only
+            else:
+                prev2_rec, prev2_poc = last_rec, last_poc
             last_rec, last_poc = res.recon, poc
             nalus.append(nal)
             if self.cfg.picture_hash_sei:

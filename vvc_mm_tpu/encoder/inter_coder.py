@@ -235,6 +235,175 @@ def select_merge_p(mv_me: np.ndarray, sad_me: np.ndarray,
     return final, merge_flag, merge_idx
 
 
+def merge_candidates_ref(refs_g: np.ndarray, coded: np.ndarray, by: int,
+                         bx: int, col_mv=None,
+                         hist: "HmvpList | None" = None, n: int = MERGE_MAX,
+                         mer_blocks_log2: int = 0
+                         ) -> list[tuple[int, tuple[int, int]]]:
+    """Multi-reference merge candidates (ref_idx, mv) — spatial neighbors
+    carry their reference; TMVP/HMVP/pairwise/zero ride ref 0 (reference:
+    merge candidates carry mvField incl. refIdx, UnitTools.cpp:1059)."""
+    nby, nbx = refs_g.shape
+
+    def same_mer(y: int, x: int) -> bool:
+        if mer_blocks_log2 <= 0:
+            return False
+        return ((y >> mer_blocks_log2) == (by >> mer_blocks_log2)
+                and (x >> mer_blocks_log2) == (bx >> mer_blocks_log2))
+
+    cands = []
+    for (y, x) in ((by, bx - 1), (by - 1, bx), (by - 1, bx + 1),
+                   (by - 1, bx - 1)):
+        if (0 <= y < nby and 0 <= x < nbx and (y, x) < (by, bx)
+                and not same_mer(y, x)):
+            cands.append((int(refs_g[y, x]),
+                          (int(coded[y, x, 0]), int(coded[y, x, 1]))))
+    if col_mv is not None:
+        cands.append((0, (int(col_mv[0]), int(col_mv[1]))))
+    if hist is not None:
+        for c in hist.cands():
+            cands.append((0, (int(c[0]), int(c[1]))))
+    out = []
+    for c in cands:
+        if c not in out:
+            out.append(c)
+        if len(out) == n:
+            break
+    if len(out) >= 2 and len(out) < n and out[0][0] == out[1][0]:
+        pw = (out[0][0], ((out[0][1][0] + out[1][1][0] + 1) >> 1,
+                          (out[0][1][1] + out[1][1][1] + 1) >> 1))
+        if pw not in out:
+            out.append(pw)
+    zero = (0, (0, 0))
+    if len(out) < n and zero not in out:
+        out.append(zero)
+    while len(out) < n:
+        out.append(zero)
+    return out
+
+
+def select_merge_p_2ref(ref_me: np.ndarray, mv_me: np.ndarray,
+                        sad_me: np.ndarray, cand_ref: np.ndarray,
+                        cand_mvs: np.ndarray, cand_sads: np.ndarray,
+                        col_mvs: np.ndarray | None, lam_sqrt: float,
+                        use_tmvp: bool, mer_blocks_log2: int = 0):
+    """Two-reference merge decision in coding order.  Returns
+    (final_ref, final_mvs, merge_flag, merge_idx)."""
+    nby, nbx = ref_me.shape
+    f_ref = ref_me.astype(np.int32).copy()
+    f_mv = mv_me.astype(np.int64).copy()
+    merge_flag = np.zeros((nby, nbx), dtype=bool)
+    merge_idx = np.zeros((nby, nbx), dtype=np.int32)
+    hist = HmvpList() if use_tmvp else None
+    n_fields = cand_ref.shape[0]
+    for by in range(nby):
+        for bx in range(nbx):
+            col = (col_mvs[by, bx] if (use_tmvp and col_mvs is not None)
+                   else None)
+            cands = merge_candidates_ref(f_ref, f_mv, by, bx, col, hist,
+                                         mer_blocks_log2=mer_blocks_log2)
+            me = (int(ref_me[by, bx]),
+                  (int(mv_me[by, bx, 0]), int(mv_me[by, bx, 1])))
+            best = None
+            for i, c in enumerate(cands):
+                if c == me:
+                    sad = int(sad_me[by, bx])
+                else:
+                    sad = None
+                    for k in range(n_fields):
+                        if (int(cand_ref[k, by, bx]) == c[0]
+                                and int(cand_mvs[k, by, bx, 0]) == c[1][0]
+                                and int(cand_mvs[k, by, bx, 1]) == c[1][1]):
+                            sad = int(cand_sads[k, by, bx])
+                            break
+                    if sad is None:
+                        continue
+                cost = sad + lam_sqrt * (i + 2)
+                if best is None or cost < best[0]:
+                    best = (cost, i, c)
+            pred = mvp_median(f_mv, by, bx)
+            mvd = np.asarray(me[1], dtype=np.int64) - pred
+            amvp_cost = (int(sad_me[by, bx])
+                         + lam_sqrt * (3 + _mvd_bits(mvd)))
+            if best is not None and best[0] <= amvp_cost:
+                merge_flag[by, bx] = True
+                merge_idx[by, bx] = best[1]
+                f_ref[by, bx] = best[2][0]
+                f_mv[by, bx] = best[2][1]
+            if hist is not None:
+                hist.push(f_mv[by, bx])
+    return f_ref, f_mv, merge_flag, merge_idx
+
+
+def encode_p_slice_2ref(ref_idx: np.ndarray, mvs: np.ndarray,
+                        lev_y: np.ndarray, lev_u: np.ndarray,
+                        lev_v: np.ndarray,
+                        col_mvs: np.ndarray | None = None,
+                        use_tmvp: bool = False,
+                        imv: np.ndarray | None = None,
+                        merge_flag: np.ndarray | None = None,
+                        merge_idx: np.ndarray | None = None) -> bytes:
+    """Two-reference P slice: the merge syntax of encode_p_slice plus a
+    context-coded ref_idx bin on AMVP-coded blocks (reference:
+    CABACWriter::ref_idx, Ctx::RefPic)."""
+    from ..common.inter_frame import AMVR_SHIFTS, round_mv_amvr
+    enc = make_encoder()
+    nby, nbx = mvs.shape[:2]
+    mvs = mvs.astype(np.int64)
+    hist = HmvpList() if use_tmvp else None
+    cbf_yg = (lev_y != 0).any(axis=(2, 3))
+    cbf_ug = (lev_u != 0).any(axis=(2, 3))
+    cbf_vg = (lev_v != 0).any(axis=(2, 3))
+    for by in range(nby):
+        for bx in range(nbx):
+            mv = mvs[by, bx]
+            cy, cu, cv = (bool(cbf_yg[by, bx]), bool(cbf_ug[by, bx]),
+                          bool(cbf_vg[by, bx]))
+            no_resid = not (cy or cu or cv)
+            mrg = bool(merge_flag[by, bx])
+            skip = mrg and no_resid
+            enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+            if skip:
+                encode_merge_idx(enc, int(merge_idx[by, bx]))
+                if hist is not None:
+                    hist.push(mv)
+                continue
+            enc.encode_bin(int(mrg), ctx_id("MergeFlag"))
+            if mrg:
+                encode_merge_idx(enc, int(merge_idx[by, bx]))
+            else:
+                enc.encode_bin(int(ref_idx[by, bx]), ctx_id("RefPic", 0))
+                if use_tmvp:
+                    col = col_mvs[by, bx] if col_mvs is not None else None
+                    cands = amvp_list(mvs, by, bx, col, hist)
+                    mvds = [mv - c for c in cands]
+                    idx = int(np.argmin([_mvd_bits(d) for d in mvds]))
+                    pred, mvd = cands[idx], mvds[idx]
+                    enc.encode_bin(idx, ctx_id("MvpIdx"))
+                else:
+                    pred = mvp_median(mvs, by, bx)
+                    mvd = mv - pred
+                if imv is not None:
+                    m = int(imv[by, bx])
+                    sh = AMVR_SHIFTS[m]
+                    enc.encode_bin(int(m > 0), ctx_id("Amvr", 0))
+                    if m > 0:
+                        enc.encode_bin(int(m > 1), ctx_id("Amvr", 1))
+                    predr = round_mv_amvr(pred, sh)
+                    mvd = (mv - predr) >> sh
+                encode_mvd_comp(enc, int(mvd[0]))
+                encode_mvd_comp(enc, int(mvd[1]))
+            for cbf, lev, cid in ((cy, lev_y[by, bx], 0),
+                                  (cu, lev_u[by, bx], 4),
+                                  (cv, lev_v[by, bx], 5)):
+                enc.encode_bin(int(cbf), ctx_id("QtCbf", cid))
+                if cbf:
+                    coeffs_encode(enc, lev, chroma=(cid != 0))
+            if hist is not None:
+                hist.push(mv)
+    return enc.finish()
+
+
 def merge_candidates_b(dirs_g: np.ndarray, mv0_g: np.ndarray,
                        mv1_g: np.ndarray, by: int, bx: int,
                        n: int = MERGE_MAX, mer_blocks_log2: int = 0
@@ -1160,6 +1329,99 @@ def _code_leaf_span(enc, mv, levs, coded, avail, uy, ux, ky, kx) -> None:
     coded[uy:uy + ky, ux:ux + kx] = np.asarray(mv, dtype=np.int64) \
         if not skip else pred
     avail[uy:uy + ky, ux:ux + kx] = True
+
+
+def mvp_unit_grid_mm(coded: np.ndarray, models_u: np.ndarray,
+                     avail: np.ndarray, uy: int, ux: int, k: int,
+                     midx: int) -> np.ndarray:
+    """Same-model median MVP over the causal unit grid (QT-MM leaves;
+    reference analog: fillMvpCand restricted to same-model neighbors,
+    the flat-grid mvp_median_same_model at unit granularity)."""
+    nuy, nux = avail.shape
+    cand = []
+    for (y, x) in ((uy, ux - 1), (uy - 1, ux), (uy - 1, ux + k),
+                   (uy - 1, ux - 1)):
+        if (0 <= y < nuy and 0 <= x < nux and avail[y, x]
+                and models_u[y, x] == midx):
+            cand.append(coded[y, x])
+        if len(cand) == 3:
+            break
+    if not cand:
+        return np.zeros(2, dtype=np.int64)
+    if len(cand) == 1:
+        return cand[0].astype(np.int64)
+    if len(cand) == 2:
+        return ((cand[0].astype(np.int64) + cand[1] + 1) >> 1)
+    c = np.stack(cand[:3]).astype(np.int64)
+    return np.median(c, axis=0).astype(np.int64)
+
+
+def inherited_midx_unit(models_u: np.ndarray, avail: np.ndarray, uy: int,
+                        ux: int) -> int:
+    """Skip-mode model inheritance on the unit grid: left, else above,
+    else CLASSIC (index 0)."""
+    if ux > 0 and avail[uy, ux - 1]:
+        return int(models_u[uy, ux - 1])
+    if uy > 0 and avail[uy - 1, ux]:
+        return int(models_u[uy - 1, ux])
+    return 0
+
+
+def encode_p_slice_qt_mm(splits, midxs, mvs, levels, top: int, depth: int,
+                         n_active: int) -> bytes:
+    """Quadtree P-slice with per-leaf MOTION MODEL syntax (MM x
+    partitioning; reference: the per-model mode loop inside the QTMT
+    recursion, EncCu.cpp:775-798 + CABACWriter motion_model).  Leaf:
+    skip / motion_model / mvd (same-model unit-grid MVP) / cbf+coeffs."""
+    enc = make_encoder()
+    u = top >> depth
+    nty, ntx = splits[0].shape if depth else mvs[0].shape[:2]
+    nuy, nux = mvs[-1].shape[:2]
+    coded = np.zeros((nuy, nux, 2), dtype=np.int64)
+    models_u = np.zeros((nuy, nux), dtype=np.int32)
+    avail = np.zeros((nuy, nux), dtype=bool)
+
+    def code_leaf(d, by, bx):
+        k = (top >> d) // u
+        uy, ux = by * k, bx * k
+        midx = int(midxs[d][by, bx])
+        mv = np.asarray(mvs[d][by, bx], dtype=np.int64)
+        levs = tuple(levels[d][c][by, bx] for c in range(3))
+        no_resid = all(not np.any(l != 0) for l in levs)
+        inh = inherited_midx_unit(models_u, avail, uy, ux)
+        inh_mv = mvp_unit_grid_mm(coded, models_u, avail, uy, ux, k, inh)
+        skip = (no_resid and midx == inh and mv[0] == inh_mv[0]
+                and mv[1] == inh_mv[1])
+        enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+        if not skip:
+            encode_motion_model(enc, midx, n_active)
+            pred = mvp_unit_grid_mm(coded, models_u, avail, uy, ux, k,
+                                    midx)
+            encode_mvd_comp(enc, int(mv[0] - pred[0]))
+            encode_mvd_comp(enc, int(mv[1] - pred[1]))
+            for ci, lev in enumerate(levs):
+                cbf = bool(np.any(lev != 0))
+                enc.encode_bin(int(cbf), ctx_id("QtCbf", (0, 4, 5)[ci]))
+                if cbf:
+                    coeffs_encode(enc, lev, chroma=(ci != 0))
+        coded[uy:uy + k, ux:ux + k] = mv
+        models_u[uy:uy + k, ux:ux + k] = midx
+        avail[uy:uy + k, ux:ux + k] = True
+
+    def code_node(d, by, bx):
+        if d < depth:
+            sp = bool(splits[d][by, bx])
+            enc.encode_bin(int(sp), ctx_id("SplitFlag", min(d, 8)))
+            if sp:
+                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    code_node(d + 1, 2 * by + dy, 2 * bx + dx)
+                return
+        code_leaf(d, by, bx)
+
+    for by in range(nty):
+        for bx in range(ntx):
+            code_node(0, by, bx)
+    return enc.finish()
 
 
 def encode_b_slice_mtt(codes, sq_mv0, sq_mv1, sq_dirs, sq_levels,

@@ -123,6 +123,51 @@ def _encode_intra_rows(enc, modes, lev_y, lev_u, lev_v, cclm, mip, lfnst,
                             break
 
 
+def encode_intra_slice_part(split: np.ndarray, mode16: np.ndarray,
+                            modes8: np.ndarray, l16y: np.ndarray,
+                            l16u: np.ndarray, l16v: np.ndarray,
+                            l8y: np.ndarray, l8u: np.ndarray,
+                            l8v: np.ndarray) -> bytes:
+    """Two-level intra slice: per 16x16 superblock a split_cu_flag, then
+    one mode+residual set (whole) or four in z-order (split) (reference:
+    CABACWriter split_cu_flag + intra_luma_pred_mode; common/intra_part.py
+    is the reconstruction mirror)."""
+    from ..common.intra_part import _QUADS
+    enc = make_encoder()
+    nsy, nsx = split.shape
+    # final mode per 8x8 cell (MPM source, mirrors the scan's mode map)
+    cell = np.full((2 * nsy, 2 * nsx), -1, dtype=np.int32)
+
+    def code_one(mode, cy, cx, ly, lu, lv):
+        left = int(cell[cy, cx - 1]) if cx > 0 else -1
+        above = int(cell[cy - 1, cx]) if cy > 0 else -1
+        encode_intra_mode(enc, int(mode), left, above)
+        for comp, lev in (("y", ly), ("u", lu), ("v", lv)):
+            cbf = bool(np.any(lev != 0))
+            enc.encode_bin(int(cbf),
+                           ctx_id("QtCbf", {"y": 0, "u": 4, "v": 5}[comp]))
+            if cbf:
+                coeffs_encode(enc, lev, chroma=(comp != "y"))
+
+    for sy in range(nsy):
+        for sx in range(nsx):
+            sp = int(split[sy, sx])
+            enc.encode_bin(sp, ctx_id("SplitFlag", 0))
+            if sp:
+                for k, (qy, qx) in enumerate(_QUADS):
+                    cy, cx = 2 * sy + qy, 2 * sx + qx
+                    code_one(modes8[sy, sx, k], cy, cx,
+                             l8y[sy, sx, k], l8u[sy, sx, k],
+                             l8v[sy, sx, k])
+                    cell[cy, cx] = int(modes8[sy, sx, k])
+            else:
+                code_one(mode16[sy, sx], 2 * sy, 2 * sx,
+                         l16y[sy, sx], l16u[sy, sx], l16v[sy, sx])
+                cell[2 * sy:2 * sy + 2, 2 * sx:2 * sx + 2] = \
+                    int(mode16[sy, sx])
+    return enc.finish()
+
+
 def encode_intra_slice_wpp(modes: np.ndarray, lev_y: np.ndarray,
                            lev_u: np.ndarray, lev_v: np.ndarray,
                            cclm: np.ndarray | None = None,
