@@ -267,3 +267,69 @@ def test_merge_saves_bits_on_coherent_motion():
     _, mflag, _ = select_merge_p(mvs_h, sad_h, cmv_h, csad_h, None,
                                  lam_sqrt, False, 0)
     assert mflag.mean() > 0.5
+
+
+def test_mm_qt_composition_roundtrip():
+    """--MPA --QTDepth composition: per-node model choice inside the
+    quadtree lattice (reference: EncCu.cpp:775-798 per-model loop in the
+    QTMT recursion)."""
+    from vvc_mm_tpu.common.slice_ps import MMConfig
+    from vvc_mm_tpu.common.typedefs import ProjectionID
+
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 4, motion=(3.0, 1.0))
+    mm = MMConfig(mpa=True, projection=ProjectionID.EQUIRECTANGULAR)
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=32, gop="LDP",
+                 inter_block_size=16, qt_depth=1, mm=mm, wrap_around=True)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    assert len(out) == len(frames)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
+def test_mm_qt_tree_beats_fixed_grid():
+    """The MM tree must not lose to the fixed MM grid in RD (bits at
+    comparable PSNR) on ERP content."""
+    from vvc_mm_tpu.common.slice_ps import MMConfig
+    from vvc_mm_tpu.common.typedefs import ProjectionID
+
+    fmt = VideoFormat(128, 64, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 4, motion=(4.0, 1.5))
+    mm = MMConfig(mpa=True, rot=True,
+                  projection=ProjectionID.EQUIRECTANGULAR)
+    flat = EncLib(EncCfg(width=fmt.width, height=fmt.height, qp=37,
+                         gop="LDP", inter_block_size=16, mm=mm,
+                         wrap_around=True))
+    flat.encode_sequence(frames)
+    tree = EncLib(EncCfg(width=fmt.width, height=fmt.height, qp=37,
+                         gop="LDP", inter_block_size=16, qt_depth=1,
+                         mm=mm, wrap_around=True))
+    tree.encode_sequence(frames)
+    sf, st = flat.summary(), tree.summary()
+    # RD check: either fewer bits at >= similar PSNR, or better PSNR at
+    # <= similar bits
+    assert (st["bits"] <= sf["bits"] * 1.02
+            and st["psnr_y"] >= sf["psnr_y"] - 0.1) or \
+           (st["psnr_y"] >= sf["psnr_y"] and st["bits"] <= sf["bits"] * 1.1)
+
+
+def test_full_mm_mmmvp_roundtrip():
+    """The BASELINE.md config-4 toolset (MPA+GED+ROT+MMMVP, signaled
+    epipole) — regression for the near-pole MVP-conversion overflow."""
+    from vvc_mm_tpu.common.slice_ps import MMConfig
+    from vvc_mm_tpu.common.typedefs import ProjectionID
+
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 5, motion=(3.0, 1.0))
+    mm = MMConfig(mpa=True, ged=True, rot=True, mmmvp=True,
+                  projection=ProjectionID.EQUIRECTANGULAR)
+    cfg = EncCfg(width=fmt.width, height=fmt.height, qp=37, gop="RA",
+                 gop_size=4, mm=mm, wrap_around=True,
+                 epipoles=[(1, 0, 0.0, 0.0, 1.0)])
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc

@@ -52,6 +52,8 @@ def build_parser() -> OptionParser:
     p.add("BDOF", False, "bi-directional optical flow (BIO)")
     p.add("DMVR", False, "decoder-side motion vector refinement")
     p.add("DepQuant", False, "dependent quantization (trellis, DQ)")
+    p.add("RDOQ", False, "rate-distortion-optimized quantization "
+          "(encoder-only level decision)")
     p.add("CCLM", False, "cross-component linear-model chroma prediction")
     p.add("MIP", False, "matrix-based intra prediction")
     p.add("LFNST", False, "low-frequency non-separable secondary transform")
@@ -94,6 +96,13 @@ def build_parser() -> OptionParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+    if os.environ.get("VVC_JAX_PLATFORM"):
+        # test harnesses pin app subprocesses to CPU (the axon
+        # sitecustomize ignores JAX_PLATFORMS; this honors a post-import
+        # re-pin like tests/conftest.py does)
+        import jax
+        jax.config.update("jax_platforms", os.environ["VVC_JAX_PLATFORM"])
     opts = build_parser().parse(sys.argv[1:] if argv is None else argv)
     if not opts["InputFile"] or not opts["BitstreamFile"]:
         raise SystemExit("need -i input.yuv and -b out.bin (see --help)")
@@ -119,7 +128,8 @@ def main(argv: list[str] | None = None) -> int:
                  metrics_360=opts["SphereVideo"],
                  mctf=opts["TemporalFilter"], lmcs=opts["LMCS"],
                  bdof=opts["BDOF"], dmvr=opts["DMVR"],
-                 dep_quant=opts["DepQuant"], cclm=opts["CCLM"],
+                 dep_quant=opts["DepQuant"], rdoq=opts["RDOQ"],
+                 cclm=opts["CCLM"],
                  mip=opts["MIP"], lfnst=opts["LFNST"], mrl=opts["MRL"],
                  tmvp=opts["TMVP"], merge=opts["Merge"],
                  intra_split=opts["IntraSplit"],
@@ -137,10 +147,17 @@ def main(argv: list[str] | None = None) -> int:
                                       if opts["RateControl"] else 0),
                  frame_rate=float(opts["FrameRate"]))
 
-    fmt = VideoFormat(w, h, opts["InputBitDepth"],
-                      {400: ChromaFormat.C400, 420: ChromaFormat.C420,
-                       422: ChromaFormat.C422,
-                       444: ChromaFormat.C444}[opts["InputChromaFormat"]])
+    if opts["InputChromaFormat"] != 420:
+        # the coding pipeline is 4:2:0-only (CHROMA_SCALE assumptions in
+        # the transform/MC paths); reject other formats with a clear error
+        # instead of miscoding (reference supports 400/422/444 via
+        # ChromaFormat-generic ops — a later generalization here)
+        raise SystemExit(
+            f"InputChromaFormat {opts['InputChromaFormat']} is not "
+            "supported: this encoder codes 4:2:0 only. Convert the input "
+            "(e.g. ffmpeg -pix_fmt yuv420p) or use --InputChromaFormat "
+            "420.")
+    fmt = VideoFormat(w, h, opts["InputBitDepth"], ChromaFormat.C420)
     reader = YuvReader(opts["InputFile"], fmt)
     if opts["FrameSkip"]:
         reader.skip_frames(opts["FrameSkip"])

@@ -260,7 +260,13 @@ class MMVPConverter:
         if math.isnan(ox) or math.isnan(oy) or math.isinf(ox) \
                 or math.isinf(oy):
             return np.zeros(2, dtype=np.int64)
-        return np.asarray([int(round(ox * 16.0)), int(round(oy * 16.0))],
+        # clamp to the codec MV range (reference: MV_MAX clipping in
+        # Mv.h) — near-pole conversions can blow up numerically and an
+        # unclamped value overflows the int64 MV grid arithmetic
+        lim = float(1 << 17)
+        ox = min(max(ox * 16.0, -lim), lim)
+        oy = min(max(oy * 16.0, -lim), lim)
+        return np.asarray([int(round(ox)), int(round(oy))],
                           dtype=np.int64)
 
 

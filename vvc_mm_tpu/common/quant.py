@@ -73,6 +73,61 @@ def quantize(coeff: jnp.ndarray, qp: int, log2w: int, log2h: int,
 
 
 @functools.partial(jax.jit, static_argnames=("qp", "log2w", "log2h",
+                                             "bit_depth", "intra"))
+def quantize_rdoq(coeff: jnp.ndarray, qp: int, log2w: int, log2h: int,
+                  bit_depth: int = 8, intra: bool = True) -> jnp.ndarray:
+    """Rate-distortion-optimized scalar quantization, batched (RDOQ-lite;
+    reference: QuantRDOQ.cpp — the per-coefficient level decision of the
+    full RDOQ, without its context-chained go-rice state).
+
+    For every coefficient the candidate levels {dead-zone level, level-1,
+    0} compete on D + lambda*R with the exact dequantizer distortion (in
+    the coefficient domain, which is orthonormal up to the global
+    transform scale) and the same level-rate model the RD searches use
+    (2*log2(l+1)+1 bits per significant level, a fraction of a bit for a
+    zero inside the coded region).  Candidates never exceed the dead-zone
+    level, so RDOQ monotonically trades bits for distortion like the
+    reference's level-decision loop (QuantRDOQ::xGetCodedLevel considers
+    maxLevel and maxLevel-1).  Encoder-only — any level choice decodes
+    normatively."""
+    t_shift, odd = transform_shift(log2w, log2h, bit_depth)
+    sign = jnp.sign(coeff)
+    mag = jnp.abs(coeff)
+    if odd:
+        mag = (mag * 181 + 128) >> 8
+    q_bits = rom.QUANT_SHIFT + qp // 6 + t_shift
+    q_scale = int(rom.QUANT_SCALES[qp % 6])
+    offset = (171 if intra else 85) << (q_bits - 9)
+    l_dz = (mag * q_scale + offset) >> q_bits           # dead-zone level
+    # exact reconstruction magnitudes via the normative dequant of the
+    # candidate levels (coefficient-domain SSD is rate-scale exact)
+    def rec_mag(lev):
+        d = dequantize(sign * lev, qp, log2w, log2h, bit_depth)
+        return jnp.abs(d)
+    lam = lambda_from_qp(qp, intra=intra)
+    # distortion in the pixel domain: coeff domain carries 2^t_shift
+    scale2 = float(2.0 ** (-2 * t_shift))
+    cands = []
+    for lev in (l_dz, jnp.maximum(l_dz - 1, 0), jnp.zeros_like(l_dz)):
+        d = (mag - rec_mag(lev)).astype(jnp.float32)
+        dist = d * d * jnp.float32(scale2)
+        # significant-coefficient overhead (+2 bits) models the sig-flag
+        # and amortized last-position cost the reference's RDOQ accounts
+        # through its context chain (QuantRDOQ xRateDistOptQuant) — this
+        # is what makes trailing isolated levels worth zeroing
+        rate = jnp.where(lev > 0,
+                         2.0 * jnp.log2(lev.astype(jnp.float32) + 1.0)
+                         + 3.0, 0.1)
+        cands.append((lev, dist + jnp.float32(lam) * rate))
+    cost = jnp.stack([c[1] for c in cands])
+    pick = jnp.argmin(cost, axis=0)
+    level = jnp.take_along_axis(jnp.stack([c[0] for c in cands]),
+                                pick[None], axis=0)[0]
+    level = jnp.clip(level, 0, (1 << 15) - 1)
+    return (sign * level).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "log2w", "log2h",
                                              "bit_depth", "scaling"))
 def dequantize(level: jnp.ndarray, qp: int, log2w: int, log2h: int,
                bit_depth: int = 8,

@@ -179,7 +179,8 @@ def mpm3_host(left: int, above: int) -> list[int]:
 def _tq_reconstruct(pred: jnp.ndarray, resid: jnp.ndarray | None,
                     levels: jnp.ndarray | None, qp: int, s: int,
                     bit_depth: int, intra_slice: bool, luma: bool = True,
-                    dep: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+                    dep: bool = False, rdoq: bool = False
+                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Shared transform/quant/reconstruct: encoder passes resid (levels
     computed), decoder passes levels.  Returns (levels, recon_block).
 
@@ -198,6 +199,11 @@ def _tq_reconstruct(pred: jnp.ndarray, resid: jnp.ndarray | None,
         if dep:
             levels = depquant.quantize_dep(coeff, qp, log2s, log2s,
                                            bit_depth)
+        elif rdoq:
+            # rate-aware level decision (RDOQ-lite, encoder-only;
+            # reference: QuantRDOQ.cpp)
+            levels = quant.quantize_rdoq(coeff, qp, log2s, log2s,
+                                         bit_depth, intra=intra_slice)
         else:
             levels = quant.quantize(coeff, qp, log2s, log2s, bit_depth,
                                     intra=intra_slice)
@@ -211,12 +217,16 @@ def _tq_reconstruct(pred: jnp.ndarray, resid: jnp.ndarray | None,
     return levels, recon
 
 
-def _quant_pair(coeff, levels, qp, log2s, bit_depth, intra_slice, dep):
-    """quantize (if levels is None) + dequantize with or without DQ."""
+def _quant_pair(coeff, levels, qp, log2s, bit_depth, intra_slice, dep,
+                rdoq=False):
+    """quantize (if levels is None) + dequantize with or without DQ/RDOQ."""
     if levels is None:
         if dep:
             levels = depquant.quantize_dep(coeff, qp, log2s, log2s,
                                            bit_depth)
+        elif rdoq:
+            levels = quant.quantize_rdoq(coeff, qp, log2s, log2s,
+                                         bit_depth, intra=intra_slice)
         else:
             levels = quant.quantize(coeff, qp, log2s, log2s, bit_depth,
                                     intra=intra_slice)
@@ -391,7 +401,8 @@ def _bdpcm_cumsum(d: jnp.ndarray, horizontal: bool) -> jnp.ndarray:
                                              "use_mip", "use_lfnst",
                                              "use_mrl", "use_ts",
                                              "use_bdpcm", "lossless",
-                                             "use_ibc", "use_mts"))
+                                             "use_ibc", "use_mts",
+                                             "use_rdoq"))
 def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                        orig_v: jnp.ndarray, qp: int, block_size: int = 8,
                        bit_depth: int = 8, dep_quant: bool = False,
@@ -399,7 +410,7 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                        use_lfnst: bool = False, use_mrl: bool = False,
                        use_ts: bool = False, use_bdpcm: bool = False,
                        lossless: bool = False, use_ibc: bool = False,
-                       use_mts: bool = False):
+                       use_mts: bool = False, use_rdoq: bool = False):
     """Closed-loop wavefront intra encode of one frame.
 
     Returns dict with per-block modes (nby, nbx), levels for Y/U/V, and the
@@ -522,7 +533,8 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
                 mtsm = jnp.zeros(y0.shape, jnp.int32)
             else:
                 lev_y, rec = _tq_reconstruct(pred, ob - pred, None, qp, s,
-                                             bit_depth, True, dep=dep_quant)
+                                             bit_depth, True, dep=dep_quant,
+                                             rdoq=use_rdoq)
                 lfnst_idx = jnp.zeros(y0.shape, jnp.int32)
                 mtsm = jnp.zeros(y0.shape, jnp.int32)
             tsm = jnp.zeros(y0.shape, jnp.int32)
@@ -627,7 +639,7 @@ def encode_intra_frame(orig_y: jnp.ndarray, orig_u: jnp.ndarray,
             else:
                 lc, recc = _tq_reconstruct(predsel, obc - predsel, None, qp,
                                            sc, bit_depth, True, luma=False,
-                                           dep=dep_quant)
+                                           dep=dep_quant, rdoq=use_rdoq)
             lev_c.append(lc)
             if i == 0:
                 ru_new = _scatter_blocks(ru, y0c, x0c, recc)

@@ -46,8 +46,13 @@ class DecodedFrame:
 class DecLib:
     """reference: DecLib.cpp:3615 decode — NAL loop lives here."""
 
-    def __init__(self, stats=None) -> None:
+    def __init__(self, stats=None, cache_model=None) -> None:
         self.stats = stats        # utils.trace.BitStats for analyser mode
+        self.cache_model = cache_model  # utils.cache_model.CacheModel
+        # POC -> coded slice payload bits (HRD CPB conformance checking,
+        # apps/decoder_app.py; reference: the CPB removal accounting of
+        # the HRD, HRD.h)
+        self.picture_bits: dict[int, int] = {}
         self.sps: SPS | None = None
         self.pps: PPS | None = None
         self.frames: list[DecodedFrame] = []
@@ -180,6 +185,9 @@ class DecLib:
         br = BitReader(payload)
         sh = SliceHeader.read(br, sps)
         cabac_bytes = bytes(payload[br._pos // 8:])
+        self.picture_bits[sh.poc] = len(payload) * 8
+        if self.cache_model is not None:
+            self.cache_model.start_frame(sh.poc)
         if sh.slice_type == SliceType.I and sps.intra_split:
             from ..common import intra_part
             from .intra_parser import decode_intra_slice_part
@@ -269,6 +277,41 @@ class DecLib:
                     epipoles = {MotionModelID.GEODESIC_CAMPOSE: ep}
                 ep_for_mvp = (epipoles or {}).get(
                     MotionModelID.GEODESIC_CAMPOSE)
+                if sps.inter_qt_depth > 0:
+                    # MM x quadtree composition (mm/qt_codec.py)
+                    from ..common import qtree
+                    from ..common.mm import qt_codec
+                    from .inter_parser import decode_p_slice_qt_mm
+                    (midx_u, mv_u, levels, has_resid_u,
+                     leaf_id_u) = decode_p_slice_qt_mm(
+                        cabac_bytes, sps.height, sps.width, s,
+                        sps.inter_qt_depth, len(active), stats=self.stats)
+                    lev_j = [tuple(jnp.asarray(l) for l in trio)
+                             for trio in levels]
+                    recon = qt_codec.reconstruct_qt_mm(
+                        self.reproj, active, jnp.asarray(midx_u),
+                        jnp.asarray(mv_u), lev_j,
+                        jnp.asarray(ref.planes[0]),
+                        jnp.asarray(ref.planes[1]),
+                        jnp.asarray(ref.planes[2]), sh.qp, s,
+                        sps.inter_qt_depth, sps.bit_depth, epipoles,
+                        sps.wrap_around)
+                    if sps.deblocking:
+                        bs_v, bs_h = qtree.qt_boundary_strengths(
+                            jnp.asarray(mv_u), jnp.asarray(has_resid_u),
+                            jnp.asarray(leaf_id_u))
+                        ry, ru, rv = deblock.deblock_frame(
+                            recon["y"], recon["u"], recon["v"], bs_v,
+                            bs_h, s >> sps.inter_qt_depth, sh.qp,
+                            sps.bit_depth)
+                        recon = dict(y=ry, u=ru, v=rv)
+                    recon = self._apply_sao(recon, sh)
+                    self.frames.append(DecodedFrame(
+                        poc=sh.poc,
+                        planes=[np.asarray(recon["y"]),
+                                np.asarray(recon["u"]),
+                                np.asarray(recon["v"])]))
+                    return
                 mer_blk = max(0, sps.log2_parallel_merge_level
                               - (s.bit_length() - 1))
                 model_idx, mvs, ly, lu, lv = decode_p_slice_mm(
@@ -279,6 +322,9 @@ class DecLib:
                                      dtype=np.int64)
                 np.put_along_axis(mvs_stack, model_idx[None, :, :, None]
                                   .astype(np.int64), mvs[None], axis=0)
+                if self.cache_model is not None:
+                    self.cache_model.report_subblock_mc(
+                        (sps.height // 4) * (sps.width // 4))
                 recon = mm_codec.reconstruct_p_frame_mm(
                     self.reproj, active, jnp.asarray(model_idx),
                     jnp.asarray(mvs_stack), jnp.asarray(ly), jnp.asarray(lu),
@@ -367,6 +413,8 @@ class DecLib:
                     col_mvs=col, use_tmvp=sps.tmvp, use_amvr=sps.amvr,
                     mer_blocks_log2=mer_blk)
                 self._mv_fields[sh.poc] = mvs.astype(np.int64)
+                if self.cache_model is not None:
+                    self.cache_model.simulate_mc(mvs, s, sps.width)
                 recon = inter_frame.reconstruct_p_frame_2ref(
                     jnp.asarray(ridx), jnp.asarray(mvs),
                     jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
@@ -390,6 +438,8 @@ class DecLib:
                                                  use_merge=sps.merge,
                                                  mer_blocks_log2=mer_blk)
                 self._mv_fields[sh.poc] = mvs.astype(np.int64)
+                if self.cache_model is not None:
+                    self.cache_model.simulate_mc(mvs, s, sps.width)
                 recon = inter_frame.reconstruct_p_frame(
                     jnp.asarray(mvs), jnp.asarray(ly), jnp.asarray(lu),
                     jnp.asarray(lv), jnp.asarray(ref.planes[0]),
@@ -543,6 +593,9 @@ class DecLib:
                 mer_blocks_log2=mer_blk)
             r0 = tuple(jnp.asarray(p) for p in ref0.planes)
             r1 = tuple(jnp.asarray(p) for p in ref1.planes)
+            if self.cache_model is not None:
+                self.cache_model.simulate_mc(
+                    np.where(dirs[..., None] == 1, mv1, mv0), s, sps.width)
             recon = inter_frame.reconstruct_b_frame(
                 jnp.asarray(mv0), jnp.asarray(mv1), jnp.asarray(dirs),
                 jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),

@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..common.cabac import BinDecoder
+from ..utils import trace as trace_mod
 from ..utils.native import coeffs_decode, make_decoder
 from ..common.contexts import ctx_id
 from ..common.residual_coding import decode_coeffs
@@ -124,9 +125,15 @@ def decode_p_slice_mm(data: bytes, nby: int, nbx: int, s: int,
             model = active_models[midx]
             model_idx[by, bx] = midx
             models_sel[by, bx] = model
+            if trace_mod.TRACE is not None:
+                trace_mod.TRACE.log("motion_model", by=by, bx=bx,
+                                    model=model)
             _lbl(dec, "mvd")
             mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
                            dtype=np.int64)
+            if trace_mod.TRACE is not None:
+                trace_mod.TRACE.log("mvd", by=by, bx=bx, x=int(mvd[0]),
+                                    y=int(mvd[1]))
             pred = _mm_mvp(mvs, models_sel, by, bx, model, s, conv, epipole)
             mvs[by, bx] = pred + mvd
             for comp, lev, size in (("y", lev_y, s), ("u", lev_u, sc),
@@ -815,6 +822,77 @@ def decode_b_slice_mtt(data: bytes, h: int, w: int, top: int, depth: int,
             parse_node(0, by, bx)
     return (coded0, coded1, dirs_u, sq_levels, rect_levels, has_resid,
             leaf_id)
+
+
+def decode_p_slice_qt_mm(data: bytes, h: int, w: int, top: int,
+                         depth: int, n_active: int, stats=None):
+    """Exact inverse of encoder.inter_coder.encode_p_slice_qt_mm.
+    Returns (midx_unit, mv_unit, levels [per size (ly,lu,lv)],
+    has_resid_unit, leaf_id_unit)."""
+    from ..encoder.inter_coder import (inherited_midx_unit,
+                                       mvp_unit_grid_mm)
+    dec = _make(data, stats)
+    u = top >> depth
+    nuy, nux = h // u, w // u
+    nty, ntx = h // top, w // top
+    sizes = [top >> d for d in range(depth + 1)]
+    levels = []
+    for s in sizes:
+        ny, nx = h // s, w // s
+        levels.append((np.zeros((ny, nx, s, s), dtype=np.int32),
+                       np.zeros((ny, nx, s // 2, s // 2), dtype=np.int32),
+                       np.zeros((ny, nx, s // 2, s // 2), dtype=np.int32)))
+    coded = np.zeros((nuy, nux, 2), dtype=np.int64)
+    models_u = np.zeros((nuy, nux), dtype=np.int32)
+    avail = np.zeros((nuy, nux), dtype=bool)
+    has_resid = np.zeros((nuy, nux), dtype=bool)
+    leaf_id = np.zeros((nuy, nux), dtype=np.int32)
+
+    def parse_leaf(d, by, bx):
+        s = sizes[d]
+        k = s // u
+        uy, ux = by * k, bx * k
+        _lbl(dec, "skip_flag")
+        if dec.decode_bin(ctx_id("SkipFlag")):
+            midx = inherited_midx_unit(models_u, avail, uy, ux)
+            mv = mvp_unit_grid_mm(coded, models_u, avail, uy, ux, k, midx)
+        else:
+            _lbl(dec, "motion_model")
+            midx = decode_motion_model(dec, n_active)
+            pred = mvp_unit_grid_mm(coded, models_u, avail, uy, ux, k,
+                                    midx)
+            _lbl(dec, "mvd")
+            mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
+                           dtype=np.int64)
+            mv = pred + mvd
+            hr = False
+            for ci, lev in enumerate(levels[d]):
+                _lbl(dec, "cbf")
+                if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
+                    _lbl(dec, "residual_" + "yuv"[ci])
+                    sz = s if ci == 0 else s // 2
+                    lev[by, bx] = coeffs_decode(dec, sz, sz,
+                                                chroma=(ci != 0))
+                    hr = True
+            has_resid[uy:uy + k, ux:ux + k] = hr
+        coded[uy:uy + k, ux:ux + k] = mv
+        models_u[uy:uy + k, ux:ux + k] = midx
+        avail[uy:uy + k, ux:ux + k] = True
+        leaf_id[uy:uy + k, ux:ux + k] = uy * nux + ux
+
+    def parse_node(d, by, bx):
+        if d < depth:
+            _lbl(dec, "split_flag")
+            if dec.decode_bin(ctx_id("SplitFlag", min(d, 8))):
+                for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    parse_node(d + 1, 2 * by + dy, 2 * bx + dx)
+                return
+        parse_leaf(d, by, bx)
+
+    for by in range(nty):
+        for bx in range(ntx):
+            parse_node(0, by, bx)
+    return models_u, coded, levels, has_resid, leaf_id
 
 
 def decode_b_slice_mm(data: bytes, nby: int, nbx: int, s: int,

@@ -89,6 +89,10 @@ class EncCfg:
                                  # (common/gpm.py; reference: --CIIP)
     ibc: bool = False            # intra block copy (wavefront BV search;
                                  # reference: --IBC, IbcHashMap)
+    rdoq: bool = False           # RDOQ-lite: rate-aware per-coefficient
+                                 # level decision, encoder-only
+                                 # (quant.quantize_rdoq; reference:
+                                 # QuantRDOQ.cpp; --RDOQ)
     dep_quant: bool = False      # dependent quantization trellis
                                  # (common/depquant.py; reference:
                                  # DepQuant.cpp, --DepQuant)
@@ -322,7 +326,7 @@ class EncLib:
             use_mip=cfg.mip, use_lfnst=cfg.lfnst, use_mrl=cfg.mrl,
             use_ts=cfg.transform_skip and not cfg.lossless,
             use_bdpcm=cfg.bdpcm, lossless=cfg.lossless, use_ibc=cfg.ibc,
-            use_mts=cfg.mts)
+            use_mts=cfg.mts, use_rdoq=cfg.rdoq)
         # ONE packed int16 D2H hop for all mode/level outputs (levels fit
         # int16, modes uint8) — tunnel round trips are the scarce resource
         (modes_steps, lm_steps, lf_steps, mrl_steps, ts_steps, mts_steps,
@@ -467,6 +471,47 @@ class EncLib:
                 epipoles = {MotionModelID.GEODESIC_CAMPOSE: ep_used}
             ep_for_mvp = (epipoles or {}).get(
                 MotionModelID.GEODESIC_CAMPOSE)
+            if cfg.qt_depth > 0:
+                # MM x partitioning: per-node model choice inside the
+                # quadtree lattice (mm/qt_codec.py; reference: the
+                # per-model mode loop inside the QTMT recursion,
+                # EncCu.cpp:775-798)
+                from ..common import deblock as deblock_mod
+                from ..common import qtree
+                from ..common.mm import qt_codec
+                from .inter_coder import encode_p_slice_qt_mm
+                out = qt_codec.encode_p_frame_qt_mm(
+                    self.reproj, active, dev[0], dev[1], dev[2],
+                    rdev[0], rdev[1], rdev[2], qp, s, cfg.qt_depth,
+                    cfg.bit_depth, cfg.search_range, epipoles,
+                    cfg.wrap_around)
+                nd = cfg.qt_depth
+                arrs = (list(out["splits"]) + list(out["midx"])
+                        + list(out["mvs"]))
+                for trio in out["levels"]:
+                    arrs += list(trio)
+                pulled = xfer.pull_levels(*arrs)
+                splits_h = pulled[:nd]
+                midx_h = pulled[nd:2 * nd + 1]
+                mvs_h = [m.astype(np.int64)
+                         for m in pulled[2 * nd + 1:3 * nd + 2]]
+                off = 3 * nd + 2
+                lev_h = [tuple(pulled[off + 3 * i:off + 3 * i + 3])
+                         for i in range(nd + 1)]
+                payload = encode_p_slice_qt_mm(splits_h, midx_h, mvs_h,
+                                               lev_h, s, nd, len(active))
+                recon = out["recon"]
+                if cfg.deblocking:
+                    bs_v, bs_h = qtree.qt_boundary_strengths(
+                        out["mv_unit"], out["has_resid_unit"],
+                        out["leaf_id_unit"])
+                    ry, ru, rv = deblock_mod.deblock_frame(
+                        recon["y"], recon["u"], recon["v"], bs_v, bs_h,
+                        s >> nd, qp, cfg.bit_depth)
+                    recon = dict(y=ry, u=ru, v=rv)
+                return self._finish_p_frame(poc, planes, recon, payload,
+                                            ref_poc, qp, epipole_delta,
+                                            t0, dev)
             if cfg.merge:
                 # merge-aware fused search: candidate-field SADs ride the
                 # single search program; host selection snaps blocks to

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..common.cabac import BinEncoder
+from ..utils import trace as trace_mod
 from ..utils.native import coeffs_encode, make_encoder
 from ..common.contexts import ctx_id
 from ..common.residual_coding import encode_coeffs
@@ -796,8 +797,15 @@ def encode_p_slice_mm(model_idx: np.ndarray, active_models: list[int],
                 if skip:
                     continue
             encode_motion_model(enc, midx, n_active)
+            if trace_mod.TRACE is not None:
+                trace_mod.TRACE.log("motion_model", by=by, bx=bx,
+                                    model=model)
             pred = _mm_mvp(mvs_sel, models_sel, by, bx, model, block_size,
                            conv, epipole)
+            if trace_mod.TRACE is not None:
+                trace_mod.TRACE.log("mvd", by=by, bx=bx,
+                                    x=int(mv[0] - pred[0]),
+                                    y=int(mv[1] - pred[1]))
             encode_mvd_comp(enc, int(mv[0] - pred[0]))
             encode_mvd_comp(enc, int(mv[1] - pred[1]))
             for cbf, lev, cid in ((cy, lev_y[by, bx], 0),

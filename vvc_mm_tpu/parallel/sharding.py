@@ -96,3 +96,55 @@ def encode_frames_sharded(frames: list[list[np.ndarray]], qp: int,
     sh = NamedSharding(mesh, P(("gop", "tile"), None, None))
     ys, us, vs = (jax.device_put(a, sh) for a in (ys, us, vs))
     return _encode_batch(ys, us, vs, qp, block_size, bit_depth)
+
+
+def encode_b_frame_sharded(orig: list[np.ndarray], ref0: list[np.ndarray],
+                           ref1: list[np.ndarray], qp: int, mesh: Mesh,
+                           block_size: int = 16, bit_depth: int = 8,
+                           search_range: int = 24,
+                           wrap_around: bool = False):
+    """Spatially-sharded B-frame encode: current picture rows sharded over
+    the whole mesh, BOTH reference pictures replicated (each shard's
+    bilateral search reads anywhere in either ref).  Returns
+    (mv0, mv1, dirs, (lev_y, lev_u, lev_v), recon)."""
+    from ..common import inter_frame
+
+    row_shard = NamedSharding(mesh, P(("gop", "tile"), None))
+    repl = NamedSharding(mesh, P())
+    oy, ou, ov = (jax.device_put(jnp.asarray(p), row_shard) for p in orig)
+    r0 = tuple(jax.device_put(jnp.asarray(p), repl) for p in ref0)
+    r1 = tuple(jax.device_put(jnp.asarray(p), repl) for p in ref1)
+    mv0, mv1, dirs, gpm_modes = inter_frame.search_b_frame(
+        oy, r0[0], r1[0], qp, block_size, bit_depth, search_range,
+        wrap_around)
+    ly, lu, lv, recon = inter_frame.bpred_and_residual(
+        oy, ou, ov, r0, r1, mv0, mv1, dirs, qp, block_size, bit_depth,
+        wrap_around)
+    return mv0, mv1, dirs, (ly, lu, lv), recon
+
+
+def encode_p_frame_mm_sharded(reproj, active_models: list[int],
+                              orig: list[np.ndarray],
+                              ref: list[np.ndarray], qp: int, mesh: Mesh,
+                              block_size: int = 16, bit_depth: int = 8,
+                              search_range: int = 24,
+                              wrap_around: bool = False):
+    """Spatially-sharded multi-model P encode: rows of the current picture
+    sharded, reference replicated; the per-model reprojection +
+    position-MC programs partition over the row axis (XLA inserts the
+    collectives).  Returns (model_idx, mvs_stack, levels, recon)."""
+    from ..common.mm import frame_codec as mm_codec
+
+    row_shard = NamedSharding(mesh, P(("gop", "tile"), None))
+    repl = NamedSharding(mesh, P())
+    oy, ou, ov = (jax.device_put(jnp.asarray(p), row_shard) for p in orig)
+    ry, ru, rv = (jax.device_put(jnp.asarray(p), repl) for p in ref)
+    model_idx, mvs_stack = mm_codec.search_p_mm(
+        reproj, active_models, oy, ry, qp, block_size, bit_depth,
+        search_range, None, wrap_around)
+    positions = mm_codec.merged_positions(reproj, active_models, model_idx,
+                                          mvs_stack, block_size, None)
+    ly, lu, lv, recon = mm_codec.enc_finish_p_mm(
+        model_idx, mvs_stack, positions, oy, ou, ov, ry, ru, rv, qp,
+        block_size, bit_depth, wrap_around, True)
+    return model_idx, mvs_stack, (ly, lu, lv), recon

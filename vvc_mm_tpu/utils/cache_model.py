@@ -17,12 +17,16 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 
 @dataclass
 class FrameTraffic:
     poc: int
     samples: int = 0        # raw reference samples touched
     bytes_fetched: int = 0  # after the line-granularity model
+    hits: int = 0           # line-cache hits (direct-mapped model)
+    misses: int = 0         # line-cache misses (lines actually fetched)
 
 
 @dataclass
@@ -59,6 +63,47 @@ class CacheModel:
         self._cur.samples += samples
         self._cur.bytes_fetched = self._cur.samples * self.bytes_per_sample
 
+    N_SETS = 512            # direct-mapped cache: 512 x 64-byte lines
+
+    def simulate_mc(self, mvs: np.ndarray, block_size: int, width: int,
+                    taps: int = 8) -> None:
+        """True line-granularity simulation of translational MC reads
+        (reference: CacheModel::cacheAccess — direct-mapped line cache
+        over the reference plane).  Blocks are visited in coding (raster)
+        order; each block's luma read window [(x-3, y-3) .. (x+S+4,
+        y+S+4)) is decomposed into 64-byte-aligned lines, and each line
+        either hits (same tag resident in its set) or misses (fetch).
+
+        mvs: (nby, nbx, 2) 1/16-pel MVs; width: reference width in
+        samples (pitch for line addressing)."""
+        if self._cur is None:
+            return
+        s = block_size
+        nby, nbx = mvs.shape[:2]
+        lb = self.line_bytes // self.bytes_per_sample   # samples per line
+        cache = np.full(self.N_SETS, -1, dtype=np.int64)
+        hits = misses = 0
+        win = s + taps - 1
+        for by in range(nby):
+            for bx in range(nbx):
+                x0 = bx * s + (int(mvs[by, bx, 0]) >> 4) - (taps // 2 - 1)
+                y0 = by * s + (int(mvs[by, bx, 1]) >> 4) - (taps // 2 - 1)
+                l0, l1 = x0 // lb, (x0 + win - 1) // lb
+                for row in range(y0, y0 + win):
+                    base = row * (width // lb + 2)
+                    for ln in range(l0, l1 + 1):
+                        addr = base + ln
+                        st = addr % self.N_SETS
+                        if cache[st] == addr:
+                            hits += 1
+                        else:
+                            cache[st] = addr
+                            misses += 1
+        self._cur.hits += hits
+        self._cur.misses += misses
+        self._cur.samples += (hits + misses) * lb
+        self._cur.bytes_fetched += misses * self.line_bytes
+
     def report(self, frame_rate: float = 30.0) -> str:
         if not self.frames:
             return "CacheModel: no inter traffic recorded"
@@ -69,6 +114,8 @@ class CacheModel:
                  f"{per / 1e6:.2f} MB/picture, {bw:.1f} MB/s @ "
                  f"{frame_rate:g} fps"]
         for f in self.frames:
+            acc = f.hits + f.misses
+            hit = f" cache hit {100.0 * f.hits / acc:.1f}%" if acc else ""
             lines.append(f"  POC {f.poc:4d}: {f.samples} ref samples, "
-                         f"{f.bytes_fetched / 1e6:.2f} MB")
+                         f"{f.bytes_fetched / 1e6:.2f} MB{hit}")
         return "\n".join(lines)
