@@ -35,20 +35,20 @@ def _configs():
         # 2. RA 832x480, standard motion, no 360 tools
         ("ra832x480_qp37_encode_fps", 0.1,
          EncCfg(width=832, height=480, qp=QP, gop="RA", gop_size=8,
-                search_range=24), (832, 480), 9, 3),
+                search_range=24), (832, 480), 9, 9),
         # 3. ERP 2048x1024 MPA-only RA (cfg-360Lib encoder_360_ERP analog)
         ("erp2048x1024_ra_qp37_mpa_encode_fps", 0.05,
          EncCfg(width=2048, height=1024, qp=QP, gop="RA", gop_size=4,
-                mm=mpa, **erp), (2048, 1024), 5, 2),
+                mm=mpa, **erp), (2048, 1024), 5, 5),
         # 4. full multi-model RA (MPA+GED+ROT+MMMVP, signaled epipole)
         ("erp2048x1024_ra_qp37_fullmm_encode_fps", 0.04,
          EncCfg(width=2048, height=1024, qp=QP, gop="RA", gop_size=4,
                 mm=full, epipoles=[(1, 0, 0.0, 0.0, 1.0)], **erp),
-         (2048, 1024), 5, 2),
+         (2048, 1024), 5, 5),
         # 5. HEADLINE (BENCH_r* continuity): ERP RA MPA+ROT
         ("erp2048x1024_ra_qp37_mm_encode_fps", 0.05,
          EncCfg(width=2048, height=1024, qp=QP, gop="RA", gop_size=8,
-                mm=mm_head, **erp), (2048, 1024), 9, 3),
+                mm=mm_head, **erp), (2048, 1024), 9, 9),
     ]
 
 

@@ -59,3 +59,35 @@ def test_wpp_framing_parses_substreams():
                                                               nbx, s)
     np.testing.assert_array_equal(m2, modes)
     np.testing.assert_array_equal(ly2, ly)
+
+
+def test_inter_wpp_roundtrip_bitexact():
+    """Inter WPP: P and B slices coded as independently decodable entropy
+    substreams (reference: EncSlice.cpp:2024-2113 per-substream
+    termination; WPP HMVP reset per row)."""
+    import hashlib
+
+    import numpy as np
+
+    from vvc_mm_tpu.common.typedefs import ChromaFormat
+    from vvc_mm_tpu.decoder.declib import DecLib
+    from vvc_mm_tpu.encoder.enclib import EncCfg, EncLib
+    from vvc_mm_tpu.utils.yuv_io import VideoFormat, synthetic_sequence
+
+    def md5(ps):
+        m = hashlib.md5()
+        for p in ps:
+            m.update(np.asarray(p).astype(np.uint8).tobytes())
+        return m.hexdigest()
+
+    fmt = VideoFormat(64, 64, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 6, motion=(3.0, 1.0))
+    cfg = EncCfg(width=64, height=64, qp=32, gop="RA", gop_size=4,
+                 inter_block_size=16, merge=True, tmvp=True, wpp=True,
+                 num_substreams=2)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    assert len(out) == len(frames)
+    for f, res in zip(out, enc.results):
+        assert md5(f.planes) == md5(res.recon), f.poc

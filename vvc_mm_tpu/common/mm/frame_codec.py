@@ -235,28 +235,32 @@ _MERGED_CACHE: dict = {}
 
 def _merged_positions(reproj: MVReprojection, active_models: list[int],
                       block_size: int, epipoles: dict | None,
-                      model_idx: jnp.ndarray, mvs_stack: jnp.ndarray
-                      ) -> jnp.ndarray:
+                      model_idx: jnp.ndarray, mvs_stack: jnp.ndarray,
+                      row_step: int | None = None) -> jnp.ndarray:
     """Merge per-subblock target positions across models.
 
     Args:
       model_idx: (nby, nbx) int32 index into active_models per block.
       mvs_stack: (n_models, nby, nbx, 2) MV of each model for each block.
+      row_step: optional subblock-row subsampling (search-time SADs).
     Returns (nsy, nsx, 2) int32 positions."""
+    row_step = 1 if row_step is None else row_step
     pos_all = []
     for i, model_id in enumerate(active_models):
         if model_id == M.CLASSIC:
             pos = mm_mc.classic_positions(reproj.offset, reproj.width,
                                           reproj.height, mvs_stack[i],
-                                          block_size)
+                                          block_size, row_step)
         else:
             ep = (epipoles or {}).get(model_id)
             pos = reproj.reproject_frame(model_id, mvs_stack[i], block_size,
-                                         ep)
+                                         ep, row_step)
         pos_all.append(pos)
     pos_all = jnp.stack(pos_all)                     # (n, nsy, nsx, 2)
     rep = block_size // SUBBLK
     idx_sb = jnp.repeat(jnp.repeat(model_idx, rep, 0), rep, 1)
+    if row_step > 1:
+        idx_sb = idx_sb[::row_step]
     return jnp.take_along_axis(
         pos_all, idx_sb[None, :, :, None].astype(jnp.int32), axis=0
     )[0]
@@ -459,12 +463,17 @@ def search_p_mm_merge(reproj: MVReprojection, active_models: list[int],
                 lam_bits, epipoles, wrap_around)
             stack = jnp.stack([mvs[m] for m in active_models])
 
+            row_step = SAD_ROW_STEP if s // 4 >= SAD_ROW_STEP else 1
+            oy_sub = _subsample_rows(oy, row_step)
+
             def field_sad(idx_f, stack_f):
+                # decision-only SADs ride the same row-subsampling as the
+                # model search (non-normative; scaled back to full range)
                 pos = _merged_positions(reproj, active_models, s, epipoles,
-                                        idx_f, stack_f)
+                                        idx_f, stack_f, row_step)
                 pred = mm_mc.mc_luma_positions(refp, pos, MC_MARGIN,
                                                bit_depth)
-                return _block_sad(jnp.abs(oy - pred), s)
+                return _block_sad_sub(jnp.abs(oy_sub - pred), s, row_step)
 
             sad_sel = field_sad(idx, stack)
             mv_sel = jnp.take_along_axis(
@@ -541,6 +550,114 @@ def search_b_mm(reproj: MVReprojection, active_models: list[int],
             dirs = jnp.argmin(jnp.stack([sad0, sad1, sad_bi]), axis=0
                               ).astype(jnp.int32)
             return idx0, idx1, stack0, stack1, dirs
+
+        _FUSED_CACHE[key] = fn
+    return _FUSED_CACHE[key](orig_y, ref0_y, ref1_y)
+
+
+def search_b_mm_merge(reproj: MVReprojection, active_models: list[int],
+                      orig_y, ref0_y, ref1_y, qp: int, block_size: int,
+                      bit_depth: int, search_range: int, epipoles0=None,
+                      epipoles1=None, wrap_around: bool = False,
+                      small_range: bool = True):
+    """search_b_mm plus whole-motion merge-candidate SADs: for each
+    neighbor shift of the selected per-list (model, mv) grids and dirs,
+    one positions+MC+combine+SAD pass per list (candidates applied at
+    the current block go through the reprojection there).  Returns
+    (idx0, idx1, stack0, stack1, dirs, sad_sel,
+     cand_idx0/idx1 (K,..), cand_mv0/mv1 (K,..,2), cand_dirs, cand_sads).
+    """
+    key = ("bsearch_merge", _geom_key(reproj), tuple(active_models), qp,
+           block_size, bit_depth, search_range, wrap_around, small_range,
+           _eps_key(epipoles0), _eps_key(epipoles1))
+    if key not in _FUSED_CACHE:
+        from ...encoder import me as me_mod
+        _warm_models(reproj, active_models)
+        s = block_size
+        lam = quant.lambda_from_qp(qp, intra=False)
+        lam_bits = lam ** 0.5 * 4.0
+        lam16 = int(lam ** 0.5 * 16)
+        mv_bits = int(lam ** 0.5 * 8)
+        steps = (16, 8, 4, 2) if small_range else (64, 32, 16, 8, 4, 2)
+
+        def shift2(f, dy, dx):
+            pad = ((1, 1), (1, 1)) + ((0, 0),) * (f.ndim - 2)
+            p = jnp.pad(f, pad)
+            start = (1 + dy, 1 + dx) + (0,) * (f.ndim - 2)
+            return jax.lax.dynamic_slice(p, start, f.shape)
+
+        @jax.jit
+        def fn(oy, r0y, r1y):
+            per_list = []
+            for ry, eps in ((r0y, epipoles0), (r1y, epipoles1)):
+                refp = pad_ref(ry, MC_MARGIN, wrap_around)
+                mv_int, _ = me_mod.hierarchical_search(
+                    oy, refp, s, search_range, MC_MARGIN, lam16)
+                cmv, csad = me_mod.fractional_refine(oy, refp, mv_int, s,
+                                                     MC_MARGIN, bit_depth)
+                idx, mvs, sads = search_models(
+                    reproj, active_models, oy, ry, cmv, csad, s, bit_depth,
+                    lam_bits, eps, wrap_around, steps)
+                stack = jnp.stack([mvs[m] for m in active_models])
+                best = jnp.min(jnp.stack([sads[m] for m in active_models]),
+                               axis=0)
+                per_list.append((idx, stack, best))
+            idx0, stack0, sad0 = per_list[0]
+            idx1, stack1, sad1 = per_list[1]
+            r0p = pad_ref(r0y, MC_MARGIN, wrap_around)
+            r1p = pad_ref(r1y, MC_MARGIN, wrap_around)
+
+            row_step = SAD_ROW_STEP if s // 4 >= SAD_ROW_STEP else 1
+            oy_sub = _subsample_rows(oy, row_step)
+
+            def field_pred(rp, eps, idx_f, stack_f, step=1):
+                pos = _merged_positions(reproj, active_models, s, eps,
+                                        idx_f, stack_f,
+                                        step if step > 1 else None)
+                return mm_mc.mc_luma_positions(rp, pos, MC_MARGIN,
+                                               bit_depth)
+
+            p0 = field_pred(r0p, epipoles0, idx0, stack0)
+            p1 = field_pred(r1p, epipoles1, idx1, stack1)
+            bi = (p0 + p1 + 1) >> 1
+            sad_bi = _block_sad(jnp.abs(oy - bi), s) + mv_bits
+            dirs = jnp.argmin(jnp.stack([_block_sad(jnp.abs(oy - p0), s),
+                                         _block_sad(jnp.abs(oy - p1), s),
+                                         sad_bi]), axis=0).astype(jnp.int32)
+
+            def sel_d(p0x, p1x, d, sub=1):
+                ky = s if sub == 1 else (s // 4 // sub) * 4
+                dd = jnp.repeat(jnp.repeat(d, ky, 0), s, 1)
+                avg = (p0x + p1x + 1) >> 1
+                return jnp.where(dd == 0, p0x, jnp.where(dd == 1, p1x, avg))
+
+            sad_sel = _block_sad(jnp.abs(oy - sel_d(p0, p1, dirs)), s)
+            mv_sel0 = jnp.take_along_axis(
+                stack0, idx0[None, :, :, None].astype(jnp.int32), 0)[0]
+            mv_sel1 = jnp.take_along_axis(
+                stack1, idx1[None, :, :, None].astype(jnp.int32), 0)[0]
+            ci0, ci1, cm0, cm1, cd, cs = [], [], [], [], [], []
+            for (dy, dx) in ((0, -1), (-1, 0), (-1, 1)):
+                i0s = shift2(idx0, dy, dx)
+                i1s = shift2(idx1, dy, dx)
+                s0s = jnp.stack([shift2(stack0[i], dy, dx)
+                                 for i in range(stack0.shape[0])])
+                s1s = jnp.stack([shift2(stack1[i], dy, dx)
+                                 for i in range(stack1.shape[0])])
+                ds = shift2(dirs, dy, dx)
+                pp0 = field_pred(r0p, epipoles0, i0s, s0s, row_step)
+                pp1 = field_pred(r1p, epipoles1, i1s, s1s, row_step)
+                cs.append(_block_sad_sub(
+                    jnp.abs(oy_sub - sel_d(pp0, pp1, ds, row_step)), s,
+                    row_step))
+                ci0.append(i0s)
+                ci1.append(i1s)
+                cm0.append(shift2(mv_sel0, dy, dx))
+                cm1.append(shift2(mv_sel1, dy, dx))
+                cd.append(ds)
+            return (idx0, idx1, stack0, stack1, dirs, sad_sel,
+                    jnp.stack(ci0), jnp.stack(ci1), jnp.stack(cm0),
+                    jnp.stack(cm1), jnp.stack(cd), jnp.stack(cs))
 
         _FUSED_CACHE[key] = fn
     return _FUSED_CACHE[key](orig_y, ref0_y, ref1_y)

@@ -338,7 +338,8 @@ class DecLib:
                 (mv_unit, sq_levels, rect_levels, has_resid_u,
                  leaf_id_u) = decode_p_slice_mtt(
                     cabac_bytes, sps.height, sps.width, s,
-                    sps.inter_qt_depth, stats=self.stats)
+                    sps.inter_qt_depth, stats=self.stats,
+                    use_merge=sps.merge)
                 sq_j = [tuple(jnp.asarray(l) for l in trio)
                         for trio in sq_levels]
                 rect_j = {k: tuple(jnp.asarray(l) for l in trio)
@@ -366,7 +367,8 @@ class DecLib:
                 from ..common import qtree
                 mv_unit, levels, has_resid_u, leaf_id_u = decode_p_slice_qt(
                     cabac_bytes, sps.height, sps.width, s,
-                    sps.inter_qt_depth, stats=self.stats)
+                    sps.inter_qt_depth, stats=self.stats,
+                    use_merge=sps.merge)
                 levels_j = [tuple(jnp.asarray(l) for l in trio)
                             for trio in levels]
                 recon = qtree.reconstruct_qt(
@@ -430,13 +432,19 @@ class DecLib:
                        if sps.tmvp else None)
                 mer_blk = max(0, sps.log2_parallel_merge_level
                               - (s.bit_length() - 1))
-                mvs, ly, lu, lv = decode_p_slice(cabac_bytes, nby, nbx, s,
-                                                 stats=self.stats,
-                                                 col_mvs=col,
-                                                 use_tmvp=sps.tmvp,
-                                                 use_amvr=sps.amvr,
-                                                 use_merge=sps.merge,
-                                                 mer_blocks_log2=mer_blk)
+                if sps.wpp and sps.merge:
+                    from .inter_parser import decode_p_slice_wpp
+                    mvs, ly, lu, lv = decode_p_slice_wpp(
+                        cabac_bytes, nby, nbx, s, stats=self.stats,
+                        col_mvs=col, use_tmvp=sps.tmvp,
+                        use_amvr=sps.amvr, use_merge=sps.merge,
+                        mer_blocks_log2=mer_blk)
+                else:
+                    mvs, ly, lu, lv = decode_p_slice(
+                        cabac_bytes, nby, nbx, s, stats=self.stats,
+                        col_mvs=col, use_tmvp=sps.tmvp,
+                        use_amvr=sps.amvr, use_merge=sps.merge,
+                        mer_blocks_log2=mer_blk)
                 self._mv_fields[sh.poc] = mvs.astype(np.int64)
                 if self.cache_model is not None:
                     self.cache_model.simulate_mc(mvs, s, sps.width)
@@ -483,10 +491,13 @@ class DecLib:
                                 sh.poc, sh.ref_pocs_l1[0])}
                 ep0_mvp = (eps0 or {}).get(MotionModelID.GEODESIC_CAMPOSE)
                 ep1_mvp = (eps1 or {}).get(MotionModelID.GEODESIC_CAMPOSE)
+                mer_blk = max(0, sps.log2_parallel_merge_level
+                              - (s.bit_length() - 1))
                 (midx0, midx1, mv0, mv1, dirs, ly, lu,
                  lv) = decode_b_slice_mm(
                     cabac_bytes, nby, nbx, s, active, self.mvp_conv,
-                    ep0_mvp, ep1_mvp, stats=self.stats)
+                    ep0_mvp, ep1_mvp, stats=self.stats,
+                    use_merge=sps.merge, mer_blocks_log2=mer_blk)
                 n_active = len(active)
                 stack0 = np.zeros((n_active, nby, nbx, 2), np.int64)
                 stack1 = np.zeros((n_active, nby, nbx, 2), np.int64)
@@ -528,7 +539,8 @@ class DecLib:
                 (mv0_u, mv1_u, dirs_u, sq_levels, rect_levels,
                  has_resid_u, leaf_id_u) = decode_b_slice_mtt(
                     cabac_bytes, sps.height, sps.width, s,
-                    sps.inter_qt_depth, stats=self.stats)
+                    sps.inter_qt_depth, stats=self.stats,
+                    use_merge=sps.merge)
                 sq_j = [tuple(jnp.asarray(l) for l in trio)
                         for trio in sq_levels]
                 rect_j = {k: tuple(jnp.asarray(l) for l in trio)
@@ -560,7 +572,8 @@ class DecLib:
                 (mv0_u, mv1_u, dirs_u, levels, has_resid_u,
                  leaf_id_u) = decode_b_slice_qt(
                     cabac_bytes, sps.height, sps.width, s,
-                    sps.inter_qt_depth, stats=self.stats)
+                    sps.inter_qt_depth, stats=self.stats,
+                    use_merge=sps.merge)
                 levels_j = [tuple(jnp.asarray(l) for l in trio)
                             for trio in levels]
                 r0 = tuple(jnp.asarray(p) for p in ref0.planes)
@@ -587,10 +600,18 @@ class DecLib:
                 return
             mer_blk = max(0, sps.log2_parallel_merge_level
                           - (s.bit_length() - 1))
-            mv0, mv1, dirs, ly, lu, lv, gpm_modes = decode_b_slice(
-                cabac_bytes, nby, nbx, s, stats=self.stats,
-                use_gpm=sps.gpm, use_ciip=sps.ciip, use_merge=sps.merge,
-                mer_blocks_log2=mer_blk)
+            if sps.wpp and sps.merge:
+                from .inter_parser import decode_b_slice_wpp
+                (mv0, mv1, dirs, gpm_modes, ly, lu,
+                 lv) = decode_b_slice_wpp(
+                    cabac_bytes, nby, nbx, s, stats=self.stats,
+                    use_gpm=sps.gpm, use_ciip=sps.ciip,
+                    use_merge=sps.merge, mer_blocks_log2=mer_blk)
+            else:
+                mv0, mv1, dirs, ly, lu, lv, gpm_modes = decode_b_slice(
+                    cabac_bytes, nby, nbx, s, stats=self.stats,
+                    use_gpm=sps.gpm, use_ciip=sps.ciip,
+                    use_merge=sps.merge, mer_blocks_log2=mer_blk)
             r0 = tuple(jnp.asarray(p) for p in ref0.planes)
             r1 = tuple(jnp.asarray(p) for p in ref1.planes)
             if self.cache_model is not None:

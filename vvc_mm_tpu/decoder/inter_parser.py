@@ -187,7 +187,7 @@ def decode_p_slice_affine(data: bytes, nby: int, nbx: int, s: int,
 
 
 def decode_p_slice_qt(data: bytes, h: int, w: int, top: int, depth: int,
-                      stats=None):
+                      stats=None, use_merge: bool = False):
     """Exact inverse of encoder.inter_coder.encode_p_slice_qt.  Returns
     (mv_unit (nuy,nux,2), levels [per size (ly,lu,lv)], has_resid_unit,
     leaf_id_unit) matching qtree.encode_p_frame_qt's resolved outputs."""
@@ -207,29 +207,59 @@ def decode_p_slice_qt(data: bytes, h: int, w: int, top: int, depth: int,
     has_resid = np.zeros((nuy, nux), dtype=bool)
     leaf_id = np.zeros((nuy, nux), dtype=np.int32)
 
+    from ..encoder.inter_coder import merge_candidates_unit
+
     def parse_leaf(d, by, bx):
         s = sizes[d]
         k = s // u
         uy, ux = by * k, bx * k
         pred = mvp_unit_grid(coded, avail, uy, ux, k)
-        _lbl(dec, "skip_flag")
-        if dec.decode_bin(ctx_id("SkipFlag")):
-            mv = pred
+        if use_merge:
+            cands = merge_candidates_unit(coded, avail, uy, ux, k)
+            _lbl(dec, "skip_flag")
+            skip = bool(dec.decode_bin(ctx_id("SkipFlag")))
+            mrg = skip
+            if not skip:
+                _lbl(dec, "merge_flag")
+                mrg = bool(dec.decode_bin(ctx_id("MergeFlag")))
+            if mrg:
+                _lbl(dec, "merge_idx")
+                mv = np.asarray(cands[decode_merge_idx(dec)], np.int64)
+            else:
+                _lbl(dec, "mvd")
+                mvd = np.array([decode_mvd_comp(dec),
+                                decode_mvd_comp(dec)], dtype=np.int64)
+                mv = pred + mvd
+            if not skip:
+                hr = False
+                for ci, lev in enumerate(levels[d]):
+                    _lbl(dec, "cbf")
+                    if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
+                        _lbl(dec, "residual_" + "yuv"[ci])
+                        sz = s if ci == 0 else s // 2
+                        lev[by, bx] = coeffs_decode(dec, sz, sz,
+                                                    chroma=(ci != 0))
+                        hr = True
+                has_resid[uy:uy + k, ux:ux + k] = hr
         else:
-            _lbl(dec, "mvd")
-            mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
-                           dtype=np.int64)
-            mv = pred + mvd
-            hr = False
-            for ci, lev in enumerate(levels[d]):
-                _lbl(dec, "cbf")
-                if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
-                    _lbl(dec, "residual_" + "yuv"[ci])
-                    sz = s if ci == 0 else s // 2
-                    lev[by, bx] = coeffs_decode(dec, sz, sz,
-                                                chroma=(ci != 0))
-                    hr = True
-            has_resid[uy:uy + k, ux:ux + k] = hr
+            _lbl(dec, "skip_flag")
+            if dec.decode_bin(ctx_id("SkipFlag")):
+                mv = pred
+            else:
+                _lbl(dec, "mvd")
+                mvd = np.array([decode_mvd_comp(dec),
+                                decode_mvd_comp(dec)], dtype=np.int64)
+                mv = pred + mvd
+                hr = False
+                for ci, lev in enumerate(levels[d]):
+                    _lbl(dec, "cbf")
+                    if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
+                        _lbl(dec, "residual_" + "yuv"[ci])
+                        sz = s if ci == 0 else s // 2
+                        lev[by, bx] = coeffs_decode(dec, sz, sz,
+                                                    chroma=(ci != 0))
+                        hr = True
+                has_resid[uy:uy + k, ux:ux + k] = hr
         coded[uy:uy + k, ux:ux + k] = mv
         avail[uy:uy + k, ux:ux + k] = True
         leaf_id[uy:uy + k, ux:ux + k] = uy * nux + ux
@@ -250,10 +280,11 @@ def decode_p_slice_qt(data: bytes, h: int, w: int, top: int, depth: int,
 
 
 def decode_b_slice_qt(data: bytes, h: int, w: int, top: int, depth: int,
-                      stats=None):
+                      stats=None, use_merge: bool = False):
     """Exact inverse of encoder.inter_coder.encode_b_slice_qt.  Returns
     (mv0_unit, mv1_unit, dirs_unit, levels, has_resid_unit, leaf_id_unit).
     """
+    from ..encoder.inter_coder import merge_candidates_unit_b
     dec = _make(data, stats)
     u = top >> depth
     nuy, nux = h // u, w // u
@@ -281,8 +312,47 @@ def decode_b_slice_qt(data: bytes, h: int, w: int, top: int, depth: int,
         d_pred = (int(dirs_u[uy, ux - 1]) if ux > 0 and avail[uy, ux - 1]
                   else int(dirs_u[uy - 1, ux])
                   if uy > 0 and avail[uy - 1, ux] else 0)
-        _lbl(dec, "skip_flag")
-        if dec.decode_bin(ctx_id("SkipFlag")):
+        if use_merge:
+            cands = merge_candidates_unit_b(coded0, coded1, dirs_u, avail,
+                                            uy, ux, k)
+            _lbl(dec, "skip_flag")
+            skip = bool(dec.decode_bin(ctx_id("SkipFlag")))
+            mrg = skip
+            if not skip:
+                _lbl(dec, "merge_flag")
+                mrg = bool(dec.decode_bin(ctx_id("MergeFlag")))
+            if mrg:
+                _lbl(dec, "merge_idx")
+                dv, m0, m1 = cands[decode_merge_idx(dec)]
+                mv0 = np.asarray(m0, np.int64)
+                mv1 = np.asarray(m1, np.int64)
+            else:
+                if dec.decode_bin(ctx_id("InterDir", 0)):
+                    dv = 2
+                else:
+                    dv = dec.decode_bin(ctx_id("InterDir", 1))
+                mv0, mv1 = pred0, pred1
+                if dv != 1:
+                    mv0 = pred0 + np.array([decode_mvd_comp(dec),
+                                            decode_mvd_comp(dec)],
+                                           dtype=np.int64)
+                if dv != 0:
+                    mv1 = pred1 + np.array([decode_mvd_comp(dec),
+                                            decode_mvd_comp(dec)],
+                                           dtype=np.int64)
+            if not skip:
+                hr = False
+                for ci in range(3):
+                    _lbl(dec, "cbf")
+                    if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
+                        _lbl(dec, "residual_" + "yuv"[ci])
+                        sz = s if ci == 0 else s // 2
+                        levels[d][ci][by, bx] = coeffs_decode(
+                            dec, sz, sz, chroma=(ci != 0))
+                        hr = True
+                has_resid[uy:uy + k, ux:ux + k] = hr
+        elif (_lbl(dec, "skip_flag")
+                or dec.decode_bin(ctx_id("SkipFlag"))):
             dv, mv0, mv1 = d_pred, pred0, pred1
         else:
             if dec.decode_bin(ctx_id("InterDir", 0)):
@@ -333,7 +403,8 @@ def decode_b_slice_qt(data: bytes, h: int, w: int, top: int, depth: int,
 
 def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
                    use_gpm: bool = False, use_ciip: bool = False,
-                   use_merge: bool = False, mer_blocks_log2: int = 0
+                   use_merge: bool = False, mer_blocks_log2: int = 0,
+                   rows: tuple | None = None, state=None
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                               np.ndarray, np.ndarray, np.ndarray,
                               np.ndarray]:
@@ -342,14 +413,18 @@ def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
     from ..encoder.inter_coder import merge_candidates_b
     dec = _make(data, stats)
     sc = s // 2
-    mv0 = np.zeros((nby, nbx, 2), dtype=np.int64)
-    mv1 = np.zeros((nby, nbx, 2), dtype=np.int64)
-    dirs = np.zeros((nby, nbx), dtype=np.int32)
-    gpm_modes = np.zeros((nby, nbx), dtype=np.int32)
-    lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
-    lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
-    lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
-    for by in range(nby):
+    if state is None:
+        mv0 = np.zeros((nby, nbx, 2), dtype=np.int64)
+        mv1 = np.zeros((nby, nbx, 2), dtype=np.int64)
+        dirs = np.zeros((nby, nbx), dtype=np.int32)
+        gpm_modes = np.zeros((nby, nbx), dtype=np.int32)
+        lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
+        lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+        lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    else:
+        mv0, mv1, dirs, gpm_modes, lev_y, lev_u, lev_v = state
+    r0, r1 = rows if rows is not None else (0, nby)
+    for by in range(r0, r1):
         for bx in range(nbx):
             pred0 = mvp_median(mv0, by, bx)
             pred1 = mvp_median(mv1, by, bx)
@@ -455,7 +530,8 @@ def decode_b_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
 def decode_p_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
                    col_mvs: np.ndarray | None = None,
                    use_tmvp: bool = False, use_amvr: bool = False,
-                   use_merge: bool = False, mer_blocks_log2: int = 0
+                   use_merge: bool = False, mer_blocks_log2: int = 0,
+                   rows: tuple | None = None, state=None
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                               np.ndarray]:
     """Returns (mvs (nby,nbx,2) 1/16-pel, lev_y, lev_u, lev_v).  With
@@ -469,12 +545,16 @@ def decode_p_slice(data: bytes, nby: int, nbx: int, s: int, stats=None,
     from ..common.inter_frame import AMVR_SHIFTS, round_mv_amvr
     dec = _make(data, stats)
     sc = s // 2
-    mvs = np.zeros((nby, nbx, 2), dtype=np.int64)
-    lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
-    lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
-    lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    if state is None:
+        mvs = np.zeros((nby, nbx, 2), dtype=np.int64)
+        lev_y = np.zeros((nby, nbx, s, s), dtype=np.int32)
+        lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+        lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
+    else:
+        mvs, lev_y, lev_u, lev_v = state
     hist = HmvpList() if use_tmvp else None
-    for by in range(nby):
+    r0, r1 = rows if rows is not None else (0, nby)
+    for by in range(r0, r1):
         for bx in range(nbx):
             col = (col_mvs[by, bx]
                    if (use_tmvp and col_mvs is not None) else None)
@@ -666,7 +746,7 @@ def _alloc_mtt_levels(h, w, top, depth):
 
 
 def decode_p_slice_mtt(data: bytes, h: int, w: int, top: int, depth: int,
-                       stats=None):
+                       stats=None, use_merge: bool = False):
     """Exact inverse of encoder.inter_coder.encode_p_slice_mtt.  Returns
     (mv_unit, sq_levels, rect_levels, has_resid_unit, leaf_id_unit)."""
     from ..common import mtt as mtt_mod
@@ -682,27 +762,59 @@ def decode_p_slice_mtt(data: bytes, h: int, w: int, top: int, depth: int,
     has_resid = np.zeros((nuy, nux), dtype=bool)
     leaf_id = np.zeros((nuy, nux), dtype=np.int32)
 
+    from ..encoder.inter_coder import merge_candidates_unit
+
     def parse_leaf_span(levs, uy, ux, ky, kx, sy, sx):
         pred = mvp_unit_grid_rect(coded, avail, uy, ux, kx)
-        _lbl(dec, "skip_flag")
-        if dec.decode_bin(ctx_id("SkipFlag")):
-            mv = pred
+        skip = False
+        if use_merge:
+            cands = merge_candidates_unit(coded, avail, uy, ux, kx)
+            _lbl(dec, "skip_flag")
+            skip = bool(dec.decode_bin(ctx_id("SkipFlag")))
+            mrg = skip
+            if not skip:
+                _lbl(dec, "merge_flag")
+                mrg = bool(dec.decode_bin(ctx_id("MergeFlag")))
+            if mrg:
+                _lbl(dec, "merge_idx")
+                mv = np.asarray(cands[decode_merge_idx(dec)], np.int64)
+            else:
+                _lbl(dec, "mvd")
+                mvd = np.array([decode_mvd_comp(dec),
+                                decode_mvd_comp(dec)], dtype=np.int64)
+                mv = pred + mvd
+            if not skip:
+                hr = False
+                for ci in range(3):
+                    _lbl(dec, "cbf")
+                    if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
+                        _lbl(dec, "residual_" + "yuv"[ci])
+                        zy = sy if ci == 0 else sy // 2
+                        zx = sx if ci == 0 else sx // 2
+                        levs[ci][...] = coeffs_decode(dec, zy, zx,
+                                                      chroma=(ci != 0))
+                        hr = True
+                has_resid[uy:uy + ky, ux:ux + kx] = hr
         else:
-            _lbl(dec, "mvd")
-            mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
-                           dtype=np.int64)
-            mv = pred + mvd
-            hr = False
-            for ci in range(3):
-                _lbl(dec, "cbf")
-                if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
-                    _lbl(dec, "residual_" + "yuv"[ci])
-                    zy = sy if ci == 0 else sy // 2
-                    zx = sx if ci == 0 else sx // 2
-                    levs[ci][...] = coeffs_decode(dec, zy, zx,
-                                                  chroma=(ci != 0))
-                    hr = True
-            has_resid[uy:uy + ky, ux:ux + kx] = hr
+            _lbl(dec, "skip_flag")
+            if dec.decode_bin(ctx_id("SkipFlag")):
+                mv = pred
+            else:
+                _lbl(dec, "mvd")
+                mvd = np.array([decode_mvd_comp(dec),
+                                decode_mvd_comp(dec)], dtype=np.int64)
+                mv = pred + mvd
+                hr = False
+                for ci in range(3):
+                    _lbl(dec, "cbf")
+                    if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
+                        _lbl(dec, "residual_" + "yuv"[ci])
+                        zy = sy if ci == 0 else sy // 2
+                        zx = sx if ci == 0 else sx // 2
+                        levs[ci][...] = coeffs_decode(dec, zy, zx,
+                                                      chroma=(ci != 0))
+                        hr = True
+                has_resid[uy:uy + ky, ux:ux + kx] = hr
         coded[uy:uy + ky, ux:ux + kx] = mv
         avail[uy:uy + ky, ux:ux + kx] = True
         leaf_id[uy:uy + ky, ux:ux + kx] = uy * nux + ux
@@ -736,7 +848,7 @@ def decode_p_slice_mtt(data: bytes, h: int, w: int, top: int, depth: int,
 
 
 def decode_b_slice_mtt(data: bytes, h: int, w: int, top: int, depth: int,
-                       stats=None):
+                       stats=None, use_merge: bool = False):
     """Exact inverse of encoder.inter_coder.encode_b_slice_mtt.  Returns
     (mv0_unit, mv1_unit, dirs_unit, sq_levels, rect_levels,
     has_resid_unit, leaf_id_unit)."""
@@ -755,12 +867,60 @@ def decode_b_slice_mtt(data: bytes, h: int, w: int, top: int, depth: int,
     has_resid = np.zeros((nuy, nux), dtype=bool)
     leaf_id = np.zeros((nuy, nux), dtype=np.int32)
 
+    from ..encoder.inter_coder import merge_candidates_unit_b
+
     def parse_leaf_span(levs, uy, ux, ky, kx, sy, sx):
         pred0 = mvp_unit_grid_rect(coded0, avail, uy, ux, kx)
         pred1 = mvp_unit_grid_rect(coded1, avail, uy, ux, kx)
         d_pred = (int(dirs_u[uy, ux - 1]) if ux > 0 and avail[uy, ux - 1]
                   else int(dirs_u[uy - 1, ux])
                   if uy > 0 and avail[uy - 1, ux] else 0)
+        if use_merge:
+            cands = merge_candidates_unit_b(coded0, coded1, dirs_u, avail,
+                                            uy, ux, kx)
+            _lbl(dec, "skip_flag")
+            skip = bool(dec.decode_bin(ctx_id("SkipFlag")))
+            mrg = skip
+            if not skip:
+                _lbl(dec, "merge_flag")
+                mrg = bool(dec.decode_bin(ctx_id("MergeFlag")))
+            if mrg:
+                _lbl(dec, "merge_idx")
+                dv, m0, m1 = cands[decode_merge_idx(dec)]
+                mv0 = np.asarray(m0, np.int64)
+                mv1 = np.asarray(m1, np.int64)
+            else:
+                if dec.decode_bin(ctx_id("InterDir", 0)):
+                    dv = 2
+                else:
+                    dv = dec.decode_bin(ctx_id("InterDir", 1))
+                mv0, mv1 = pred0, pred1
+                if dv != 1:
+                    mv0 = pred0 + np.array([decode_mvd_comp(dec),
+                                            decode_mvd_comp(dec)],
+                                           dtype=np.int64)
+                if dv != 0:
+                    mv1 = pred1 + np.array([decode_mvd_comp(dec),
+                                            decode_mvd_comp(dec)],
+                                           dtype=np.int64)
+            if not skip:
+                hr = False
+                for ci in range(3):
+                    _lbl(dec, "cbf")
+                    if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
+                        _lbl(dec, "residual_" + "yuv"[ci])
+                        zy = sy if ci == 0 else sy // 2
+                        zx = sx if ci == 0 else sx // 2
+                        levs[ci][...] = coeffs_decode(dec, zy, zx,
+                                                      chroma=(ci != 0))
+                        hr = True
+                has_resid[uy:uy + ky, ux:ux + kx] = hr
+            coded0[uy:uy + ky, ux:ux + kx] = mv0
+            coded1[uy:uy + ky, ux:ux + kx] = mv1
+            dirs_u[uy:uy + ky, ux:ux + kx] = dv
+            avail[uy:uy + ky, ux:ux + kx] = True
+            leaf_id[uy:uy + ky, ux:ux + kx] = uy * nux + ux
+            return
         _lbl(dec, "skip_flag")
         if dec.decode_bin(ctx_id("SkipFlag")):
             dv, mv0, mv1 = d_pred, pred0, pred1
@@ -897,11 +1057,13 @@ def decode_p_slice_qt_mm(data: bytes, h: int, w: int, top: int,
 
 def decode_b_slice_mm(data: bytes, nby: int, nbx: int, s: int,
                       active_models: list[int], conv=None, epipole0=None,
-                      epipole1=None, stats=None):
+                      epipole1=None, stats=None, use_merge: bool = False,
+                      mer_blocks_log2: int = 0):
     """Exact inverse of encoder.inter_coder.encode_b_slice_mm.  Returns
     (model_idx0, model_idx1, mv0, mv1, dirs, lev_y, lev_u, lev_v) — mv
     grids carry the selected model's MV per block."""
-    from ..encoder.inter_coder import _mm_mvp, inherited_model
+    from ..encoder.inter_coder import (_mm_mvp, inherited_model,
+                                       merge_candidates_b_mm)
     dec = _make(data, stats)
     sc = s // 2
     n_active = len(active_models)
@@ -916,6 +1078,88 @@ def decode_b_slice_mm(data: bytes, nby: int, nbx: int, s: int,
     lev_u = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
     lev_v = np.zeros((nby, nbx, sc, sc), dtype=np.int32)
     model_to_idx = {m: i for i, m in enumerate(active_models)}
+    if use_merge:
+        for by in range(nby):
+            for bx in range(nbx):
+                mcands = merge_candidates_b_mm(
+                    dirs, midx0, mv0, midx1, mv1, by, bx,
+                    mer_blocks_log2=mer_blocks_log2)
+
+                def apply_cand(c):
+                    d, (i0, m0), (i1, m1) = c
+                    dirs[by, bx] = d
+                    midx0[by, bx] = i0
+                    models0[by, bx] = active_models[i0]
+                    mv0[by, bx] = m0
+                    midx1[by, bx] = i1
+                    models1[by, bx] = active_models[i1]
+                    mv1[by, bx] = m1
+                    _unused_override(d)
+
+                def _unused_override(d):
+                    # unused lists take the inherited model + its MVP
+                    # (select_merge_b_mm / encode_b_slice_mm convention)
+                    if d == 1:
+                        inh0 = inherited_model(models0, by, bx)
+                        models0[by, bx] = inh0
+                        midx0[by, bx] = model_to_idx[inh0]
+                        mv0[by, bx] = _mm_mvp(mv0, models0, by, bx, inh0,
+                                              s, conv, epipole0)
+                    if d == 0:
+                        inh1 = inherited_model(models1, by, bx)
+                        models1[by, bx] = inh1
+                        midx1[by, bx] = model_to_idx[inh1]
+                        mv1[by, bx] = _mm_mvp(mv1, models1, by, bx, inh1,
+                                              s, conv, epipole1)
+
+                _lbl(dec, "skip_flag")
+                skip = bool(dec.decode_bin(ctx_id("SkipFlag")))
+                mrg = skip
+                if not skip:
+                    _lbl(dec, "merge_flag")
+                    mrg = bool(dec.decode_bin(ctx_id("MergeFlag")))
+                if mrg:
+                    _lbl(dec, "merge_idx")
+                    apply_cand(mcands[decode_merge_idx(dec)])
+                    if skip:
+                        continue
+                else:
+                    if dec.decode_bin(ctx_id("InterDir", 0)):
+                        d = 2
+                    else:
+                        d = dec.decode_bin(ctx_id("InterDir", 1))
+                    dirs[by, bx] = d
+                    if d != 1:
+                        _lbl(dec, "motion_model")
+                        mi = decode_motion_model(dec, n_active)
+                        midx0[by, bx] = mi
+                        models0[by, bx] = active_models[mi]
+                        _lbl(dec, "mvd")
+                        mvd = np.array([decode_mvd_comp(dec),
+                                        decode_mvd_comp(dec)], np.int64)
+                        p = _mm_mvp(mv0, models0, by, bx,
+                                    active_models[mi], s, conv, epipole0)
+                        mv0[by, bx] = p + mvd
+                    if d != 0:
+                        _lbl(dec, "motion_model")
+                        mi = decode_motion_model(dec, n_active)
+                        midx1[by, bx] = mi
+                        models1[by, bx] = active_models[mi]
+                        _lbl(dec, "mvd")
+                        mvd = np.array([decode_mvd_comp(dec),
+                                        decode_mvd_comp(dec)], np.int64)
+                        p = _mm_mvp(mv1, models1, by, bx,
+                                    active_models[mi], s, conv, epipole1)
+                        mv1[by, bx] = p + mvd
+                    _unused_override(d)
+                for ci, (lev, size) in enumerate(((lev_y, s), (lev_u, sc),
+                                                 (lev_v, sc))):
+                    _lbl(dec, "cbf")
+                    if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
+                        _lbl(dec, "residual_" + "yuv"[ci])
+                        lev[by, bx] = coeffs_decode(dec, size, size,
+                                                    chroma=(ci != 0))
+        return midx0, midx1, mv0, mv1, dirs, lev_y, lev_u, lev_v
     for by in range(nby):
         for bx in range(nbx):
             d_pred = (int(dirs[by, bx - 1]) if bx > 0
@@ -982,3 +1226,62 @@ def decode_b_slice_mm(data: bytes, nby: int, nbx: int, s: int,
                 mv1[by, bx] = _mm_mvp(mv1, models1, by, bx, inh1, s,
                                       conv, epipole1)
     return midx0, midx1, mv0, mv1, dirs, lev_y, lev_u, lev_v
+
+
+def _parse_wpp_frame(data: bytes):
+    """Inverse of encoder framing: u16 count, u32 lengths, streams."""
+    n = int.from_bytes(data[0:2], "big")
+    lens = [int.from_bytes(data[2 + 4 * i:6 + 4 * i], "big")
+            for i in range(n)]
+    off = 2 + 4 * n
+    subs = []
+    for ln in lens:
+        subs.append(data[off:off + ln])
+        off += ln
+    return subs
+
+
+def decode_p_slice_wpp(data: bytes, nby: int, nbx: int, s: int,
+                       stats=None, col_mvs=None, use_tmvp=False,
+                       use_amvr=False, use_merge=False,
+                       mer_blocks_log2: int = 0):
+    """Inter WPP parse: one independently decodable substream per row
+    group (fresh contexts + HMVP), shared syntax-level grid evolution."""
+    subs = _parse_wpp_frame(data)
+    n = len(subs)
+    bounds = [round(i * nby / n) for i in range(n + 1)]
+    sc = s // 2
+    state = (np.zeros((nby, nbx, 2), np.int64),
+             np.zeros((nby, nbx, s, s), np.int32),
+             np.zeros((nby, nbx, sc, sc), np.int32),
+             np.zeros((nby, nbx, sc, sc), np.int32))
+    for i, sub in enumerate(subs):
+        decode_p_slice(sub, nby, nbx, s, stats=stats, col_mvs=col_mvs,
+                       use_tmvp=use_tmvp, use_amvr=use_amvr,
+                       use_merge=use_merge,
+                       mer_blocks_log2=mer_blocks_log2,
+                       rows=(bounds[i], bounds[i + 1]), state=state)
+    return state
+
+
+def decode_b_slice_wpp(data: bytes, nby: int, nbx: int, s: int,
+                       stats=None, use_gpm=False, use_ciip=False,
+                       use_merge=False, mer_blocks_log2: int = 0):
+    """Inter WPP parse for B slices."""
+    subs = _parse_wpp_frame(data)
+    n = len(subs)
+    bounds = [round(i * nby / n) for i in range(n + 1)]
+    sc = s // 2
+    state = (np.zeros((nby, nbx, 2), np.int64),
+             np.zeros((nby, nbx, 2), np.int64),
+             np.zeros((nby, nbx), np.int32),
+             np.zeros((nby, nbx), np.int32),
+             np.zeros((nby, nbx, s, s), np.int32),
+             np.zeros((nby, nbx, sc, sc), np.int32),
+             np.zeros((nby, nbx, sc, sc), np.int32))
+    for i, sub in enumerate(subs):
+        decode_b_slice(sub, nby, nbx, s, stats=stats, use_gpm=use_gpm,
+                       use_ciip=use_ciip, use_merge=use_merge,
+                       mer_blocks_log2=mer_blocks_log2,
+                       rows=(bounds[i], bounds[i + 1]), state=state)
+    return state

@@ -447,7 +447,7 @@ class EncLib:
         use_2ref = (ref2 is not None and cfg.max_num_ref >= 2
                     and cfg.merge and not cfg.mm.any_enabled()
                     and cfg.qt_depth == 0 and not cfg.affine
-                    and not cfg.mcts_tiles)
+                    and not cfg.mcts_tiles and not cfg.wpp)
         if use_2ref:
             r2dev = self._dpb_dev.get(ref2_poc)
             if r2dev is None:
@@ -600,7 +600,8 @@ class EncLib:
                 off += 4
             payload = encode_p_slice_mtt(codes_h, sq_mv_h, sq_lev_h,
                                          rect_mv_h, rect_lev_h, s,
-                                         cfg.qt_depth)
+                                         cfg.qt_depth,
+                                         use_merge=cfg.merge)
             recon = out["recon"]
             if cfg.deblocking:
                 bs_v, bs_h = qtree.qt_boundary_strengths(
@@ -629,7 +630,8 @@ class EncLib:
             levels_h = [tuple(lv_flat[3 * i:3 * i + 3])
                         for i in range(len(qt["levels"]))]
             payload = encode_p_slice_qt(splits, mvs_h, levels_h, s,
-                                        cfg.qt_depth)
+                                        cfg.qt_depth,
+                                        use_merge=cfg.merge)
             recon = qt["recon"]
             if cfg.deblocking:
                 bs_v, bs_h = qtree.qt_boundary_strengths(
@@ -727,10 +729,17 @@ class EncLib:
                 wp=None if wp is None else jnp.asarray(wp),
                 scaling=tuple(cfg.scaling_list) or None)
             lyh, luh, lvh = xfer.pull_levels(ly, lu, lv)
-            payload = encode_p_slice(final, lyh, luh, lvh, col_mvs=col,
-                                     use_tmvp=cfg.tmvp,
-                                     imv=imv_h if cfg.amvr else None,
-                                     merge_flag=mflag, merge_idx=midx)
+            if cfg.wpp:
+                from .inter_coder import encode_p_slice_wpp
+                payload = encode_p_slice_wpp(
+                    final, lyh, luh, lvh, col_mvs=col, use_tmvp=cfg.tmvp,
+                    imv=imv_h if cfg.amvr else None, merge_flag=mflag,
+                    merge_idx=midx, num_substreams=cfg.num_substreams)
+            else:
+                payload = encode_p_slice(final, lyh, luh, lvh,
+                                         col_mvs=col, use_tmvp=cfg.tmvp,
+                                         imv=imv_h if cfg.amvr else None,
+                                         merge_flag=mflag, merge_idx=midx)
             self._mv_fields[poc] = final.astype(np.int64)
         else:
             wp = (self._estimate_wp(planes, ref)
@@ -936,10 +945,38 @@ class EncLib:
             # fused path: ONE search program (both lists + uni/bi), the
             # shared DMVR/positions programs, ONE residual/recon/deblock
             # program; host entropy overlaps the SAO/ALF device chain
-            midx0, midx1, stack0, stack1, dirs = mm_codec.search_b_mm(
-                self.reproj, active, oy, r0[0], r1[0], qp, s,
-                cfg.bit_depth, cfg.search_range, eps0, eps1,
-                cfg.wrap_around)
+            mflag_mm = midx_mm = None
+            if cfg.merge:
+                # whole-motion MM merge: candidate-field SADs ride the
+                # search program; host selection snaps (dir, model, mv)
+                # triples in coding order
+                from .inter_coder import select_merge_b_mm
+                out = mm_codec.search_b_mm_merge(
+                    self.reproj, active, oy, r0[0], r1[0], qp, s,
+                    cfg.bit_depth, cfg.search_range, eps0, eps1,
+                    cfg.wrap_around)
+                (m0h, m1h, s0h, s1h, d_h, sad_h, ci0h, ci1h, cm0h, cm1h,
+                 cdh, csh) = xfer.pull_i32(*out)
+                lam_sqrt = quant.lambda_from_qp(qp, intra=False) ** 0.5
+                mer_blk = max(0, self.sps.log2_parallel_merge_level
+                              - (s.bit_length() - 1))
+                ep0_m = (eps0 or {}).get(MotionModelID.GEODESIC_CAMPOSE)
+                ep1_m = (eps1 or {}).get(MotionModelID.GEODESIC_CAMPOSE)
+                (f_m0, f_m1, f_s0, f_s1, f_d, mflag_mm,
+                 midx_mm) = select_merge_b_mm(
+                    m0h, m1h, s0h, s1h, d_h, sad_h, ci0h, ci1h, cm0h,
+                    cm1h, cdh, csh, active, lam_sqrt, s, self.mvp_conv,
+                    ep0_m, ep1_m, mer_blk)
+                midx0 = jnp.asarray(f_m0)
+                midx1 = jnp.asarray(f_m1)
+                stack0 = jnp.asarray(f_s0.astype(np.int32))
+                stack1 = jnp.asarray(f_s1.astype(np.int32))
+                dirs = jnp.asarray(f_d)
+            else:
+                midx0, midx1, stack0, stack1, dirs = mm_codec.search_b_mm(
+                    self.reproj, active, oy, r0[0], r1[0], qp, s,
+                    cfg.bit_depth, cfg.search_range, eps0, eps1,
+                    cfg.wrap_around)
             if cfg.dmvr:
                 # projected DMVR refines the *prediction* MVs through the
                 # shared enc/dec programs; the SIGNALED stacks (and the
@@ -963,10 +1000,16 @@ class EncLib:
             ep1_mvp = (eps1 or {}).get(MotionModelID.GEODESIC_CAMPOSE)
 
             def make_payload():
+                from .inter_coder import encode_b_slice_mm
+                if cfg.merge:
+                    lyh, luh, lvh = xfer.pull_levels(ly, lu, lv)
+                    return encode_b_slice_mm(
+                        f_m0, f_m1, active, f_s0, f_s1, f_d, lyh, luh,
+                        lvh, s, self.mvp_conv, ep0_mvp, ep1_mvp,
+                        merge_flag=mflag_mm, merge_idx=midx_mm)
                 (lyh, luh, lvh, midx0_h, midx1_h, s0_h, s1_h,
                  dirs_h) = xfer.pull_levels(ly, lu, lv, midx0, midx1,
                                             stack0, stack1, dirs)
-                from .inter_coder import encode_b_slice_mm
                 return encode_b_slice_mm(
                     midx0_h, midx1_h, active, s0_h.astype(np.int64),
                     s1_h.astype(np.int64), dirs_h, lyh, luh, lvh, s,
@@ -1018,7 +1061,7 @@ class EncLib:
             payload = encode_b_slice_mtt(
                 codes_h, sq_mv0_h, sq_mv1_h, sq_dirs_h, sq_lev_h,
                 rect_mv0_h, rect_mv1_h, rect_dirs_h, rect_lev_h, s,
-                cfg.qt_depth)
+                cfg.qt_depth, use_merge=cfg.merge)
             recon = out["recon"]
             if cfg.deblocking:
                 sel_mv = jnp.where(out["dirs_unit"][..., None] == 1,
@@ -1053,7 +1096,8 @@ class EncLib:
             levels_h = [tuple(lv_flat[3 * i:3 * i + 3])
                         for i in range(len(qt["levels"]))]
             payload = encode_b_slice_qt(splits, mv0s, mv1s, dirss,
-                                        levels_h, s, cfg.qt_depth)
+                                        levels_h, s, cfg.qt_depth,
+                                        use_merge=cfg.merge)
             recon = qt["recon"]
             if cfg.deblocking:
                 sel_mv = jnp.where(qt["dirs_unit"][..., None] == 1,
@@ -1134,10 +1178,17 @@ class EncLib:
             (lyh, luh, lvh, mv0_h, mv1_h, dirs_h,
              gpm_h) = xfer.pull_levels(ly, lu, lv, mv0, mv1, dirs,
                                        gpm_modes)
-        payload, coded0, coded1 = encode_b_slice(
-            mv0_h, mv1_h, dirs_h, lyh, luh,
-            lvh, gpm_modes=gpm_h, use_gpm=cfg.gpm,
-            use_ciip=cfg.ciip, merge_flag=mflag, merge_idx=midx)
+        if cfg.wpp and cfg.merge:
+            from .inter_coder import encode_b_slice_wpp
+            payload = encode_b_slice_wpp(
+                mv0_h, mv1_h, dirs_h, lyh, luh, lvh, gpm_modes=gpm_h,
+                use_gpm=cfg.gpm, use_ciip=cfg.ciip, merge_flag=mflag,
+                merge_idx=midx, num_substreams=cfg.num_substreams)
+        else:
+            payload, _, _ = encode_b_slice(
+                mv0_h, mv1_h, dirs_h, lyh, luh,
+                lvh, gpm_modes=gpm_h, use_gpm=cfg.gpm,
+                use_ciip=cfg.ciip, merge_flag=mflag, merge_idx=midx)
         self._pending_alf_chroma = None
         self._pending_ccalf = None
         sao_params = None

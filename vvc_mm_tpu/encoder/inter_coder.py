@@ -199,23 +199,29 @@ def select_merge_p(mv_me: np.ndarray, sad_me: np.ndarray,
     merge_idx = np.zeros((nby, nbx), dtype=np.int32)
     hist = HmvpList() if use_tmvp else None
     n_fields = cand_mvs.shape[0]
+    # plain-list views: python-int indexing is ~10x cheaper than numpy
+    # scalar reads in this per-block host loop
+    mv_l = np.asarray(mv_me).tolist()
+    sad_l = np.asarray(sad_me).tolist()
+    cmv_l = np.asarray(cand_mvs).tolist()
+    csad_l = np.asarray(cand_sads).tolist()
     for by in range(nby):
         for bx in range(nbx):
             col = (col_mvs[by, bx] if (use_tmvp and col_mvs is not None)
                    else None)
             cands = merge_candidates(final, by, bx, col, hist,
                                      mer_blocks_log2=mer_blocks_log2)
-            me_mv = (int(mv_me[by, bx, 0]), int(mv_me[by, bx, 1]))
+            me_mv = (mv_l[by][bx][0], mv_l[by][bx][1])
             best = None                       # (cost, idx, mv)
             for i, c in enumerate(cands):
                 if c == me_mv:
-                    sad = int(sad_me[by, bx])
+                    sad = sad_l[by][bx]
                 elif snap:
                     sad = None
                     for k in range(n_fields):
-                        if (int(cand_mvs[k, by, bx, 0]) == c[0]
-                                and int(cand_mvs[k, by, bx, 1]) == c[1]):
-                            sad = int(cand_sads[k, by, bx])
+                        ck = cmv_l[k][by][bx]
+                        if ck[0] == c[0] and ck[1] == c[1]:
+                            sad = csad_l[k][by][bx]
                             break
                     if sad is None:
                         continue
@@ -226,7 +232,7 @@ def select_merge_p(mv_me: np.ndarray, sad_me: np.ndarray,
                     best = (cost, i, c)
             pred = mvp_median(final, by, bx)
             mvd = np.asarray(me_mv, dtype=np.int64) - pred
-            amvp_cost = int(sad_me[by, bx]) + lam_sqrt * (2 + _mvd_bits(mvd))
+            amvp_cost = sad_l[by][bx] + lam_sqrt * (2 + _mvd_bits(mvd))
             if best is not None and best[0] <= amvp_cost:
                 merge_flag[by, bx] = True
                 merge_idx[by, bx] = best[1]
@@ -695,6 +701,10 @@ def select_merge_mm(midx_me: np.ndarray, mvs_stack: np.ndarray,
     merge_flag = np.zeros((nby, nbx), dtype=bool)
     merge_idx = np.zeros((nby, nbx), dtype=np.int32)
     n_fields = cand_idx.shape[0]
+    sad_l = np.asarray(sad_sel).tolist()
+    ci_l = np.asarray(cand_idx).tolist()
+    cm_l = np.asarray(cand_mv).tolist()
+    cs_l = np.asarray(cand_sads).tolist()
     for by in range(nby):
         for bx in range(nbx):
             cands = merge_candidates_mm(f_midx, mvs_sel, by, bx,
@@ -704,14 +714,14 @@ def select_merge_mm(midx_me: np.ndarray, mvs_stack: np.ndarray,
             best = None
             for i, c in enumerate(cands):
                 if c == me:
-                    sad = int(sad_sel[by, bx])
+                    sad = sad_l[by][bx]
                 else:
                     sad = None
                     for k in range(n_fields):
-                        if (int(cand_idx[k, by, bx]) == c[0]
-                                and int(cand_mv[k, by, bx, 0]) == c[1][0]
-                                and int(cand_mv[k, by, bx, 1]) == c[1][1]):
-                            sad = int(cand_sads[k, by, bx])
+                        mk = cm_l[k][by][bx]
+                        if (ci_l[k][by][bx] == c[0] and mk[0] == c[1][0]
+                                and mk[1] == c[1][1]):
+                            sad = cs_l[k][by][bx]
                             break
                     if sad is None:
                         continue
@@ -723,7 +733,7 @@ def select_merge_mm(midx_me: np.ndarray, mvs_stack: np.ndarray,
                            conv, epipole)
             mvd = np.asarray(me[1], np.int64) - pred
             model_bins = min(me[0] + 1, n_active - 1)
-            amvp_cost = (int(sad_sel[by, bx])
+            amvp_cost = (sad_l[by][bx]
                          + lam_sqrt * (2 + model_bins + _mvd_bits(mvd)))
             if best is not None and best[0] <= amvp_cost:
                 merge_flag[by, bx] = True
@@ -877,14 +887,104 @@ def mvp_unit_grid(coded: np.ndarray, avail: np.ndarray, uy: int, ux: int,
     return np.median(c, axis=0).astype(np.int64)
 
 
+def merge_candidates_unit(coded: np.ndarray, avail: np.ndarray, uy: int,
+                          ux: int, k: int, n: int = MERGE_MAX
+                          ) -> list[tuple[int, int]]:
+    """Merge candidate list over the causal unit grid (QT/MTT leaves;
+    reference: getInterMergeCandidates at the CU the partitioner visits).
+    Spatial A1/B1/B0/B2 positions relative to a k-unit-wide leaf, then
+    pairwise + zero."""
+    nuy, nux = avail.shape
+    cands = []
+    for (y, x) in ((uy, ux - 1), (uy - 1, ux), (uy - 1, ux + k),
+                   (uy - 1, ux - 1)):
+        if 0 <= y < nuy and 0 <= x < nux and avail[y, x]:
+            cands.append((int(coded[y, x, 0]), int(coded[y, x, 1])))
+    out = []
+    for c in cands:
+        if c not in out:
+            out.append(c)
+        if len(out) == n:
+            break
+    if len(out) >= 2 and len(out) < n:
+        pw = ((out[0][0] + out[1][0] + 1) >> 1,
+              (out[0][1] + out[1][1] + 1) >> 1)
+        if pw not in out:
+            out.append(pw)
+    zero = (0, 0)
+    if len(out) < n and zero not in out:
+        out.append(zero)
+    while len(out) < n:
+        out.append(zero)
+    return out
+
+
+
+
+def merge_candidates_unit_b(coded0: np.ndarray, coded1: np.ndarray,
+                            dirs_u: np.ndarray, avail: np.ndarray,
+                            uy: int, ux: int, k: int, n: int = MERGE_MAX):
+    """Whole-motion (dir, mv0, mv1) merge candidates over the causal unit
+    grid (QT/MTT B leaves)."""
+    nuy, nux = avail.shape
+    cands = []
+    for (y, x) in ((uy, ux - 1), (uy - 1, ux), (uy - 1, ux + k),
+                   (uy - 1, ux - 1)):
+        if 0 <= y < nuy and 0 <= x < nux and avail[y, x]:
+            cands.append((int(dirs_u[y, x]),
+                          (int(coded0[y, x, 0]), int(coded0[y, x, 1])),
+                          (int(coded1[y, x, 0]), int(coded1[y, x, 1]))))
+    out = []
+    for c in cands:
+        if c not in out:
+            out.append(c)
+        if len(out) == n:
+            break
+    zero = (2, (0, 0), (0, 0))
+    if len(out) < n and zero not in out:
+        out.append(zero)
+    while len(out) < n:
+        out.append(zero)
+    return out
+
+
 def _code_leaf_qt(enc, mv, lev_y, lev_u, lev_v, coded, avail, uy, ux,
-                  k) -> None:
-    """One quadtree leaf: skip / mvd / cbf / coeffs; updates the coded
-    unit grid + availability mask."""
+                  k, use_merge: bool = False) -> None:
+    """One quadtree leaf: skip / [merge] / mvd / cbf / coeffs; updates the
+    coded unit grid + availability mask.  With use_merge, a leaf whose MV
+    equals a candidate is coded as merge_idx (the encoder's tree search
+    decided the MV; merge here is the cheaper coding of it)."""
     pred = mvp_unit_grid(coded, avail, uy, ux, k)
-    mvd = np.asarray(mv, dtype=np.int64) - pred
+    mv = np.asarray(mv, dtype=np.int64)
+    mvd = mv - pred
     no_resid = (not np.any(lev_y != 0) and not np.any(lev_u != 0)
                 and not np.any(lev_v != 0))
+    if use_merge:
+        cands = merge_candidates_unit(coded, avail, uy, ux, k)
+        t = (int(mv[0]), int(mv[1]))
+        mrg = t in cands
+        idx = cands.index(t) if mrg else 0
+        skip = mrg and no_resid
+        enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+        if skip:
+            encode_merge_idx(enc, idx)
+        else:
+            enc.encode_bin(int(mrg), ctx_id("MergeFlag"))
+            if mrg:
+                encode_merge_idx(enc, idx)
+            else:
+                encode_mvd_comp(enc, int(mvd[0]))
+                encode_mvd_comp(enc, int(mvd[1]))
+            for comp, lev in (("y", lev_y), ("u", lev_u), ("v", lev_v)):
+                cbf = bool(np.any(lev != 0))
+                enc.encode_bin(int(cbf), ctx_id("QtCbf",
+                                                {"y": 0, "u": 4,
+                                                 "v": 5}[comp]))
+                if cbf:
+                    coeffs_encode(enc, lev, chroma=(comp != "y"))
+        coded[uy:uy + k, ux:ux + k] = mv
+        avail[uy:uy + k, ux:ux + k] = True
+        return
     skip = no_resid and mvd[0] == 0 and mvd[1] == 0
     enc.encode_bin(int(skip), ctx_id("SkipFlag"))
     if not skip:
@@ -900,7 +1000,8 @@ def _code_leaf_qt(enc, mv, lev_y, lev_u, lev_v, coded, avail, uy, ux,
     avail[uy:uy + k, ux:ux + k] = True
 
 
-def encode_p_slice_qt(splits, mvs, levels, top: int, depth: int) -> bytes:
+def encode_p_slice_qt(splits, mvs, levels, top: int, depth: int,
+                      use_merge: bool = False) -> bytes:
     """Quadtree P-slice entropy coding (reference: CABACWriter
     coding_tree + inter CU syntax).  Nodes traverse z-order within each
     top-level block, raster over top blocks; the coded unit-grid MV field
@@ -925,7 +1026,7 @@ def encode_p_slice_qt(splits, mvs, levels, top: int, depth: int) -> bytes:
         k = (top >> d) // u
         _code_leaf_qt(enc, mvs[d][by, bx], levels[d][0][by, bx],
                       levels[d][1][by, bx], levels[d][2][by, bx],
-                      coded, avail, by * k, bx * k, k)
+                      coded, avail, by * k, bx * k, k, use_merge)
 
     for by in range(nty):
         for bx in range(ntx):
@@ -934,7 +1035,7 @@ def encode_p_slice_qt(splits, mvs, levels, top: int, depth: int) -> bytes:
 
 
 def encode_b_slice_qt(splits, mv0s, mv1s, dirss, levels, top: int,
-                      depth: int) -> bytes:
+                      depth: int, use_merge: bool = False) -> bytes:
     """Quadtree B-slice entropy coding: tree + per-leaf inter_dir / mvd per
     used list / residual.  Unused-list unit cells take their MVP so both
     sides evolve the same grids."""
@@ -968,6 +1069,42 @@ def encode_b_slice_qt(splits, mv0s, mv1s, dirss, levels, top: int,
         d_pred = (int(dirs_u[uy, ux - 1]) if ux > 0 and avail[uy, ux - 1]
                   else int(dirs_u[uy - 1, ux])
                   if uy > 0 and avail[uy - 1, ux] else 0)
+        if use_merge:
+            cands = merge_candidates_unit_b(coded0, coded1, dirs_u, avail,
+                                            uy, ux, k)
+            t = (dv, (int(mv0[0]), int(mv0[1])),
+                 (int(mv1[0]), int(mv1[1])))
+            mrg = t in cands
+            idx = cands.index(t) if mrg else 0
+            skip = mrg and no_resid
+            enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+            if skip:
+                encode_merge_idx(enc, idx)
+            else:
+                enc.encode_bin(int(mrg), ctx_id("MergeFlag"))
+                if mrg:
+                    encode_merge_idx(enc, idx)
+                else:
+                    enc.encode_bin(int(dv == 2), ctx_id("InterDir", 0))
+                    if dv != 2:
+                        enc.encode_bin(dv, ctx_id("InterDir", 1))
+                    if dv != 1:
+                        encode_mvd_comp(enc, int(mvd0[0]))
+                        encode_mvd_comp(enc, int(mvd0[1]))
+                    if dv != 0:
+                        encode_mvd_comp(enc, int(mvd1[0]))
+                        encode_mvd_comp(enc, int(mvd1[1]))
+                for ci, l in enumerate(lev):
+                    cbf = bool(np.any(l != 0))
+                    enc.encode_bin(int(cbf), ctx_id("QtCbf",
+                                                    (0, 4, 5)[ci]))
+                    if cbf:
+                        coeffs_encode(enc, l, chroma=(ci != 0))
+            coded0[uy:uy + k, ux:ux + k] = mv0
+            coded1[uy:uy + k, ux:ux + k] = mv1
+            dirs_u[uy:uy + k, ux:ux + k] = dv
+            avail[uy:uy + k, ux:ux + k] = True
+            return
         used_zero = (((dv != 1) <= (mvd0 == 0).all())
                      and ((dv != 0) <= (mvd1 == 0).all()))
         skip = no_resid and dv == d_pred and used_zero
@@ -1016,7 +1153,8 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
                    gpm_modes: np.ndarray | None = None,
                    use_gpm: bool = False, use_ciip: bool = False,
                    merge_flag: np.ndarray | None = None,
-                   merge_idx: np.ndarray | None = None
+                   merge_idx: np.ndarray | None = None,
+                   rows: tuple | None = None
                    ) -> tuple[bytes, np.ndarray, np.ndarray]:
     """B-slice entropy coding: skip / inter_dir / per-list mvd / residual
     (reference: CABACWriter inter_pred_idc + mvd_coding per list; GEO
@@ -1037,7 +1175,8 @@ def encode_b_slice(mv0: np.ndarray, mv1: np.ndarray, dirs: np.ndarray,
     cbf_y = (lev_y != 0).any(axis=(2, 3))
     cbf_u = (lev_u != 0).any(axis=(2, 3))
     cbf_v = (lev_v != 0).any(axis=(2, 3))
-    for by in range(nby):
+    r0, r1 = rows if rows is not None else (0, nby)
+    for by in range(r0, r1):
         for bx in range(nbx):
             d = int(dirs[by, bx])
             pred0 = mvp_median(coded0, by, bx)
@@ -1130,8 +1269,12 @@ def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
                    use_tmvp: bool = False,
                    imv: np.ndarray | None = None,
                    merge_flag: np.ndarray | None = None,
-                   merge_idx: np.ndarray | None = None) -> bytes:
+                   merge_idx: np.ndarray | None = None,
+                   rows: tuple | None = None) -> bytes:
     """mvs (nby, nbx, 2) 1/16-pel; lev_* (nby, nbx, s, s).  Raster order.
+    `rows`: optional (r0, r1) block-row range — one WPP substream's worth
+    (fresh contexts + fresh HMVP per substream, like the reference's
+    per-CTU-row HMVP reset under WPP).
 
     With use_tmvp, MV prediction upgrades from the implicit spatial median
     to a 2-candidate AMVP list (spatial / TMVP col_mvs / HMVP / zero) with
@@ -1156,7 +1299,8 @@ def encode_p_slice(mvs: np.ndarray, lev_y: np.ndarray, lev_u: np.ndarray,
     cbf_yg = (lev_y != 0).any(axis=(2, 3))
     cbf_ug = (lev_u != 0).any(axis=(2, 3))
     cbf_vg = (lev_v != 0).any(axis=(2, 3))
-    for by in range(nby):
+    r0, r1 = rows if rows is not None else (0, nby)
+    for by in range(r0, r1):
         for bx in range(nbx):
             mv = mvs[by, bx]
             cy, cu, cv = (bool(cbf_yg[by, bx]), bool(cbf_ug[by, bx]),
@@ -1271,7 +1415,8 @@ def _code_split_syntax(enc, code, d, s, u):
 
 
 def encode_p_slice_mtt(codes, sq_mv, sq_levels, rect_mv, rect_levels,
-                       top: int, depth: int) -> bytes:
+                       top: int, depth: int,
+                       use_merge: bool = False) -> bytes:
     """MTT P-slice entropy coding: QT/BT/TT split syntax + the same leaf
     syntax as the quadtree path, with rectangular leaf spans."""
     from ..common import mtt as mtt_mod
@@ -1292,7 +1437,8 @@ def encode_p_slice_mtt(codes, sq_mv, sq_levels, rect_mv, rect_levels,
         ky, kx = sy // u, sx // u
         mv = rect_mv[(kind, d)][gy, gx]
         levs = tuple(rect_levels[(kind, d)][c][gy, gx] for c in range(3))
-        _code_leaf_span(enc, mv, levs, coded, avail, uy, ux, ky, kx)
+        _code_leaf_span(enc, mv, levs, coded, avail, uy, ux, ky, kx,
+                        use_merge)
 
     def code_node(d, by, bx):
         s = top >> d
@@ -1310,7 +1456,7 @@ def encode_p_slice_mtt(codes, sq_mv, sq_levels, rect_mv, rect_levels,
         k = s // u
         _code_leaf_span(enc, sq_mv[d][by, bx],
                         tuple(sq_levels[d][c][by, bx] for c in range(3)),
-                        coded, avail, by * k, bx * k, k, k)
+                        coded, avail, by * k, bx * k, k, k, use_merge)
 
     for by in range(nty):
         for bx in range(ntx):
@@ -1318,12 +1464,38 @@ def encode_p_slice_mtt(codes, sq_mv, sq_levels, rect_mv, rect_levels,
     return enc.finish()
 
 
-def _code_leaf_span(enc, mv, levs, coded, avail, uy, ux, ky, kx) -> None:
-    """One leaf of any shape: skip / mvd / cbf / coeffs over a (ky, kx)
-    unit span (rect generalization of _code_leaf_qt)."""
+def _code_leaf_span(enc, mv, levs, coded, avail, uy, ux, ky, kx,
+                    use_merge: bool = False) -> None:
+    """One leaf of any shape: skip / [merge] / mvd / cbf / coeffs over a
+    (ky, kx) unit span (rect generalization of _code_leaf_qt)."""
     pred = mvp_unit_grid_rect(coded, avail, uy, ux, kx)
-    mvd = np.asarray(mv, dtype=np.int64) - pred
+    mv = np.asarray(mv, dtype=np.int64)
+    mvd = mv - pred
     no_resid = all(not np.any(l != 0) for l in levs)
+    if use_merge:
+        cands = merge_candidates_unit(coded, avail, uy, ux, kx)
+        t = (int(mv[0]), int(mv[1]))
+        mrg = t in cands
+        idx = cands.index(t) if mrg else 0
+        skip = mrg and no_resid
+        enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+        if skip:
+            encode_merge_idx(enc, idx)
+        else:
+            enc.encode_bin(int(mrg), ctx_id("MergeFlag"))
+            if mrg:
+                encode_merge_idx(enc, idx)
+            else:
+                encode_mvd_comp(enc, int(mvd[0]))
+                encode_mvd_comp(enc, int(mvd[1]))
+            for ci, lev in enumerate(levs):
+                cbf = bool(np.any(lev != 0))
+                enc.encode_bin(int(cbf), ctx_id("QtCbf", (0, 4, 5)[ci]))
+                if cbf:
+                    coeffs_encode(enc, lev, chroma=(ci != 0))
+        coded[uy:uy + ky, ux:ux + kx] = mv
+        avail[uy:uy + ky, ux:ux + kx] = True
+        return
     skip = no_resid and mvd[0] == 0 and mvd[1] == 0
     enc.encode_bin(int(skip), ctx_id("SkipFlag"))
     if not skip:
@@ -1334,8 +1506,7 @@ def _code_leaf_span(enc, mv, levs, coded, avail, uy, ux, ky, kx) -> None:
             enc.encode_bin(int(cbf), ctx_id("QtCbf", (0, 4, 5)[ci]))
             if cbf:
                 coeffs_encode(enc, lev, chroma=(ci != 0))
-    coded[uy:uy + ky, ux:ux + kx] = np.asarray(mv, dtype=np.int64) \
-        if not skip else pred
+    coded[uy:uy + ky, ux:ux + kx] = mv if not skip else pred
     avail[uy:uy + ky, ux:ux + kx] = True
 
 
@@ -1434,7 +1605,8 @@ def encode_p_slice_qt_mm(splits, midxs, mvs, levels, top: int, depth: int,
 
 def encode_b_slice_mtt(codes, sq_mv0, sq_mv1, sq_dirs, sq_levels,
                        rect_mv0, rect_mv1, rect_dirs, rect_levels,
-                       top: int, depth: int) -> bytes:
+                       top: int, depth: int,
+                       use_merge: bool = False) -> bytes:
     """MTT B-slice entropy coding (split syntax + B leaf syntax with
     rectangular spans)."""
     from ..common import mtt as mtt_mod
@@ -1462,6 +1634,42 @@ def encode_b_slice_mtt(codes, sq_mv0, sq_mv1, sq_dirs, sq_levels,
         d_pred = (int(dirs_u[uy, ux - 1]) if ux > 0 and avail[uy, ux - 1]
                   else int(dirs_u[uy - 1, ux])
                   if uy > 0 and avail[uy - 1, ux] else 0)
+        if use_merge:
+            cands = merge_candidates_unit_b(coded0, coded1, dirs_u, avail,
+                                            uy, ux, kx)
+            t = (dv, (int(mv0[0]), int(mv0[1])),
+                 (int(mv1[0]), int(mv1[1])))
+            mrg = t in cands
+            idx = cands.index(t) if mrg else 0
+            skip = mrg and no_resid
+            enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+            if skip:
+                encode_merge_idx(enc, idx)
+            else:
+                enc.encode_bin(int(mrg), ctx_id("MergeFlag"))
+                if mrg:
+                    encode_merge_idx(enc, idx)
+                else:
+                    enc.encode_bin(int(dv == 2), ctx_id("InterDir", 0))
+                    if dv != 2:
+                        enc.encode_bin(dv, ctx_id("InterDir", 1))
+                    if dv != 1:
+                        encode_mvd_comp(enc, int(mvd0[0]))
+                        encode_mvd_comp(enc, int(mvd0[1]))
+                    if dv != 0:
+                        encode_mvd_comp(enc, int(mvd1[0]))
+                        encode_mvd_comp(enc, int(mvd1[1]))
+                for ci, l in enumerate(levs):
+                    cbf = bool(np.any(l != 0))
+                    enc.encode_bin(int(cbf), ctx_id("QtCbf",
+                                                    (0, 4, 5)[ci]))
+                    if cbf:
+                        coeffs_encode(enc, l, chroma=(ci != 0))
+            coded0[uy:uy + ky, ux:ux + kx] = mv0
+            coded1[uy:uy + ky, ux:ux + kx] = mv1
+            dirs_u[uy:uy + ky, ux:ux + kx] = dv
+            avail[uy:uy + ky, ux:ux + kx] = True
+            return
         used_zero = (((dv != 1) <= (mvd0 == 0).all())
                      and ((dv != 0) <= (mvd1 == 0).all()))
         skip = no_resid and dv == d_pred and used_zero
@@ -1522,18 +1730,244 @@ def encode_b_slice_mtt(codes, sq_mv0, sq_mv1, sq_dirs, sq_levels,
     return enc.finish()
 
 
+def merge_candidates_b_mm(dirs_g: np.ndarray, midx0_g: np.ndarray,
+                          mv0_g: np.ndarray, midx1_g: np.ndarray,
+                          mv1_g: np.ndarray, by: int, bx: int,
+                          n: int = MERGE_MAX, mer_blocks_log2: int = 0):
+    """Whole-motion MM B merge candidates
+    (dir, (midx0, mv0), (midx1, mv1)) from the causally-decoded grids —
+    candidates inherit per-list models AND motion (reference:
+    UnitTools.cpp:872-885 model inheritance through merge).  Closes with
+    zero-BI-CLASSIC."""
+    nby, nbx = dirs_g.shape
+
+    def same_mer(y: int, x: int) -> bool:
+        if mer_blocks_log2 <= 0:
+            return False
+        return ((y >> mer_blocks_log2) == (by >> mer_blocks_log2)
+                and (x >> mer_blocks_log2) == (bx >> mer_blocks_log2))
+
+    cands = []
+    for (y, x) in ((by, bx - 1), (by - 1, bx), (by - 1, bx + 1),
+                   (by - 1, bx - 1)):
+        if (0 <= y < nby and 0 <= x < nbx and (y, x) < (by, bx)
+                and not same_mer(y, x)):
+            cands.append((int(dirs_g[y, x]),
+                          (int(midx0_g[y, x]),
+                           (int(mv0_g[y, x, 0]), int(mv0_g[y, x, 1]))),
+                          (int(midx1_g[y, x]),
+                           (int(mv1_g[y, x, 0]), int(mv1_g[y, x, 1])))))
+    out = []
+    for c in cands:
+        if c not in out:
+            out.append(c)
+        if len(out) == n:
+            break
+    zero = (2, (0, (0, 0)), (0, (0, 0)))
+    if len(out) < n and zero not in out:
+        out.append(zero)
+    while len(out) < n:
+        out.append(zero)
+    return out
+
+
+def select_merge_b_mm(midx0_me, midx1_me, stack0, stack1, dirs_me,
+                      sad_sel, ci0, ci1, cm0, cm1, cdirs, csads,
+                      active_models: list[int], lam_sqrt: float,
+                      block_size: int, conv=None, ep0=None, ep1=None,
+                      mer_blocks_log2: int = 0):
+    """Encoder MM B merge decision in coding order.  Returns
+    (f_midx0, f_midx1, f_stack0, f_stack1, f_dirs, merge_flag,
+    merge_idx) — stacks carry final MVs in the selected model layers and
+    the grids evolve with the entropy convention (unused lists take the
+    inherited model + its MVP)."""
+    nby, nbx = dirs_me.shape
+    f_midx0 = midx0_me.astype(np.int32).copy()
+    f_midx1 = midx1_me.astype(np.int32).copy()
+    f_stack0 = stack0.astype(np.int64).copy()
+    f_stack1 = stack1.astype(np.int64).copy()
+    f_dirs = dirs_me.astype(np.int32).copy()
+    sel0 = np.take_along_axis(
+        f_stack0, f_midx0[None, :, :, None].astype(np.int64), 0
+    )[0].astype(np.int64)
+    sel1 = np.take_along_axis(
+        f_stack1, f_midx1[None, :, :, None].astype(np.int64), 0
+    )[0].astype(np.int64)
+    models0 = np.asarray([active_models[i] for i in f_midx0.reshape(-1)],
+                         np.int32).reshape(nby, nbx)
+    models1 = np.asarray([active_models[i] for i in f_midx1.reshape(-1)],
+                         np.int32).reshape(nby, nbx)
+    merge_flag = np.zeros((nby, nbx), dtype=bool)
+    merge_idx = np.zeros((nby, nbx), dtype=np.int32)
+    n_fields = ci0.shape[0]
+    n_active = len(active_models)
+    sad_l = np.asarray(sad_sel).tolist()
+    ci0_l = np.asarray(ci0).tolist()
+    ci1_l = np.asarray(ci1).tolist()
+    cm0_l = np.asarray(cm0).tolist()
+    cm1_l = np.asarray(cm1).tolist()
+    cd_l = np.asarray(cdirs).tolist()
+    cs_l = np.asarray(csads).tolist()
+    for by in range(nby):
+        for bx in range(nbx):
+            d = int(dirs_me[by, bx])
+            cands = merge_candidates_b_mm(
+                f_dirs, f_midx0, sel0, f_midx1, sel1, by, bx,
+                mer_blocks_log2=mer_blocks_log2)
+            me = (d, (int(midx0_me[by, bx]),
+                      (int(sel0[by, bx, 0]), int(sel0[by, bx, 1]))),
+                  (int(midx1_me[by, bx]),
+                   (int(sel1[by, bx, 0]), int(sel1[by, bx, 1]))))
+            best = None
+            for i, c in enumerate(cands):
+                if c == me:
+                    sad = sad_l[by][bx]
+                else:
+                    sad = None
+                    for k in range(n_fields):
+                        m0k = cm0_l[k][by][bx]
+                        m1k = cm1_l[k][by][bx]
+                        if (cd_l[k][by][bx] == c[0]
+                                and ci0_l[k][by][bx] == c[1][0]
+                                and m0k[0] == c[1][1][0]
+                                and m0k[1] == c[1][1][1]
+                                and ci1_l[k][by][bx] == c[2][0]
+                                and m1k[0] == c[2][1][0]
+                                and m1k[1] == c[2][1][1]):
+                            sad = cs_l[k][by][bx]
+                            break
+                    if sad is None:
+                        continue
+                cost = sad + lam_sqrt * (i + 2)
+                if best is None or cost < best[0]:
+                    best = (cost, i, c)
+            # AMVP cost mirror of encode_b_slice_mm's syntax
+            mvd_bits = 0
+            if d != 1:
+                p0 = _mm_mvp(sel0, models0, by, bx,
+                             int(models0[by, bx]), block_size, conv, ep0)
+                mvd_bits += (_mvd_bits(sel0[by, bx] - p0)
+                             + min(int(midx0_me[by, bx]) + 1,
+                                   n_active - 1))
+            if d != 0:
+                p1 = _mm_mvp(sel1, models1, by, bx,
+                             int(models1[by, bx]), block_size, conv, ep1)
+                mvd_bits += (_mvd_bits(sel1[by, bx] - p1)
+                             + min(int(midx1_me[by, bx]) + 1,
+                                   n_active - 1))
+            amvp_cost = sad_l[by][bx] + lam_sqrt * (3 + mvd_bits)
+            if best is not None and best[0] <= amvp_cost:
+                merge_flag[by, bx] = True
+                merge_idx[by, bx] = best[1]
+                cd_, (c_i0, c_m0), (c_i1, c_m1) = best[2]
+                f_dirs[by, bx] = cd_
+                f_midx0[by, bx] = c_i0
+                f_midx1[by, bx] = c_i1
+                f_stack0[c_i0, by, bx] = c_m0
+                f_stack1[c_i1, by, bx] = c_m1
+                sel0[by, bx] = c_m0
+                sel1[by, bx] = c_m1
+                models0[by, bx] = active_models[c_i0]
+                models1[by, bx] = active_models[c_i1]
+                d = cd_
+            # entropy convention: unused lists take the inherited model
+            # and its MVP (mirrors encode_b_slice_mm grid evolution)
+            if d == 1:
+                inh0 = inherited_model(models0, by, bx)
+                models0[by, bx] = inh0
+                f_midx0[by, bx] = active_models.index(inh0)
+                sel0[by, bx] = _mm_mvp(sel0, models0, by, bx, inh0,
+                                       block_size, conv, ep0)
+                f_stack0[f_midx0[by, bx], by, bx] = sel0[by, bx]
+            if d == 0:
+                inh1 = inherited_model(models1, by, bx)
+                models1[by, bx] = inh1
+                f_midx1[by, bx] = active_models.index(inh1)
+                sel1[by, bx] = _mm_mvp(sel1, models1, by, bx, inh1,
+                                       block_size, conv, ep1)
+                f_stack1[f_midx1[by, bx], by, bx] = sel1[by, bx]
+    return (f_midx0, f_midx1, f_stack0, f_stack1, f_dirs, merge_flag,
+            merge_idx)
+
+
 def encode_b_slice_mm(model_idx0: np.ndarray, model_idx1: np.ndarray,
                       active_models: list[int], mvs0_stack: np.ndarray,
                       mvs1_stack: np.ndarray, dirs: np.ndarray,
                       lev_y: np.ndarray, lev_u: np.ndarray,
                       lev_v: np.ndarray, block_size: int = 16,
-                      conv=None, epipole0=None, epipole1=None) -> bytes:
+                      conv=None, epipole0=None, epipole1=None,
+                      merge_flag: np.ndarray | None = None,
+                      merge_idx: np.ndarray | None = None) -> bytes:
     """MM B-slice: skip / inter_dir / per-used-list motion_model + mvd /
     residual (reference: CABACWriter motion_model():1854 per list after
-    inter_pred_idc)."""
+    inter_pred_idc).  With merge_flag/merge_idx (select_merge_b_mm),
+    skip means merge+no-residual and candidates carry whole motion incl.
+    per-list models; the input grids are the FINAL (already-evolved)
+    fields, so the entropy pass reads them without mutation."""
     enc = make_encoder()
     nby, nbx = dirs.shape
     n_active = len(active_models)
+    use_merge = merge_flag is not None
+    if use_merge:
+        sel0 = np.take_along_axis(
+            mvs0_stack, model_idx0[None, :, :, None].astype(np.int64), 0
+        )[0].astype(np.int64)
+        sel1 = np.take_along_axis(
+            mvs1_stack, model_idx1[None, :, :, None].astype(np.int64), 0
+        )[0].astype(np.int64)
+        models0 = np.asarray([active_models[i]
+                              for i in model_idx0.reshape(-1)], np.int32
+                             ).reshape(nby, nbx)
+        models1 = np.asarray([active_models[i]
+                              for i in model_idx1.reshape(-1)], np.int32
+                             ).reshape(nby, nbx)
+        cbf_y = (lev_y != 0).any(axis=(2, 3))
+        cbf_u = (lev_u != 0).any(axis=(2, 3))
+        cbf_v = (lev_v != 0).any(axis=(2, 3))
+        for by in range(nby):
+            for bx in range(nbx):
+                d = int(dirs[by, bx])
+                no_resid = not (cbf_y[by, bx] or cbf_u[by, bx]
+                                or cbf_v[by, bx])
+                mrg = bool(merge_flag[by, bx])
+                skip = mrg and no_resid
+                enc.encode_bin(int(skip), ctx_id("SkipFlag"))
+                if skip:
+                    encode_merge_idx(enc, int(merge_idx[by, bx]))
+                    continue
+                enc.encode_bin(int(mrg), ctx_id("MergeFlag"))
+                if mrg:
+                    encode_merge_idx(enc, int(merge_idx[by, bx]))
+                else:
+                    enc.encode_bin(int(d == 2), ctx_id("InterDir", 0))
+                    if d != 2:
+                        enc.encode_bin(d, ctx_id("InterDir", 1))
+                    if d != 1:
+                        encode_motion_model(enc, int(model_idx0[by, bx]),
+                                            n_active)
+                        p0 = _mm_mvp(sel0, models0, by, bx,
+                                     int(models0[by, bx]), block_size,
+                                     conv, epipole0)
+                        encode_mvd_comp(enc, int(sel0[by, bx, 0] - p0[0]))
+                        encode_mvd_comp(enc, int(sel0[by, bx, 1] - p0[1]))
+                    if d != 0:
+                        encode_motion_model(enc, int(model_idx1[by, bx]),
+                                            n_active)
+                        p1 = _mm_mvp(sel1, models1, by, bx,
+                                     int(models1[by, bx]), block_size,
+                                     conv, epipole1)
+                        encode_mvd_comp(enc, int(sel1[by, bx, 0] - p1[0]))
+                        encode_mvd_comp(enc, int(sel1[by, bx, 1] - p1[1]))
+                for cbf, lev, cid in ((bool(cbf_y[by, bx]),
+                                       lev_y[by, bx], 0),
+                                      (bool(cbf_u[by, bx]),
+                                       lev_u[by, bx], 4),
+                                      (bool(cbf_v[by, bx]),
+                                       lev_v[by, bx], 5)):
+                    enc.encode_bin(int(cbf), ctx_id("QtCbf", cid))
+                    if cbf:
+                        coeffs_encode(enc, lev, chroma=(cid != 0))
+        return enc.finish()
     sel0 = np.take_along_axis(
         mvs0_stack, model_idx0[None, :, :, None].astype(np.int64), axis=0
     )[0].astype(np.int64)
@@ -1602,3 +2036,61 @@ def encode_b_slice_mm(model_idx0: np.ndarray, model_idx1: np.ndarray,
                 sel1[by, bx] = _mm_mvp(sel1, models1, by, bx, inh1,
                                        block_size, conv, epipole1)
     return enc.finish()
+
+
+def _wpp_frame(subs: list[bytes]) -> bytes:
+    """Substream framing shared with the intra WPP path: u16 count, u32
+    lengths, streams (reference: entry_point_offset syntax)."""
+    out = bytearray()
+    out += len(subs).to_bytes(2, "big")
+    for t in subs:
+        out += len(t).to_bytes(4, "big")
+    for t in subs:
+        out += t
+    return bytes(out)
+
+
+def encode_p_slice_wpp(mvs, lev_y, lev_u, lev_v, col_mvs=None,
+                       use_tmvp=False, imv=None, merge_flag=None,
+                       merge_idx=None, num_substreams: int = 4) -> bytes:
+    """Inter WPP: the P-slice block rows split into independently
+    decodable entropy substreams with fresh contexts and per-substream
+    HMVP (reference: EncSlice.cpp:2024-2113 substream termination; the
+    WPP HMVP reset).  Candidate/MVP grids evolve across substreams at the
+    syntax level (values, not bins), exactly like the intra WPP path."""
+    import concurrent.futures as cf
+    nby = mvs.shape[0]
+    n = max(1, min(num_substreams, nby))
+    bounds = [round(i * nby / n) for i in range(n + 1)]
+
+    def one(i: int) -> bytes:
+        return encode_p_slice(mvs, lev_y, lev_u, lev_v, col_mvs=col_mvs,
+                              use_tmvp=use_tmvp, imv=imv,
+                              merge_flag=merge_flag, merge_idx=merge_idx,
+                              rows=(bounds[i], bounds[i + 1]))
+
+    with cf.ThreadPoolExecutor(max_workers=min(n, 8)) as ex:
+        subs = list(ex.map(one, range(n)))
+    return _wpp_frame(subs)
+
+
+def encode_b_slice_wpp(mv0, mv1, dirs, lev_y, lev_u, lev_v,
+                       gpm_modes=None, use_gpm=False, use_ciip=False,
+                       merge_flag=None, merge_idx=None,
+                       num_substreams: int = 4) -> bytes:
+    """Inter WPP for B slices (encode_b_slice per row group)."""
+    import concurrent.futures as cf
+    nby = dirs.shape[0]
+    n = max(1, min(num_substreams, nby))
+    bounds = [round(i * nby / n) for i in range(n + 1)]
+
+    def one(i: int) -> bytes:
+        return encode_b_slice(mv0, mv1, dirs, lev_y, lev_u, lev_v,
+                              gpm_modes=gpm_modes, use_gpm=use_gpm,
+                              use_ciip=use_ciip, merge_flag=merge_flag,
+                              merge_idx=merge_idx,
+                              rows=(bounds[i], bounds[i + 1]))[0]
+
+    with cf.ThreadPoolExecutor(max_workers=min(n, 8)) as ex:
+        subs = list(ex.map(one, range(n)))
+    return _wpp_frame(subs)
