@@ -103,3 +103,20 @@ def test_chroma_format_rejected(tmp_path):
         capture_output=True, text=True, timeout=300)
     assert out.returncode != 0
     assert "4:2:0" in (out.stderr + out.stdout)
+
+
+def test_profiling_stages_record():
+    """INTERPRED_PROFILING analog: stage timers accumulate when enabled."""
+    from vvc_mm_tpu.utils import profiling
+
+    profiling.reset()
+    old = profiling.ENABLED
+    profiling.ENABLED = True
+    try:
+        with profiling.stage("unit_test_stage"):
+            pass
+        rep = profiling.report()
+    finally:
+        profiling.ENABLED = old
+        profiling.reset()
+    assert "unit_test_stage" in rep

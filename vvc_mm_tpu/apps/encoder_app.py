@@ -73,6 +73,7 @@ def build_parser() -> OptionParser:
     p.add("BDPCM", False, "block DPCM on transform-skip blocks")
     p.add("FilmGrain", False, "film grain characteristics SEI (analyzer)")
     p.add("Lossless", False, "lossless intra coding (all-TS, qStep 1)")
+    p.add("Profile", False, "per-stage encoder timers (INTERPRED_PROFILING analog; serializes the pipeline)")
     p.add("NumSubstreams", 4, "substream count for --WPP")
     p.add("WrapAround", False, "ERP horizontal wrap-around")
     p.add("Deblocking", True, "in-loop deblocking")
@@ -167,6 +168,9 @@ def main(argv: list[str] | None = None) -> int:
     frames = [reader.read_frame() for _ in range(n)]
     reader.close()
 
+    if opts["Profile"]:
+        from ..utils import profiling
+        profiling.enable()
     print(f"vvc_mm_tpu encoder: {w}x{h} {n} frames QP{opts['QP']} "
           f"GOP={opts['GOP']} MM={'on' if mm.any_enabled() else 'off'}")
     t0 = time.time()
@@ -187,6 +191,9 @@ def main(argv: list[str] | None = None) -> int:
     print(f"SUMMARY: {s['frames']} frames, {s['bits']} bits, "
           f"Y {s['psnr_y']:.3f} U {s['psnr_u']:.3f} V {s['psnr_v']:.3f} dB, "
           f"{s['frames'] / dt:.2f} fps")
+    if opts["Profile"]:
+        from ..utils import profiling
+        print(profiling.report())
     if "ws_psnr" in s:
         print(f"360:     WS-PSNR {s['ws_psnr']:.3f}  "
               f"S-PSNR-NN {s['s_psnr_nn']:.3f}  CPP-PSNR {s['cpp_psnr']:.3f}")

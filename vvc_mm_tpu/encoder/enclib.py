@@ -25,7 +25,7 @@ from ..common.picture import psnr
 from ..common.slice_ps import MMConfig, PPS, SPS, SliceHeader
 from ..common.typedefs import MotionModelID, SliceType
 from ..lib360.projection import make_projection
-from ..utils import xfer
+from ..utils import profiling, xfer
 from .intra_coder import (encode_intra_slice,
                           encode_intra_slice_wpp)
 from .inter_coder import (encode_b_slice, encode_p_slice, encode_p_slice_mm,
@@ -519,12 +519,15 @@ class EncLib:
                 # the FINAL grids (model inheritance through merge,
                 # reference: UnitTools.cpp:872-885)
                 from .inter_coder import select_merge_mm
-                out = mm_codec.search_p_mm_merge(
-                    self.reproj, active, dev[0], rdev[0], qp, s,
-                    cfg.bit_depth, cfg.search_range, epipoles,
-                    cfg.wrap_around)
-                (midx_h, stack_h, sad_h, cidx_h, cmv_h,
-                 csad_h) = xfer.pull_i32(*out)
+                with profiling.stage("mm_search") as ps:
+                    out = mm_codec.search_p_mm_merge(
+                        self.reproj, active, dev[0], rdev[0], qp, s,
+                        cfg.bit_depth, cfg.search_range, epipoles,
+                        cfg.wrap_around)
+                    ps.set_sync(out)
+                with profiling.stage("mm_select+pull"):
+                    (midx_h, stack_h, sad_h, cidx_h, cmv_h,
+                     csad_h) = xfer.pull_i32(*out)
                 lam_sqrt = quant.lambda_from_qp(qp, intra=False) ** 0.5
                 mer_blk = max(0, self.sps.log2_parallel_merge_level
                               - (s.bit_length() - 1))
@@ -543,12 +546,16 @@ class EncLib:
                     self.reproj, active, dev[0], rdev[0], qp, s,
                     cfg.bit_depth, cfg.search_range, epipoles,
                     cfg.wrap_around)
-            positions = mm_codec.merged_positions(
-                self.reproj, active, model_idx, mvs_stack, s, epipoles)
-            ly, lu, lv, recon = mm_codec.enc_finish_p_mm(
-                model_idx, mvs_stack, positions, dev[0], dev[1], dev[2],
-                rdev[0], rdev[1], rdev[2], qp, s, cfg.bit_depth,
-                cfg.wrap_around, cfg.deblocking)
+            with profiling.stage("mm_positions") as ps:
+                positions = mm_codec.merged_positions(
+                    self.reproj, active, model_idx, mvs_stack, s, epipoles)
+                ps.set_sync(positions)
+            with profiling.stage("mm_finish") as ps:
+                ly, lu, lv, recon = mm_codec.enc_finish_p_mm(
+                    model_idx, mvs_stack, positions, dev[0], dev[1], dev[2],
+                    rdev[0], rdev[1], rdev[2], qp, s, cfg.bit_depth,
+                    cfg.wrap_around, cfg.deblocking)
+                ps.set_sync(recon["y"])
 
             def make_payload():
                 if cfg.merge:
@@ -843,7 +850,8 @@ class EncLib:
         alf_h = (filter_stage.alf_stats_dispatch(post_sao, dev,
                                                  cfg.bit_depth)
                  if cfg.alf else None)
-        payload = make_payload()    # host entropy overlaps device filters
+        with profiling.stage("entropy"):
+            payload = make_payload()    # host entropy overlaps device filters
         self._pending_alf_chroma = None
         self._pending_ccalf = None
         sao_params = None
@@ -951,12 +959,15 @@ class EncLib:
                 # search program; host selection snaps (dir, model, mv)
                 # triples in coding order
                 from .inter_coder import select_merge_b_mm
-                out = mm_codec.search_b_mm_merge(
-                    self.reproj, active, oy, r0[0], r1[0], qp, s,
-                    cfg.bit_depth, cfg.search_range, eps0, eps1,
-                    cfg.wrap_around)
-                (m0h, m1h, s0h, s1h, d_h, sad_h, ci0h, ci1h, cm0h, cm1h,
-                 cdh, csh) = xfer.pull_i32(*out)
+                with profiling.stage("mm_search_b") as ps:
+                    out = mm_codec.search_b_mm_merge(
+                        self.reproj, active, oy, r0[0], r1[0], qp, s,
+                        cfg.bit_depth, cfg.search_range, eps0, eps1,
+                        cfg.wrap_around)
+                    ps.set_sync(out)
+                with profiling.stage("mm_select_b+pull"):
+                    (m0h, m1h, s0h, s1h, d_h, sad_h, ci0h, ci1h, cm0h,
+                     cm1h, cdh, csh) = xfer.pull_i32(*out)
                 lam_sqrt = quant.lambda_from_qp(qp, intra=False) ** 0.5
                 mer_blk = max(0, self.sps.log2_parallel_merge_level
                               - (s.bit_length() - 1))
