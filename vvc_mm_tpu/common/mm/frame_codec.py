@@ -38,22 +38,34 @@ SAD_ROW_STEP = 4     # search-time SAD subsampling: keep 1-of-4 4-px row
                      # bands (reference: RdCost subShift; non-normative —
                      # only steers the model/MV choice, never the
                      # signaled reconstruction)
+SAD_COL_STEP = 2     # and 1-of-2 4-px column bands in the model-search
+                     # evals (the MC gather is the search's dominant cost;
+                     # halving the evaluated columns halves it)
 
 
-def _subsample_rows(plane: jnp.ndarray, row_step: int) -> jnp.ndarray:
-    """Keep every row_step-th 4-pixel row band of a frame."""
+def _subsample_rows(plane: jnp.ndarray, row_step: int,
+                    col_step: int = 1) -> jnp.ndarray:
+    """Keep every row_step-th 4-pixel row band (and every col_step-th
+    4-pixel column band) of a frame."""
     h, w = plane.shape
-    return (plane.reshape(h // 4, 4, w)[::row_step]).reshape(-1, w)
+    x = plane.reshape(h // 4, 4, w)[::row_step]
+    if col_step > 1:
+        x = x.reshape(-1, 4, w // 4, 4)[:, :, ::col_step]
+        return x.reshape(-1, (w // 4 // col_step) * 4)
+    return x.reshape(-1, w)
 
 
-def _block_sad_sub(diff_abs: jnp.ndarray, s: int, row_step: int
-                   ) -> jnp.ndarray:
-    """Per-block SAD from a row-subsampled |diff| plane: each block keeps
-    s//4//row_step of its 4-px row bands; scaled back to full-SAD range."""
+def _block_sad_sub(diff_abs: jnp.ndarray, s: int, row_step: int,
+                   col_step: int = 1) -> jnp.ndarray:
+    """Per-block SAD from a row/column-subsampled |diff| plane: each
+    block keeps s//4//row_step of its 4-px row bands (and s//4//col_step
+    column bands); scaled back to full-SAD range."""
     h, w = diff_abs.shape
     rows_per_block = (s // 4 // row_step) * 4
+    cols_per_block = (s // 4 // col_step) * 4
     return (diff_abs.reshape(h // rows_per_block, rows_per_block,
-                             w // s, s).sum(axis=(1, 3)) * row_step)
+                             w // cols_per_block, cols_per_block
+                             ).sum(axis=(1, 3)) * (row_step * col_step))
 
 
 def make_eval_fn(reproj: MVReprojection, model_id: int, block_size: int,
@@ -117,10 +129,11 @@ def _make_eval_multi_uncached(reproj: MVReprojection, model_id: int,
         reproj.mpa_cache(model_id)
 
     row_step = SAD_ROW_STEP if block_size // 4 >= SAD_ROW_STEP else 1
+    col_step = SAD_COL_STEP if block_size // 4 >= 2 * SAD_COL_STEP else 1
 
     @jax.jit
     def eval_cands(orig, ref_padded, mv_cands):
-        orig_sub = _subsample_rows(orig, row_step)
+        orig_sub = _subsample_rows(orig, row_step, col_step)
 
         def one(mvs):
             if model_id == M.CLASSIC:
@@ -130,10 +143,12 @@ def _make_eval_multi_uncached(reproj: MVReprojection, model_id: int,
             else:
                 pos = reproj.reproject_frame(model_id, mvs, block_size,
                                              epipole, row_step)
+            if col_step > 1:
+                pos = pos[:, ::col_step]
             pred = mm_mc.mc_luma_positions(ref_padded, pos, MC_MARGIN,
                                            bit_depth)
             return _block_sad_sub(jnp.abs(orig_sub - pred), block_size,
-                                  row_step)
+                                  row_step, col_step)
         # static unroll, not vmap: the Pallas MC kernel's SMEM block specs
         # do not admit a vmapped batch dimension
         return jnp.stack([one(mv_cands[k])
@@ -537,16 +552,21 @@ def search_b_mm(reproj: MVReprojection, active_models: list[int],
                 per_list.append((idx, stack, best))
             idx0, stack0, sad0 = per_list[0]
             idx1, stack1, sad1 = per_list[1]
+            # bi decision on row-subsampled MC (decision-only; the
+            # normative prediction runs full-res in the finish program)
+            row_step = SAD_ROW_STEP if s // 4 >= SAD_ROW_STEP else 1
+            oy_sub = _subsample_rows(oy, row_step)
             pos0 = _merged_positions(reproj, active_models, s, epipoles0,
-                                     idx0, stack0)
+                                     idx0, stack0, row_step)
             pos1 = _merged_positions(reproj, active_models, s, epipoles1,
-                                     idx1, stack1)
+                                     idx1, stack1, row_step)
             r0p = pad_ref(r0y, MC_MARGIN, wrap_around)
             r1p = pad_ref(r1y, MC_MARGIN, wrap_around)
             p0 = mm_mc.mc_luma_positions(r0p, pos0, MC_MARGIN, bit_depth)
             p1 = mm_mc.mc_luma_positions(r1p, pos1, MC_MARGIN, bit_depth)
             bi = (p0 + p1 + 1) >> 1
-            sad_bi = _block_sad(jnp.abs(oy - bi), s) + mv_bits
+            sad_bi = _block_sad_sub(jnp.abs(oy_sub - bi), s,
+                                    row_step) + mv_bits
             dirs = jnp.argmin(jnp.stack([sad0, sad1, sad_bi]), axis=0
                               ).astype(jnp.int32)
             return idx0, idx1, stack0, stack1, dirs
@@ -617,13 +637,16 @@ def search_b_mm_merge(reproj: MVReprojection, active_models: list[int],
                 return mm_mc.mc_luma_positions(rp, pos, MC_MARGIN,
                                                bit_depth)
 
-            p0 = field_pred(r0p, epipoles0, idx0, stack0)
-            p1 = field_pred(r1p, epipoles1, idx1, stack1)
+            # decision-only: bi choice + selected-SAD on subsampled MC
+            p0 = field_pred(r0p, epipoles0, idx0, stack0, row_step)
+            p1 = field_pred(r1p, epipoles1, idx1, stack1, row_step)
             bi = (p0 + p1 + 1) >> 1
-            sad_bi = _block_sad(jnp.abs(oy - bi), s) + mv_bits
-            dirs = jnp.argmin(jnp.stack([_block_sad(jnp.abs(oy - p0), s),
-                                         _block_sad(jnp.abs(oy - p1), s),
-                                         sad_bi]), axis=0).astype(jnp.int32)
+            sad_bi = _block_sad_sub(jnp.abs(oy_sub - bi), s,
+                                    row_step) + mv_bits
+            dirs = jnp.argmin(jnp.stack(
+                [_block_sad_sub(jnp.abs(oy_sub - p0), s, row_step),
+                 _block_sad_sub(jnp.abs(oy_sub - p1), s, row_step),
+                 sad_bi]), axis=0).astype(jnp.int32)
 
             def sel_d(p0x, p1x, d, sub=1):
                 ky = s if sub == 1 else (s // 4 // sub) * 4
@@ -631,7 +654,9 @@ def search_b_mm_merge(reproj: MVReprojection, active_models: list[int],
                 avg = (p0x + p1x + 1) >> 1
                 return jnp.where(dd == 0, p0x, jnp.where(dd == 1, p1x, avg))
 
-            sad_sel = _block_sad(jnp.abs(oy - sel_d(p0, p1, dirs)), s)
+            sad_sel = _block_sad_sub(
+                jnp.abs(oy_sub - sel_d(p0, p1, dirs, row_step)), s,
+                row_step)
             mv_sel0 = jnp.take_along_axis(
                 stack0, idx0[None, :, :, None].astype(jnp.int32), 0)[0]
             mv_sel1 = jnp.take_along_axis(
