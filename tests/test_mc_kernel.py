@@ -56,3 +56,16 @@ def test_mc_chroma_kernel_bit_identical(rng):
     got = np.asarray(mc_kernel.mc_chroma_positions(ref, pos, m, 8,
                                                    interpret=True))
     assert np.array_equal(want, got)
+
+
+def test_mc_luma_kernel_subsampled_width(rng):
+    """Column-subsampled search positions (nsx not 1024-aligned with 2
+    rows/step): the adaptive rows_per_step keeps the SMEM blocks aligned
+    and the output bit-identical (regression: Mosaic layout mismatch at
+    nsx=256 on hardware)."""
+    ref, pos, m = _setup(rng, h=64, w=256)
+    sub = pos[:, ::2]                       # nsx 64 -> 32
+    want = np.asarray(mm_mc._mc_luma_positions_xla(ref, sub, m, 8))
+    got = np.asarray(mc_kernel.mc_luma_positions(ref, sub, m, 8,
+                                                 interpret=True))
+    assert np.array_equal(want, got)

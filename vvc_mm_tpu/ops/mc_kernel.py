@@ -152,7 +152,13 @@ def mc_luma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
     assert nsx % 32 == 0 and nsy % 2 == 0
     orig_shape = ref_padded.shape
     ref_padded = _pad_ref(ref_padded.astype(jnp.int32))
+    # SMEM scalar blocks must match XLA's int32 tiling (1024 elements) —
+    # grow rows_per_step until rows_per_step*nsx is 1024-aligned (e.g.
+    # the column-subsampled search positions have nsx 256 -> 4 rows)
     rows_per_step = 2                      # 8 output pixel rows per step
+    while (rows_per_step * nsx) % 1024 != 0 \
+            and rows_per_step * 2 <= nsy and nsy % (rows_per_step * 2) == 0:
+        rows_per_step *= 2
     scal = _prep_luma_scalars(orig_shape, ref_padded.shape, positions,
                               margin)
     scal = [s.reshape(-1) for s in scal]
