@@ -195,7 +195,7 @@ def search_models(reproj: MVReprojection, active_models: list[int],
                   classic_mv: jnp.ndarray, classic_sad: jnp.ndarray,
                   block_size: int, bit_depth: int, lam_bits: float,
                   epipoles: dict | None = None, wrap_around: bool = False,
-                  steps=(64, 32, 16, 8, 4, 2)):
+                  steps=(64, 32, 16, 8, 4)):  # model search stops at quarter-pel (VTM-like)
     """Search every active non-classic model (seeded from zero MV, which is
     the natural origin in each model's own domain) and pick the per-block
     best model by SAD + lambda*bits(model index).
@@ -532,7 +532,7 @@ def search_b_mm(reproj: MVReprojection, active_models: list[int],
         lam_bits = lam ** 0.5 * 4.0
         lam16 = int(lam ** 0.5 * 16)
         mv_bits = int(lam ** 0.5 * 8)
-        steps = (16, 8, 4, 2) if small_range else (64, 32, 16, 8, 4, 2)
+        steps = (16, 8, 4) if small_range else (64, 32, 16, 8, 4)  # models stop at quarter-pel (VTM-like search precision)
 
         @jax.jit
         def fn(oy, r0y, r1y):
@@ -598,7 +598,7 @@ def search_b_mm_merge(reproj: MVReprojection, active_models: list[int],
         lam_bits = lam ** 0.5 * 4.0
         lam16 = int(lam ** 0.5 * 16)
         mv_bits = int(lam ** 0.5 * 8)
-        steps = (16, 8, 4, 2) if small_range else (64, 32, 16, 8, 4, 2)
+        steps = (16, 8, 4) if small_range else (64, 32, 16, 8, 4)  # models stop at quarter-pel (VTM-like search precision)
 
         def shift2(f, dy, dx):
             pad = ((1, 1), (1, 1)) + ((0, 0),) * (f.ndim - 2)
@@ -980,7 +980,7 @@ def encode_b_frame_mm(reproj: MVReprojection, active_models: list[int],
     # away, so the model diamonds start at a quarter of the P-anchor step
     # (the reference's ME also scales its search to the reference
     # distance); the classic hierarchical stage keeps the full range
-    steps = (16, 8, 4, 2) if small_range else (64, 32, 16, 8, 4, 2)
+    steps = (16, 8, 4) if small_range else (64, 32, 16, 8, 4)  # models stop at quarter-pel (VTM-like search precision)
     per_list = []
     for ref, eps in ((ref0, epipoles0), (ref1, epipoles1)):
         refp = pad_ref(ref[0], MC_MARGIN, wrap_around)
