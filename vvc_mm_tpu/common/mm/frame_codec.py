@@ -195,22 +195,28 @@ def search_models(reproj: MVReprojection, active_models: list[int],
                   classic_mv: jnp.ndarray, classic_sad: jnp.ndarray,
                   block_size: int, bit_depth: int, lam_bits: float,
                   epipoles: dict | None = None, wrap_around: bool = False,
-                  steps=(64, 32, 16, 8, 4)):  # model search stops at quarter-pel (VTM-like)
-    """Search every active non-classic model (seeded from zero MV, which is
-    the natural origin in each model's own domain) and pick the per-block
-    best model by SAD + lambda*bits(model index).
+                  steps=(64, 32, 16, 8, 4),  # stops at quarter-pel (VTM-like)
+                  seed_stack=None):
+    """Search every active non-classic model and pick the per-block best
+    model by SAD + lambda*bits(model index).  Diamonds seed from zero MV
+    (the natural origin in each model's own domain) or, when seed_stack
+    (n_models, nby, nbx, 2) is given, from the previous frame's per-model
+    MV field — the temporal predictor lets the refinement start near the
+    optimum with fewer steps (the reference's ME also seeds from
+    neighbouring/temporal predictors, InterSearch::xSetSearchRange).
 
     Returns (model_idx_grid (nby, nbx) int32 index into active_models,
              mvs_per_model dict, sad_per_model dict)."""
     refp = pad_ref(ref_y, MC_MARGIN, wrap_around)
     mvs = {M.CLASSIC: classic_mv}
     sads = {M.CLASSIC: classic_sad}
-    for model_id in active_models:
+    for i, model_id in enumerate(active_models):
         if model_id == M.CLASSIC:
             continue
         ep = (epipoles or {}).get(model_id)
         ev = make_eval_multi(reproj, model_id, block_size, bit_depth, ep)
-        mv0 = jnp.zeros_like(classic_mv)
+        mv0 = (jnp.zeros_like(classic_mv) if seed_stack is None
+               else seed_stack[i].astype(jnp.int32))
         mv, sad = diamond_search(ev, orig_y, refp, mv0, steps)
         mvs[model_id] = mv
         sads[model_id] = sad
@@ -398,15 +404,21 @@ def _eps_key(epipoles) -> tuple:
 _FUSED_CACHE: dict = {}
 
 
+P_SEED_STEPS = (32, 16, 8, 4)   # temporally-seeded P-anchor model search
+B_SEED_STEPS = (8, 4)           # temporally-seeded B model search
+
+
 def search_p_mm(reproj: MVReprojection, active_models: list[int],
                 orig_y, ref_y, qp: int, block_size: int, bit_depth: int,
                 search_range: int, epipoles: dict | None = None,
-                wrap_around: bool = False):
+                wrap_around: bool = False, seed=None):
     """One-jit P-frame motion/model search.  Returns (model_idx (nby,nbx),
-    mvs_stack (n_models,nby,nbx,2))."""
+    mvs_stack (n_models,nby,nbx,2)).  With `seed` (the previous frame's
+    per-model MV stack), diamonds start from the temporal predictor and
+    run the reduced step ladder."""
     key = ("psearch", _geom_key(reproj), tuple(active_models), qp,
            block_size, bit_depth, search_range, wrap_around,
-           _eps_key(epipoles))
+           _eps_key(epipoles), seed is not None)
     if key not in _FUSED_CACHE:
         from ...encoder import me as me_mod
         _warm_models(reproj, active_models)
@@ -414,9 +426,11 @@ def search_p_mm(reproj: MVReprojection, active_models: list[int],
         lam = quant.lambda_from_qp(qp, intra=False)
         lam_bits = lam ** 0.5 * 4.0
         lam16 = int(lam ** 0.5 * 16)
+        seeded = seed is not None
+        steps = P_SEED_STEPS if seeded else (64, 32, 16, 8, 4)
 
         @jax.jit
-        def fn(oy, ry):
+        def fn(oy, ry, sd):
             refp = pad_ref(ry, MC_MARGIN, wrap_around)
             mv_int, _ = me_mod.hierarchical_search(oy, refp, s,
                                                    search_range, MC_MARGIN,
@@ -425,18 +439,24 @@ def search_p_mm(reproj: MVReprojection, active_models: list[int],
                                                  MC_MARGIN, bit_depth)
             idx, mvs, _ = search_models(
                 reproj, active_models, oy, ry, cmv, csad, s, bit_depth,
-                lam_bits, epipoles, wrap_around)
+                lam_bits, epipoles, wrap_around, steps,
+                sd if seeded else None)
             return idx, jnp.stack([mvs[m] for m in active_models])
 
         _FUSED_CACHE[key] = fn
-    return _FUSED_CACHE[key](orig_y, ref_y)
+    if seed is None:
+        # dummy, unused when unseeded — keeps the jit arity uniform
+        h, w = orig_y.shape
+        seed = jnp.zeros((len(active_models), h // block_size,
+                          w // block_size, 2), jnp.int32)
+    return _FUSED_CACHE[key](orig_y, ref_y, seed)
 
 
 def search_p_mm_merge(reproj: MVReprojection, active_models: list[int],
                       orig_y, ref_y, qp: int, block_size: int,
                       bit_depth: int, search_range: int,
                       epipoles: dict | None = None,
-                      wrap_around: bool = False):
+                      wrap_around: bool = False, seed=None):
     """One-jit P-frame MM search with merge-candidate SADs: the
     search_p_mm program plus, for each candidate field (neighbor shifts
     of the selected (model, mv) grid and zero-CLASSIC), a reprojection +
@@ -449,7 +469,7 @@ def search_p_mm_merge(reproj: MVReprojection, active_models: list[int],
     cand_mv (K,nby,nbx,2), cand_sads (K,nby,nbx))."""
     key = ("psearch_merge", _geom_key(reproj), tuple(active_models), qp,
            block_size, bit_depth, search_range, wrap_around,
-           _eps_key(epipoles))
+           _eps_key(epipoles), seed is not None)
     if key not in _FUSED_CACHE:
         from ...encoder import me as me_mod
         _warm_models(reproj, active_models)
@@ -457,6 +477,8 @@ def search_p_mm_merge(reproj: MVReprojection, active_models: list[int],
         lam = quant.lambda_from_qp(qp, intra=False)
         lam_bits = lam ** 0.5 * 4.0
         lam16 = int(lam ** 0.5 * 16)
+        seeded = seed is not None
+        p_steps = P_SEED_STEPS if seeded else (64, 32, 16, 8, 4)
 
         def shift2(f, dy, dx):
             nby, nbx = f.shape[:2]
@@ -466,7 +488,7 @@ def search_p_mm_merge(reproj: MVReprojection, active_models: list[int],
             return jax.lax.dynamic_slice(p, start, f.shape)
 
         @jax.jit
-        def fn(oy, ry):
+        def fn(oy, ry, sd):
             refp = pad_ref(ry, MC_MARGIN, wrap_around)
             mv_int, _ = me_mod.hierarchical_search(oy, refp, s,
                                                    search_range, MC_MARGIN,
@@ -475,7 +497,8 @@ def search_p_mm_merge(reproj: MVReprojection, active_models: list[int],
                                                  MC_MARGIN, bit_depth)
             idx, mvs, _ = search_models(
                 reproj, active_models, oy, ry, cmv, csad, s, bit_depth,
-                lam_bits, epipoles, wrap_around)
+                lam_bits, epipoles, wrap_around, p_steps,
+                sd if seeded else None)
             stack = jnp.stack([mvs[m] for m in active_models])
 
             row_step = SAD_ROW_STEP if s // 4 >= SAD_ROW_STEP else 1
@@ -511,19 +534,23 @@ def search_p_mm_merge(reproj: MVReprojection, active_models: list[int],
                     jnp.stack(cand_mv), jnp.stack(cand_sads))
 
         _FUSED_CACHE[key] = fn
-    return _FUSED_CACHE[key](orig_y, ref_y)
+    if seed is None:
+        h, w = orig_y.shape
+        seed = jnp.zeros((len(active_models), h // block_size,
+                          w // block_size, 2), jnp.int32)
+    return _FUSED_CACHE[key](orig_y, ref_y, seed)
 
 
 def search_b_mm(reproj: MVReprojection, active_models: list[int],
                 orig_y, ref0_y, ref1_y, qp: int, block_size: int,
                 bit_depth: int, search_range: int, epipoles0=None,
                 epipoles1=None, wrap_around: bool = False,
-                small_range: bool = True):
+                small_range: bool = True, seed=None):
     """One-jit B-frame per-list model search + uni/bi decision.  Returns
     (idx0, idx1, stack0, stack1, dirs)."""
     key = ("bsearch", _geom_key(reproj), tuple(active_models), qp,
            block_size, bit_depth, search_range, wrap_around, small_range,
-           _eps_key(epipoles0), _eps_key(epipoles1))
+           _eps_key(epipoles0), _eps_key(epipoles1), seed is not None)
     if key not in _FUSED_CACHE:
         from ...encoder import me as me_mod
         _warm_models(reproj, active_models)
@@ -532,10 +559,14 @@ def search_b_mm(reproj: MVReprojection, active_models: list[int],
         lam_bits = lam ** 0.5 * 4.0
         lam16 = int(lam ** 0.5 * 16)
         mv_bits = int(lam ** 0.5 * 8)
-        steps = (16, 8, 4) if small_range else (64, 32, 16, 8, 4)  # models stop at quarter-pel (VTM-like search precision)
+        seeded = seed is not None
+        # models stop at quarter-pel (VTM-like search precision); a
+        # temporal seed shrinks the ladder further
+        steps = (B_SEED_STEPS if seeded else (16, 8, 4)) if small_range \
+            else (64, 32, 16, 8, 4)
 
         @jax.jit
-        def fn(oy, r0y, r1y):
+        def fn(oy, r0y, r1y, sd):
             per_list = []
             for ry, eps in ((r0y, epipoles0), (r1y, epipoles1)):
                 refp = pad_ref(ry, MC_MARGIN, wrap_around)
@@ -545,7 +576,8 @@ def search_b_mm(reproj: MVReprojection, active_models: list[int],
                                                      MC_MARGIN, bit_depth)
                 idx, mvs, sads = search_models(
                     reproj, active_models, oy, ry, cmv, csad, s, bit_depth,
-                    lam_bits, eps, wrap_around, steps)
+                    lam_bits, eps, wrap_around, steps,
+                    sd if seeded else None)
                 stack = jnp.stack([mvs[m] for m in active_models])
                 best = jnp.min(jnp.stack([sads[m] for m in active_models]),
                                axis=0)
@@ -572,14 +604,18 @@ def search_b_mm(reproj: MVReprojection, active_models: list[int],
             return idx0, idx1, stack0, stack1, dirs
 
         _FUSED_CACHE[key] = fn
-    return _FUSED_CACHE[key](orig_y, ref0_y, ref1_y)
+    if seed is None:
+        h, w = orig_y.shape
+        seed = jnp.zeros((len(active_models), h // block_size,
+                          w // block_size, 2), jnp.int32)
+    return _FUSED_CACHE[key](orig_y, ref0_y, ref1_y, seed)
 
 
 def search_b_mm_merge(reproj: MVReprojection, active_models: list[int],
                       orig_y, ref0_y, ref1_y, qp: int, block_size: int,
                       bit_depth: int, search_range: int, epipoles0=None,
                       epipoles1=None, wrap_around: bool = False,
-                      small_range: bool = True):
+                      small_range: bool = True, seed=None):
     """search_b_mm plus whole-motion merge-candidate SADs: for each
     neighbor shift of the selected per-list (model, mv) grids and dirs,
     one positions+MC+combine+SAD pass per list (candidates applied at
@@ -589,7 +625,7 @@ def search_b_mm_merge(reproj: MVReprojection, active_models: list[int],
     """
     key = ("bsearch_merge", _geom_key(reproj), tuple(active_models), qp,
            block_size, bit_depth, search_range, wrap_around, small_range,
-           _eps_key(epipoles0), _eps_key(epipoles1))
+           _eps_key(epipoles0), _eps_key(epipoles1), seed is not None)
     if key not in _FUSED_CACHE:
         from ...encoder import me as me_mod
         _warm_models(reproj, active_models)
@@ -598,7 +634,11 @@ def search_b_mm_merge(reproj: MVReprojection, active_models: list[int],
         lam_bits = lam ** 0.5 * 4.0
         lam16 = int(lam ** 0.5 * 16)
         mv_bits = int(lam ** 0.5 * 8)
-        steps = (16, 8, 4) if small_range else (64, 32, 16, 8, 4)  # models stop at quarter-pel (VTM-like search precision)
+        seeded = seed is not None
+        # models stop at quarter-pel (VTM-like search precision); a
+        # temporal seed shrinks the ladder further
+        steps = (B_SEED_STEPS if seeded else (16, 8, 4)) if small_range \
+            else (64, 32, 16, 8, 4)
 
         def shift2(f, dy, dx):
             pad = ((1, 1), (1, 1)) + ((0, 0),) * (f.ndim - 2)
@@ -607,7 +647,7 @@ def search_b_mm_merge(reproj: MVReprojection, active_models: list[int],
             return jax.lax.dynamic_slice(p, start, f.shape)
 
         @jax.jit
-        def fn(oy, r0y, r1y):
+        def fn(oy, r0y, r1y, sd):
             per_list = []
             for ry, eps in ((r0y, epipoles0), (r1y, epipoles1)):
                 refp = pad_ref(ry, MC_MARGIN, wrap_around)
@@ -617,7 +657,8 @@ def search_b_mm_merge(reproj: MVReprojection, active_models: list[int],
                                                      MC_MARGIN, bit_depth)
                 idx, mvs, sads = search_models(
                     reproj, active_models, oy, ry, cmv, csad, s, bit_depth,
-                    lam_bits, eps, wrap_around, steps)
+                    lam_bits, eps, wrap_around, steps,
+                    sd if seeded else None)
                 stack = jnp.stack([mvs[m] for m in active_models])
                 best = jnp.min(jnp.stack([sads[m] for m in active_models]),
                                axis=0)
@@ -685,7 +726,11 @@ def search_b_mm_merge(reproj: MVReprojection, active_models: list[int],
                     jnp.stack(cm1), jnp.stack(cd), jnp.stack(cs))
 
         _FUSED_CACHE[key] = fn
-    return _FUSED_CACHE[key](orig_y, ref0_y, ref1_y)
+    if seed is None:
+        h, w = orig_y.shape
+        seed = jnp.zeros((len(active_models), h // block_size,
+                          w // block_size, 2), jnp.int32)
+    return _FUSED_CACHE[key](orig_y, ref0_y, ref1_y, seed)
 
 
 def _rec_plane(pred, lev, size, qp, bit_depth, nby, nbx):

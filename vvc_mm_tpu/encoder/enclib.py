@@ -225,6 +225,9 @@ class EncLib:
         # host<->device tunnel (utils/xfer.py rationale)
         self._dpb_dev: dict[int, tuple] = {}
         self.reproj: MVReprojection | None = None
+        # previous frame's per-model MV stack (device): temporal seed for
+        # the model search diamonds (encoder-side state, non-normative)
+        self._mm_seed = None
         self.epipole_list = epipole_mod.EpipoleList(cfg.mm.global_epipole)
         # decoder-mirror list: only epipoles already signaled in PHs — the
         # predictor must be derivable on the decoder side (reference:
@@ -317,6 +320,7 @@ class EncLib:
         qp = self.cfg.qp if qp is None else qp
         t0 = time.time()
         s = cfg.intra_block_size
+        self._mm_seed = None        # closed GOP: no temporal seed across IDR
         dev = xfer.upload_planes(planes, cfg.bit_depth)
         if cfg.intra_split:
             return self._encode_intra_frame_part(poc, planes, dev, qp, t0)
@@ -523,7 +527,7 @@ class EncLib:
                     out = mm_codec.search_p_mm_merge(
                         self.reproj, active, dev[0], rdev[0], qp, s,
                         cfg.bit_depth, cfg.search_range, epipoles,
-                        cfg.wrap_around)
+                        cfg.wrap_around, seed=self._mm_seed)
                     ps.set_sync(out)
                 with profiling.stage("mm_select+pull"):
                     (midx_h, stack_h, sad_h, cidx_h, cmv_h,
@@ -537,6 +541,7 @@ class EncLib:
                     mer_blk)
                 model_idx = jnp.asarray(f_midx)
                 mvs_stack = jnp.asarray(f_stack.astype(np.int32))
+                self._mm_seed = mvs_stack
             else:
                 # fused path: ONE search program, the shared positions
                 # program, ONE residual/recon/deblock program; host entropy
@@ -545,7 +550,8 @@ class EncLib:
                 model_idx, mvs_stack = mm_codec.search_p_mm(
                     self.reproj, active, dev[0], rdev[0], qp, s,
                     cfg.bit_depth, cfg.search_range, epipoles,
-                    cfg.wrap_around)
+                    cfg.wrap_around, seed=self._mm_seed)
+                self._mm_seed = mvs_stack
             with profiling.stage("mm_positions") as ps:
                 positions = mm_codec.merged_positions(
                     self.reproj, active, model_idx, mvs_stack, s, epipoles)
@@ -983,11 +989,13 @@ class EncLib:
                 stack0 = jnp.asarray(f_s0.astype(np.int32))
                 stack1 = jnp.asarray(f_s1.astype(np.int32))
                 dirs = jnp.asarray(f_d)
+                self._mm_seed = stack0
             else:
                 midx0, midx1, stack0, stack1, dirs = mm_codec.search_b_mm(
                     self.reproj, active, oy, r0[0], r1[0], qp, s,
                     cfg.bit_depth, cfg.search_range, eps0, eps1,
-                    cfg.wrap_around)
+                    cfg.wrap_around, seed=self._mm_seed)
+                self._mm_seed = stack0
             if cfg.dmvr:
                 # projected DMVR refines the *prediction* MVs through the
                 # shared enc/dec programs; the SIGNALED stacks (and the
