@@ -71,3 +71,41 @@ def test_wp_near_noop_on_ordinary_content():
     a, b = enc.summary(), base.summary()
     assert abs(len(s1) - len(s2)) <= max(8, 0.02 * len(s2))
     assert abs(a["psnr_y"] - b["psnr_y"]) < 0.1
+
+
+def test_weighted_bipred_b_roundtrip():
+    """Explicit weighted prediction on B slices (per-list tables,
+    weighted bi combine; reference: xWeightedPredictionBi) — a fade
+    sequence must round-trip bit-exactly and trigger the tables."""
+    import hashlib
+
+    import numpy as np
+
+    from vvc_mm_tpu.common.typedefs import ChromaFormat
+    from vvc_mm_tpu.decoder.declib import DecLib
+    from vvc_mm_tpu.encoder.enclib import EncCfg, EncLib
+    from vvc_mm_tpu.utils.yuv_io import VideoFormat, synthetic_sequence
+
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    base = synthetic_sequence(fmt, 5, motion=(2.0, 1.0))
+    # global fade: scale luma per frame so WP has something to model
+    frames = []
+    for t, f in enumerate(base):
+        g = 1.0 - 0.12 * t
+        frames.append([np.clip(f[0] * g, 0, 255).astype(np.int32),
+                       f[1], f[2]])
+    cfg = EncCfg(width=64, height=32, qp=32, gop="RA", gop_size=4,
+                 weighted_bipred=True)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+
+    def md5(ps):
+        m = hashlib.md5()
+        for p in ps:
+            m.update(np.asarray(p).astype(np.uint8).tobytes())
+        return m.hexdigest()
+
+    out = DecLib().decode_bytes(stream)
+    assert len(out) == len(frames)
+    for f, res in zip(out, enc.results):
+        assert md5(f.planes) == md5(res.recon), f.poc

@@ -69,6 +69,7 @@ def build_parser() -> OptionParser:
     p.add("MCTSTiles", "", "cols,rows: motion-constrained tile sets")
     p.add("WPP", False, "entropy substreams with entry points (WPP/tiles)")
     p.add("WeightedPredP", False, "explicit weighted prediction (P)")
+    p.add("WeightedPredB", False, "explicit weighted prediction (B, per-list tables)")
     p.add("TransformSkip", False, "per-block transform skip")
     p.add("BDPCM", False, "block DPCM on transform-skip blocks")
     p.add("FilmGrain", False, "film grain characteristics SEI (analyzer)")
@@ -140,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
                  mcts_tiles=(tuple(int(x) for x in opts["MCTSTiles"].split(","))
                              if opts["MCTSTiles"] else ()), wpp=opts["WPP"],
                  weighted_pred=opts["WeightedPredP"],
+                 weighted_bipred=opts["WeightedPredB"],
                  transform_skip=opts["TransformSkip"],
                  bdpcm=opts["BDPCM"], lossless=opts["Lossless"],
                  film_grain=opts["FilmGrain"],

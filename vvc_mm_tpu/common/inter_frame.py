@@ -234,7 +234,8 @@ def _luma_combine(int0, int1, dirs, nby, nbx, bit_depth, bdof: bool):
 
 
 def _pred_planes_ext(i0, i1, dirs, gpm_modes, nby, nbx, bit_depth,
-                     bdof: bool, use_gpm: bool, use_ciip: bool):
+                     bdof: bool, use_gpm: bool, use_ciip: bool,
+                     wp0=None, wp1=None):
     """All-plane prediction combine incl. GPM / CIIP block modes.
 
     dirs: 0=L0, 1=L1, 2=BI, 3=GPM (per-block mask in gpm_modes), 4=CIIP
@@ -246,6 +247,16 @@ def _pred_planes_ext(i0, i1, dirs, gpm_modes, nby, nbx, bit_depth,
     d = dirs.reshape(-1)[:, None, None]
     # CIIP's inter component is the bi average
     d_base = jnp.where(dirs == 4, 2, dirs) if use_ciip else dirs
+    if wp0 is not None:
+        # weighted B prediction (BDOF/GPM/CIIP are mutually exclusive
+        # with explicit WP in this codec; the caller gates them)
+        pred_y = _combine_bi(i0[0], i1[0], d_base, nby, nbx, bit_depth,
+                             wp0, wp1, 0)
+        pred_u = _combine_bi(i0[1], i1[1], d_base, nby, nbx, bit_depth,
+                             wp0, wp1, 1)
+        pred_v = _combine_bi(i0[2], i1[2], d_base, nby, nbx, bit_depth,
+                             wp0, wp1, 2)
+        return pred_y, pred_u, pred_v
     pred_y = _luma_combine(i0[0], i1[0], d_base, nby, nbx, bit_depth, bdof)
     pred_u = _combine_bi(i0[1], i1[1], d_base, nby, nbx, bit_depth)
     pred_v = _combine_bi(i0[2], i1[2], d_base, nby, nbx, bit_depth)
@@ -282,12 +293,28 @@ def _pred_planes_ext(i0, i1, dirs, gpm_modes, nby, nbx, bit_depth,
     return pred_y, pred_u, pred_v
 
 
-def _combine_bi(int0, int1, dirs, nby, nbx, bit_depth):
-    """Per-block uni/bi finalize: dirs (nby, nbx) 0=L0, 1=L1, 2=BI."""
+def _combine_bi(int0, int1, dirs, nby, nbx, bit_depth, wp0=None,
+                wp1=None, plane=0):
+    """Per-block uni/bi finalize: dirs (nby, nbx) 0=L0, 1=L1, 2=BI.
+
+    With per-list explicit weights wp0/wp1 ((3, 2) int (w, o) per plane,
+    log2Wd 6 — reference: WeightPrediction.cpp xWeightedPredictionBi),
+    uni blocks apply their list's weight and bi blocks combine as
+    ((p0*w0 + p1*w1 + 64) >> 7) + ((o0 + o1 + 1) >> 1), shared
+    bit-exactly by encoder and decoder."""
     d = dirs.reshape(-1)[:, None, None]
     uni0 = interp.finalize_uni(int0, bit_depth)
     uni1 = interp.finalize_uni(int1, bit_depth)
-    bi = interp.finalize_bi(int0, int1, bit_depth)
+    if wp0 is not None:
+        maxv = (1 << bit_depth) - 1
+        w0, o0 = wp0[plane, 0], wp0[plane, 1]
+        w1, o1 = wp1[plane, 0], wp1[plane, 1]
+        bi = jnp.clip(((uni0 * w0 + uni1 * w1 + 64) >> 7)
+                      + ((o0 + o1 + 1) >> 1), 0, maxv)
+        uni0 = apply_wp(uni0, w0, o0, bit_depth)
+        uni1 = apply_wp(uni1, w1, o1, bit_depth)
+    else:
+        bi = interp.finalize_bi(int0, int1, bit_depth)
     sel = jnp.where(d == 2, bi, jnp.where(d == 1, uni1, uni0))
     return _from_blocks(sel, nby, nbx)
 
@@ -299,7 +326,8 @@ def bpred_and_residual(orig_y, orig_u, orig_v, ref0, ref1, mv0, mv1, dirs,
                        qp: int, block_size: int, bit_depth: int,
                        wrap_around: bool, bdof: bool = False,
                        dmvr: bool = False, gpm_modes=None,
-                       gpm: bool = False, ciip: bool = False):
+                       gpm: bool = False, ciip: bool = False,
+                       wp0=None, wp1=None):
     """Shared B prediction+residual path (encoder passes orig; decoder uses
     reconstruct_b_frame below)."""
     s = block_size
@@ -315,7 +343,8 @@ def bpred_and_residual(orig_y, orig_u, orig_v, ref0, ref1, mv0, mv1, dirs,
     i0 = _mc_planes_internal(*ref0, mv0, s, bit_depth, wrap_around)
     i1 = _mc_planes_internal(*ref1, mv1, s, bit_depth, wrap_around)
     pred_y, pred_u, pred_v = _pred_planes_ext(
-        i0, i1, dirs, gpm_modes, nby, nbx, bit_depth, bdof, gpm, ciip)
+        i0, i1, dirs, gpm_modes, nby, nbx, bit_depth, bdof, gpm, ciip,
+        wp0, wp1)
     lev_y, rec_y = _residual_pass(orig_y, pred_y, s, qp, bit_depth)
     lev_u, rec_u = _residual_pass(orig_u, pred_u, s // 2, qp, bit_depth)
     lev_v, rec_v = _residual_pass(orig_v, pred_v, s // 2, qp, bit_depth)
@@ -398,7 +427,8 @@ def reconstruct_b_frame(mv0, mv1, dirs, lev_y, lev_u, lev_v,
                         bit_depth: int = 8, wrap_around: bool = False,
                         bdof: bool = False, dmvr: bool = False,
                         gpm_modes=None, gpm: bool = False,
-                        ciip: bool = False, scaling: tuple | None = None):
+                        ciip: bool = False, scaling: tuple | None = None,
+                        wp0=None, wp1=None):
     """Decoder-side B reconstruction (shared with encoder recon)."""
     s = block_size
     sc = s // 2
@@ -414,7 +444,8 @@ def reconstruct_b_frame(mv0, mv1, dirs, lev_y, lev_u, lev_v,
     i0 = _mc_planes_internal(*ref0, mv0, s, bit_depth, wrap_around)
     i1 = _mc_planes_internal(*ref1, mv1, s, bit_depth, wrap_around)
     pred_y, pred_u, pred_v = _pred_planes_ext(
-        i0, i1, dirs, gpm_modes, nby, nbx, bit_depth, bdof, gpm, ciip)
+        i0, i1, dirs, gpm_modes, nby, nbx, bit_depth, bdof, gpm, ciip,
+        wp0, wp1)
 
     def rec_plane(pred, lev, size):
         log2s = size.bit_length() - 1

@@ -361,6 +361,9 @@ class SliceHeader:
     # explicit weighted prediction (reference: WeightPrediction.{cpp,h},
     # pred_weight_table): per-plane (weight, offset), log2 denom 6
     wp_params: tuple | None = None
+    # list-1 weight table for B slices (reference: the l1 half of
+    # pred_weight_table)
+    wp_params_l1: tuple | None = None
 
     def write(self, bw: BitWriter, sps: SPS) -> None:
         bw.write_uvlc(self.poc)
@@ -376,6 +379,12 @@ class SliceHeader:
             bw.write_flag(self.wp_params is not None)
             if self.wp_params is not None:
                 for w, o in self.wp_params:
+                    bw.write_svlc(int(w) - 64)
+                    bw.write_svlc(int(o))
+        if self.slice_type == SliceType.B:
+            bw.write_flag(self.wp_params_l1 is not None)
+            if self.wp_params_l1 is not None:
+                for w, o in self.wp_params_l1:
                     bw.write_svlc(int(w) - 64)
                     bw.write_svlc(int(o))
         if sps.mm.ged:
@@ -443,6 +452,10 @@ class SliceHeader:
             if br.read_flag():
                 sh.wp_params = tuple((64 + br.read_svlc(), br.read_svlc())
                                      for _ in range(3))
+            if sh.slice_type == SliceType.B and br.read_flag():
+                sh.wp_params_l1 = tuple(
+                    (64 + br.read_svlc(), br.read_svlc())
+                    for _ in range(3))
         if sps.mm.ged:
             if br.read_flag():
                 sh.epipole_delta = tuple(br.read_svlc() for _ in range(3))

@@ -622,7 +622,11 @@ class DecLib:
                 jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
                 r0, r1, sh.qp, s, sps.bit_depth, sps.wrap_around,
                 sps.bdof, sps.dmvr, gpm_modes=jnp.asarray(gpm_modes),
-                gpm=sps.gpm, ciip=sps.ciip)
+                gpm=sps.gpm, ciip=sps.ciip,
+                wp0=(None if sh.wp_params is None else jnp.asarray(
+                    np.asarray(sh.wp_params, dtype=np.int32))),
+                wp1=(None if sh.wp_params_l1 is None else jnp.asarray(
+                    np.asarray(sh.wp_params_l1, dtype=np.int32))))
             if sps.deblocking:
                 has_resid = (np.any(ly != 0, axis=(2, 3))
                              | np.any(lu != 0, axis=(2, 3))

@@ -130,6 +130,12 @@ class EncCfg:
                                  # those ride the fixed-grid path)
     wpp: bool = False            # entropy substreams + entry points (--WPP)
     num_substreams: int = 4
+    weighted_bipred: bool = False  # explicit weighted prediction on B
+                                 # slices: per-list weight tables, the
+                                 # weighted bi combine (reference:
+                                 # xWeightedPredictionBi; --WeightedPredB).
+                                 # Mutually exclusive with BDOF/DMVR/GPM/
+                                 # CIIP in this codec
     weighted_pred: bool = False  # explicit weighted prediction P slices
                                  # (reference: WeightPrediction.cpp,
                                  # WeightPredAnalysis; --WeightedPredP)
@@ -1131,6 +1137,22 @@ class EncLib:
                                       SliceType.B, [ref0_poc], [ref1_poc],
                                       None, tid, dev)
         mflag = midx = None
+        use_wpb = (cfg.weighted_bipred and not cfg.gpm and not cfg.ciip
+                   and not cfg.bdof and not cfg.dmvr)
+        wp0 = wp1 = None
+        if use_wpb:
+            wp0 = self._estimate_wp(planes, ref0)
+            wp1 = self._estimate_wp(planes, ref1)
+            if wp0 is None and wp1 is None:
+                use_wpb = False
+            else:
+                ident = [(64, 0)] * 3
+                wp0 = wp0 if wp0 is not None else ident
+                wp1 = wp1 if wp1 is not None else ident
+        wp0_d = None if not use_wpb else jnp.asarray(
+            np.asarray(wp0, dtype=np.int32))
+        wp1_d = None if not use_wpb else jnp.asarray(
+            np.asarray(wp1, dtype=np.int32))
         if cfg.merge:
             # merge/skip pipeline for B: device search with whole-motion
             # candidate-field SADs -> host selection in coding order ->
@@ -1159,7 +1181,8 @@ class EncLib:
         ly, lu, lv, _ = inter_frame.bpred_and_residual(
             oy, ou, ov, tuple(r0), tuple(r1), mv0, mv1, dirs, qp, s,
             cfg.bit_depth, cfg.wrap_around, cfg.bdof, cfg.dmvr,
-            gpm_modes=gpm_modes, gpm=cfg.gpm, ciip=cfg.ciip)
+            gpm_modes=gpm_modes, gpm=cfg.gpm, ciip=cfg.ciip,
+            wp0=wp0_d, wp1=wp1_d)
         # The recon/filter chain never reads the entropy pass's coded
         # grids: unused-list MVP replacements are never selected by
         # `dirs` (prediction and deblock both pick the *used* list), so
@@ -1169,7 +1192,7 @@ class EncLib:
             mv0, mv1, dirs, ly, lu, lv,
             tuple(r0), tuple(r1), qp, s, cfg.bit_depth, cfg.wrap_around,
             cfg.bdof, cfg.dmvr, gpm_modes=gpm_modes, gpm=cfg.gpm,
-            ciip=cfg.ciip)
+            ciip=cfg.ciip, wp0=wp0_d, wp1=wp1_d)
         if cfg.deblocking:
             has_resid = (jnp.any(ly != 0, axis=(2, 3))
                          | jnp.any(lu != 0, axis=(2, 3))
@@ -1222,6 +1245,11 @@ class EncLib:
         sh = SliceHeader(poc=poc, slice_type=SliceType.B, qp=qp,
                          temporal_id=tid, ref_pocs_l0=[ref0_poc],
                          ref_pocs_l1=[ref1_poc], sao_params=sao_params,
+                         wp_params=(tuple((int(a), int(b)) for a, b in wp0)
+                                    if use_wpb else None),
+                         wp_params_l1=(tuple((int(a), int(b))
+                                             for a, b in wp1)
+                                       if use_wpb else None),
                          alf_params=alf_params,
                          alf_chroma_params=self._pending_alf_chroma,
                          ccalf_params=self._pending_ccalf)
