@@ -737,10 +737,19 @@ class EncLib:
             mer_blk = max(0, self.sps.log2_parallel_merge_level
                           - (s.bit_length() - 1))
             # MCTS clamps bind per-block MVs: a neighbor's MV can violate
-            # this block's tile bound, so snapping is disabled there
+            # this block's tile bound, so snapping is disabled there.
+            # Under WPP the entropy pass resets HMVP per substream; the
+            # selection must derive candidates with the same resets or
+            # the decoder's list at the signaled merge_idx can differ.
+            sub_starts: tuple[int, ...] = ()
+            if cfg.wpp and cfg.tmvp:
+                nsub = max(1, min(cfg.num_substreams, nby))
+                sub_starts = tuple(round(i * nby / nsub)
+                                   for i in range(1, nsub))
             final, mflag, midx = select_merge_p(
                 mvs_h, sad_h, cmv_h, csad_h, col, lam_sqrt, cfg.tmvp,
-                mer_blk, snap=not cfg.mcts_tiles)
+                mer_blk, snap=not cfg.mcts_tiles,
+                substream_starts=sub_starts)
             mvs = jnp.asarray(final.astype(np.int32))
             ly, lu, lv, recon = inter_frame.finish_p_frame(
                 dev[0], dev[1], dev[2], rdev[0], rdev[1], rdev[2], mvs,

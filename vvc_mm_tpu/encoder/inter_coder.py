@@ -181,7 +181,8 @@ def select_merge_p(mv_me: np.ndarray, sad_me: np.ndarray,
                    cand_mvs: np.ndarray, cand_sads: np.ndarray,
                    col_mvs: np.ndarray | None, lam_sqrt: float,
                    use_tmvp: bool, mer_blocks_log2: int = 0,
-                   snap: bool = True):
+                   snap: bool = True,
+                   substream_starts: tuple[int, ...] = ()):
     """Encoder merge decision in coding order (host pass between the two
     device programs; reference analog: EncCu::xCheckRDCostMerge2Nx2N).
 
@@ -191,6 +192,12 @@ def select_merge_p(mv_me: np.ndarray, sad_me: np.ndarray,
     compete against the AMVP coding of the ME MV on SAD + lambda*bits.
     With snap=False only candidates equal to the ME MV are taken (MV field
     unchanged — used when an external constraint like MCTS binds the MVs).
+
+    substream_starts: block rows at which the entropy coder starts a new
+    WPP substream — the HMVP FIFO resets there exactly as in the syntax
+    pass (encode_p_slice rows= / decode_p_slice_wpp), so the candidate
+    list this selection derives is the one the decoder will derive
+    (reference: the per-CTU-row HMVP reset under WPP).
 
     Returns (final_mvs, merge_flag, merge_idx)."""
     nby, nbx = mv_me.shape[:2]
@@ -206,6 +213,8 @@ def select_merge_p(mv_me: np.ndarray, sad_me: np.ndarray,
     cmv_l = np.asarray(cand_mvs).tolist()
     csad_l = np.asarray(cand_sads).tolist()
     for by in range(nby):
+        if hist is not None and by in substream_starts:
+            hist = HmvpList()
         for bx in range(nbx):
             col = (col_mvs[by, bx] if (use_tmvp and col_mvs is not None)
                    else None)
