@@ -69,3 +69,25 @@ def test_mc_luma_kernel_subsampled_width(rng):
     got = np.asarray(mc_kernel.mc_luma_positions(ref, sub, m, 8,
                                                  interpret=True))
     assert np.array_equal(want, got)
+
+
+def test_rows_per_step_alignment_gate():
+    """Shapes whose SMEM scalar blocks cannot be 1024-aligned must be
+    rejected in strict (hardware) mode so the dispatcher falls back to
+    XLA, while interpret mode still gets a best-effort value (regression:
+    Mosaic SMEM layout mismatch on real TPU for unalignable shapes)."""
+    # 2048-wide frame: nsx=512 -> rows 2 aligns (1024)
+    assert mc_kernel.luma_rows_per_step(256, 512) == 2
+    # column-subsampled search: nsx=256 -> rows grow to 4
+    assert mc_kernel.luma_rows_per_step(256, 256) == 4
+    # small frame 128x64: nsx=32, nsy=16 -> cannot align
+    assert mc_kernel.luma_rows_per_step(16, 32) is None
+    assert mc_kernel.luma_rows_per_step(16, 32, strict=False) is not None
+    # nsy not a power-of-two multiple blocks growth
+    assert mc_kernel.luma_rows_per_step(6, 96) is None
+    # chroma: nsx=512 -> 4*512=2048 already aligned
+    assert mc_kernel.chroma_rows_per_step(256, 512) == 4
+    # nsx=64: alignment needs 16 rows -> reachable only when nsy allows
+    assert mc_kernel.chroma_rows_per_step(16, 64) == 16
+    assert mc_kernel.chroma_rows_per_step(8, 64) is None
+    assert mc_kernel.chroma_rows_per_step(8, 64, strict=False) is not None

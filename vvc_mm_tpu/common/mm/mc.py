@@ -51,11 +51,12 @@ def mc_luma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
                       margin: int, bit_depth: int = 8) -> jnp.ndarray:
     """Position-based luma MC — Pallas kernel on TPU, XLA gather elsewhere
     (bit-identical, tests/test_mc_kernel.py)."""
-    if _use_pallas() and positions.shape[1] % 32 == 0 \
-            and positions.shape[0] % 2 == 0:
+    if _use_pallas():
         from ...ops import mc_kernel
-        return mc_kernel.mc_luma_positions(ref_padded, positions, margin,
-                                           bit_depth)
+        if mc_kernel.luma_rows_per_step(positions.shape[0],
+                                        positions.shape[1]) is not None:
+            return mc_kernel.mc_luma_positions(ref_padded, positions,
+                                               margin, bit_depth)
     return _mc_luma_positions_xla(ref_padded, positions, margin, bit_depth)
 
 
@@ -90,11 +91,12 @@ def _mc_luma_positions_xla(ref_padded: jnp.ndarray, positions: jnp.ndarray,
 def mc_chroma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
                         margin: int, bit_depth: int = 8) -> jnp.ndarray:
     """Position-based chroma MC — Pallas kernel on TPU, XLA elsewhere."""
-    if _use_pallas() and positions.shape[1] % 64 == 0 \
-            and positions.shape[0] % 4 == 0:
+    if _use_pallas():
         from ...ops import mc_kernel
-        return mc_kernel.mc_chroma_positions(ref_padded, positions, margin,
-                                             bit_depth)
+        if mc_kernel.chroma_rows_per_step(positions.shape[0],
+                                          positions.shape[1]) is not None:
+            return mc_kernel.mc_chroma_positions(ref_padded, positions,
+                                                 margin, bit_depth)
     return _mc_chroma_positions_xla(ref_padded, positions, margin,
                                     bit_depth)
 

@@ -142,6 +142,29 @@ def _mc_luma_kernel(nsx: int, bit_depth: int, rows_per_step: int):
     return kernel
 
 
+def _rows_per_step(nsy: int, nsx: int, base: int, strict: bool
+                   ) -> int | None:
+    rows_per_step = base
+    while (rows_per_step * nsx) % 1024 != 0 \
+            and rows_per_step * 2 <= nsy and nsy % (rows_per_step * 2) == 0:
+        rows_per_step *= 2
+    if strict and (rows_per_step * nsx) % 1024 != 0:
+        return None
+    return rows_per_step
+
+
+def luma_rows_per_step(nsy: int, nsx: int, strict: bool = True
+                       ) -> int | None:
+    """Subblock rows per grid step for the luma kernels, or None when the
+    SMEM scalar blocks cannot be 1024-aligned for this shape (the caller
+    must then use the XLA gather path — a misaligned block reproduces the
+    Mosaic SMEM layout mismatch on real TPU).  strict=False returns the
+    best-effort value for interpret mode, which has no layout constraint."""
+    if nsx % 32 != 0 or nsy % 2 != 0:
+        return None
+    return _rows_per_step(nsy, nsx, 2, strict)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("margin", "bit_depth", "interpret"))
 def mc_luma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
@@ -149,16 +172,13 @@ def mc_luma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
                       interpret: bool = False) -> jnp.ndarray:
     """Drop-in replacement for common.mm.mc.mc_luma_positions."""
     nsy, nsx, _ = positions.shape
-    assert nsx % 32 == 0 and nsy % 2 == 0
     orig_shape = ref_padded.shape
     ref_padded = _pad_ref(ref_padded.astype(jnp.int32))
     # SMEM scalar blocks must match XLA's int32 tiling (1024 elements) —
     # grow rows_per_step until rows_per_step*nsx is 1024-aligned (e.g.
     # the column-subsampled search positions have nsx 256 -> 4 rows)
-    rows_per_step = 2                      # 8 output pixel rows per step
-    while (rows_per_step * nsx) % 1024 != 0 \
-            and rows_per_step * 2 <= nsy and nsy % (rows_per_step * 2) == 0:
-        rows_per_step *= 2
+    rows_per_step = luma_rows_per_step(nsy, nsx, strict=not interpret)
+    assert rows_per_step is not None, (nsy, nsx)
     scal = _prep_luma_scalars(orig_shape, ref_padded.shape, positions,
                               margin)
     scal = [s.reshape(-1) for s in scal]
@@ -345,6 +365,16 @@ def _mc_chroma_kernel(nsx: int, bit_depth: int, rows_per_step: int,
     return kernel
 
 
+def chroma_rows_per_step(nsy: int, nsx: int, strict: bool = True
+                         ) -> int | None:
+    """Subblock rows per grid step for the chroma kernel, or None when the
+    SMEM scalar blocks cannot be 1024-aligned for this shape (fall back to
+    the XLA gather path)."""
+    if (nsx % 64 != 0 and nsx > 64) or nsy % 4 != 0:
+        return None
+    return _rows_per_step(nsy, nsx, 4, strict)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("margin", "bit_depth", "interpret"))
 def mc_chroma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
@@ -357,7 +387,8 @@ def mc_chroma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
     assert tile_w <= 64 and nsy % 4 == 0
     orig_shape = ref_padded.shape
     ref_padded = _pad_ref(ref_padded.astype(jnp.int32))
-    rows_per_step = 4                      # 8 output pixel rows per step
+    rows_per_step = chroma_rows_per_step(nsy, nsx, strict=not interpret)
+    assert rows_per_step is not None, (nsy, nsx)
     scal = _prep_chroma_scalars(orig_shape, ref_padded.shape, positions,
                                 margin)
     scal = [s.reshape(-1) for s in scal]
