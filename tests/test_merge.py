@@ -333,3 +333,22 @@ def test_full_mm_mmmvp_roundtrip():
     out = DecLib().decode_bytes(stream)
     for f, res in zip(out, enc.results):
         assert _md5(f.planes) == _md5(res.recon), f.poc
+
+
+def test_classic_qt_tree_beats_fixed_grid():
+    """The classic (non-MM) quadtree must not lose RD to the fixed grid
+    (reference: EncCu.cpp:1118 xCheckModeSplit — an RD-correct tree can
+    at worst tie the uniform grid)."""
+    fmt = VideoFormat(128, 64, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 4, motion=(4.0, 1.5))
+    flat = EncLib(EncCfg(width=fmt.width, height=fmt.height, qp=37,
+                         gop="LDP", inter_block_size=16, merge=True))
+    flat.encode_sequence(frames)
+    tree = EncLib(EncCfg(width=fmt.width, height=fmt.height, qp=37,
+                         gop="LDP", inter_block_size=16, qt_depth=1,
+                         merge=True))
+    tree.encode_sequence(frames)
+    sf, st = flat.summary(), tree.summary()
+    assert (st["bits"] <= sf["bits"] * 1.02
+            and st["psnr_y"] >= sf["psnr_y"] - 0.1) or \
+           (st["psnr_y"] >= sf["psnr_y"] and st["bits"] <= sf["bits"] * 1.1)

@@ -541,6 +541,86 @@ def search_p_mm_merge(reproj: MVReprojection, active_models: list[int],
     return _FUSED_CACHE[key](orig_y, ref_y, seed)
 
 
+def search_qt_parent_mm(reproj: MVReprojection, active_models: list[int],
+                        orig_y, ref_y, idx_child, mv_child, qp: int,
+                        block_size: int, bit_depth: int,
+                        epipoles: dict | None = None,
+                        wrap_around: bool = False):
+    """Parent-level MM evaluation for the quadtree lattice — ONE jit
+    program, no fresh motion search (reference: the QTMT recursion reuses
+    child information through EncModeCtrl caching, EncCu.cpp:499).
+
+    Candidates for each parent block are the four child-quadrant
+    selections plus zero-CLASSIC; the best becomes this level's selection
+    and three neighbor shifts of it are evaluated for merge (the same
+    decision-only subsampled SAD protocol as search_p_mm_merge).
+
+    idx_child/mv_child: (2*nby, 2*nbx[, 2]) child-level selected grids.
+    Returns (idx, mv_sel, sad_sel, cand_idx (8,nby,nbx),
+    cand_mv (8,nby,nbx,2), cand_sads (8,nby,nbx)) — candidate fields are
+    [3 neighbor shifts, zero, 4 child quadrants]."""
+    key = ("qtparent", _geom_key(reproj), tuple(active_models), qp,
+           block_size, bit_depth, wrap_around, _eps_key(epipoles))
+    if key not in _FUSED_CACHE:
+        _warm_models(reproj, active_models)
+        s = block_size
+        n = len(active_models)
+
+        def shift2(f, dy, dx):
+            pad = ((1, 1), (1, 1)) + ((0, 0),) * (f.ndim - 2)
+            p = jnp.pad(f, pad)
+            start = (1 + dy, 1 + dx) + (0,) * (f.ndim - 2)
+            return jax.lax.dynamic_slice(p, start, f.shape)
+
+        @jax.jit
+        def fn(oy, ry, idx_c, mv_c):
+            refp = pad_ref(ry, MC_MARGIN, wrap_around)
+            row_step = SAD_ROW_STEP if s // 4 >= SAD_ROW_STEP else 1
+            oy_sub = _subsample_rows(oy, row_step)
+
+            def field_sad(idx_f, mv_f):
+                onehot = (idx_f[None]
+                          == jnp.arange(n, dtype=jnp.int32)[:, None, None])
+                stack_f = jnp.where(onehot[..., None], mv_f[None],
+                                    jnp.zeros_like(mv_f)[None])
+                pos = _merged_positions(reproj, active_models, s, epipoles,
+                                        idx_f, stack_f, row_step)
+                pred = mm_mc.mc_luma_positions(refp, pos, MC_MARGIN,
+                                               bit_depth)
+                return _block_sad_sub(jnp.abs(oy_sub - pred), s, row_step)
+
+            quads = [(idx_c[dy::2, dx::2], mv_c[dy::2, dx::2])
+                     for dy in (0, 1) for dx in (0, 1)]
+            zi = jnp.zeros_like(quads[0][0])
+            zm = jnp.zeros_like(quads[0][1])
+            own = quads + [(zi, zm)]
+            own_sads = jnp.stack([field_sad(i, m) for i, m in own])
+            k = jnp.argmin(own_sads, axis=0)
+            idx = jnp.take_along_axis(
+                jnp.stack([i for i, _ in own]),
+                k[None].astype(jnp.int32), axis=0)[0]
+            mv_sel = jnp.take_along_axis(
+                jnp.stack([m for _, m in own]),
+                k[None, ..., None].astype(jnp.int32), axis=0)[0]
+            sad_sel = jnp.min(own_sads, axis=0)
+            cand_idx, cand_mv, cand_sads = [], [], []
+            for (dy, dx) in ((0, -1), (-1, 0), (-1, 1)):
+                i_s = shift2(idx, dy, dx)
+                m_s = shift2(mv_sel, dy, dx)
+                cand_idx.append(i_s)
+                cand_mv.append(m_s)
+                cand_sads.append(field_sad(i_s, m_s))
+            for (i_q, m_q), sd in zip(own, own_sads):
+                cand_idx.append(i_q)
+                cand_mv.append(m_q)
+                cand_sads.append(sd)
+            return (idx, mv_sel, sad_sel, jnp.stack(cand_idx),
+                    jnp.stack(cand_mv), jnp.stack(cand_sads))
+
+        _FUSED_CACHE[key] = fn
+    return _FUSED_CACHE[key](orig_y, ref_y, idx_child, mv_child)
+
+
 def search_b_mm(reproj: MVReprojection, active_models: list[int],
                 orig_y, ref0_y, ref1_y, qp: int, block_size: int,
                 bit_depth: int, search_range: int, epipoles0=None,

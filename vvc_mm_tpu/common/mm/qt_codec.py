@@ -31,22 +31,30 @@ def reconstruct_qt_mm(reproj: MVReprojection, active_models: list[int],
                       midx_unit, mv_unit, levels, ref_y, ref_u, ref_v,
                       qp: int, top: int, depth: int, bit_depth: int,
                       epipoles: dict | None = None,
-                      wrap_around: bool = False):
+                      wrap_around: bool = False, _positions=None,
+                      _preds=None):
     """Shared enc/dec reconstruction: unit-granularity merged positions ->
     one MC pass -> per-size residual sum.  midx_unit (nuy, nux) model
-    index, mv_unit (nuy, nux, 2) the selected model's MV per unit."""
+    index, mv_unit (nuy, nux, 2) the selected model's MV per unit.
+    _positions/_preds: encoder-internal reuse (enc_finish_qt_mm already
+    computed them inside the same jit program)."""
     u = top >> depth
     assert u >= SUBBLK
-    n = len(active_models)
-    # stack with each unit's MV in its selected model's layer
-    onehot = midx_unit[None] == jnp.arange(n, dtype=jnp.int32)[:, None,
-                                                               None]
-    stack = jnp.where(onehot[..., None], mv_unit[None],
-                      jnp.zeros_like(mv_unit)[None])
-    positions = fc.merged_positions(reproj, active_models, midx_unit,
-                                    stack, u, epipoles)
-    pred_y, pred_u, pred_v = fc.predict_from_positions(
-        positions, ref_y, ref_u, ref_v, bit_depth, wrap_around)
+    if _preds is not None:
+        pred_y, pred_u, pred_v = _preds
+    else:
+        n = len(active_models)
+        # stack with each unit's MV in its selected model's layer
+        onehot = midx_unit[None] == jnp.arange(n, dtype=jnp.int32)[:, None,
+                                                                   None]
+        stack = jnp.where(onehot[..., None], mv_unit[None],
+                          jnp.zeros_like(mv_unit)[None])
+        positions = (_positions if _positions is not None
+                     else fc.merged_positions(reproj, active_models,
+                                              midx_unit, stack, u,
+                                              epipoles))
+        pred_y, pred_u, pred_v = fc.predict_from_positions(
+            positions, ref_y, ref_u, ref_v, bit_depth, wrap_around)
 
     from .. import transforms
     from ..inter_frame import _from_blocks
@@ -76,84 +84,153 @@ def reconstruct_qt_mm(reproj: MVReprojection, active_models: list[int],
 _QT_MM_CACHE: dict = {}
 
 
-def encode_p_frame_qt_mm(reproj: MVReprojection, active_models: list[int],
-                         orig_y, orig_u, orig_v, ref_y, ref_u, ref_v,
-                         qp: int, top: int, depth: int, bit_depth: int,
-                         search_range: int, epipoles: dict | None = None,
-                         wrap_around: bool = False):
-    """Batched MM quadtree P encode (one fused jit program).  Returns a
-    dict with splits / per-size midx + mv grids / masked levels /
-    unit-resolved grids / recon."""
-    key = ("qtmm", fc._geom_key(reproj), tuple(active_models), qp, top,
-           depth, bit_depth, search_range, wrap_around,
-           fc._eps_key(epipoles))
+def search_qt_mm(reproj: MVReprojection, active_models: list[int],
+                 orig_y, ref_y, qp: int, top: int, depth: int,
+                 bit_depth: int, search_range: int,
+                 epipoles: dict | None = None, wrap_around: bool = False,
+                 seed=None):
+    """Per-size merge-aware MM search for the quadtree lattice.
+
+    The UNIT size runs the full flat-path search program
+    (frame_codec.search_p_mm_merge — identical decisions to the fixed
+    grid, so the tree's worst case is the grid plus split bins); each
+    parent size is evaluated from its children's selections
+    (search_qt_parent_mm), the batched analog of the QTMT recursion's
+    information reuse (reference: EncCu.cpp:499 xCompressCU).
+
+    Returns (per_size list ordered [top .. unit] of device tuples
+    (idx, mv_sel, sad_sel, cand_idx, cand_mv, cand_sads), unit_stack)
+    — unit_stack is the per-model MV stack for temporal seeding."""
+    sizes = node_sizes(top, depth)
+    u = sizes[-1]
+    idx, stack, sad, cidx, cmv, csad = fc.search_p_mm_merge(
+        reproj, active_models, orig_y, ref_y, qp, u, bit_depth,
+        search_range, epipoles, wrap_around, seed=seed)
+    mv_sel = jnp.take_along_axis(
+        stack, idx[None, :, :, None].astype(jnp.int32), axis=0)[0]
+    per = {u: (idx, mv_sel, sad, cidx, cmv, csad)}
+    idx_c, mv_c = idx, mv_sel
+    for s in reversed(sizes[:-1]):
+        out = fc.search_qt_parent_mm(reproj, active_models, orig_y, ref_y,
+                                     idx_c, mv_c, qp, s, bit_depth,
+                                     epipoles, wrap_around)
+        per[s] = out
+        idx_c, mv_c = out[0], out[1]
+    return [per[s] for s in sizes], stack
+
+
+def qt_rd_stats(reproj: MVReprojection, active_models: list[int],
+                midx, mv_sel, orig_y, orig_u, orig_v, ref_y, ref_u,
+                ref_v, qp: int, block_size: int, bit_depth: int,
+                epipoles: dict | None = None, wrap_around: bool = False):
+    """Per-block RD statistics for one tree level's selection: full-frame
+    prediction from (model, mv) grids, residual transform/quant at this
+    block size, per-block SSD of the reconstruction and a coefficient-bit
+    estimate.  The split resolve compares levels in the SSD + lambda*bits
+    domain the reference's xCheckModeSplit uses (EncCu.cpp:1118), not raw
+    SAD — raw SAD over-splits because finer prediction always fits better
+    while its residual-bit savings don't cover the extra motion syntax.
+    Returns (ssd (nby,nbx) f32, coeff_bits (nby,nbx) f32)."""
+    key = ("qtrd", fc._geom_key(reproj), tuple(active_models), qp,
+           block_size, bit_depth, wrap_around, fc._eps_key(epipoles))
     if key not in _QT_MM_CACHE:
-        from ...encoder import me as me_mod
+        fc._warm_models(reproj, active_models)
+        s = block_size
+        n = len(active_models)
+
+        @jax.jit
+        def fn(idx, mvs, oy, ou, ov, ry, ru, rv):
+            onehot = (idx[None]
+                      == jnp.arange(n, dtype=jnp.int32)[:, None, None])
+            stack = jnp.where(onehot[..., None], mvs[None],
+                              jnp.zeros_like(mvs)[None])
+            pos = fc._merged_positions(reproj, active_models, s, epipoles,
+                                       idx, stack)
+            pred_y, pred_u, pred_v = fc.predict_from_positions(
+                pos, ry, ru, rv, bit_depth, wrap_around)
+            ly, rec_y = _residual_pass(oy, pred_y, s, qp, bit_depth)
+            lu, rec_u = _residual_pass(ou, pred_u, s // 2, qp, bit_depth)
+            lv, rec_v = _residual_pass(ov, pred_v, s // 2, qp, bit_depth)
+
+            def bsum(x, size):
+                hh, ww = x.shape
+                return x.reshape(hh // size, size, ww // size, size
+                                 ).sum(axis=(1, 3))
+            ssd = (bsum((oy - rec_y) ** 2, s)
+                   + bsum((ou - rec_u) ** 2, s // 2)
+                   + bsum((ov - rec_v) ** 2, s // 2)).astype(jnp.int32)
+            cbits = (_coeff_bits_est(ly) + _coeff_bits_est(lu)
+                     + _coeff_bits_est(lv)).astype(jnp.int32)
+            return ssd, cbits
+
+        _QT_MM_CACHE[key] = fn
+    return _QT_MM_CACHE[key](midx, mv_sel, orig_y, orig_u, orig_v,
+                             ref_y, ref_u, ref_v)
+
+
+def enc_finish_qt_mm(reproj: MVReprojection, active_models: list[int],
+                     midx_unit, mv_unit, leaf_masks, orig_y, orig_u,
+                     orig_v, ref_y, ref_u, ref_v, qp: int, top: int,
+                     depth: int, bit_depth: int,
+                     epipoles: dict | None = None,
+                     wrap_around: bool = False):
+    """Encoder tail for the merge-aware MM quadtree: ONE unit-granularity
+    MC pass from the FINAL (post-merge-selection) grids, then per-size
+    residual transforms masked to the resolved leaves (MM positions
+    depend only on (subblock center, MV, model), so unit-granularity MC
+    of a merged leaf is bit-identical to leaf-granularity MC).
+
+    Returns (levels [per size (ly, lu, lv)], recon dict,
+    has_resid_unit, leaf_id_unit)."""
+    key = ("qtfinish", fc._geom_key(reproj), tuple(active_models), qp,
+           top, depth, bit_depth, wrap_around, fc._eps_key(epipoles))
+    if key not in _QT_MM_CACHE:
         fc._warm_models(reproj, active_models)
         sizes = node_sizes(top, depth)
         u = sizes[-1]
-        lam = quant.lambda_from_qp(qp, intra=False)
-        lam16 = int(lam ** 0.5 * 16)
-        lam_bits = lam ** 0.5 * 4.0
+        n = len(active_models)
 
         @jax.jit
-        def fn(oy, ou, ov, ry, ru, rv):
-            refp = pad_ref(ry, MC_MARGIN, wrap_around)
-            per_midx, per_mv, per_lev, per_cost = [], [], [], []
-            for s in sizes:
-                mv_int, _ = me_mod.hierarchical_search(
-                    oy, refp, s, search_range, MC_MARGIN, lam16)
-                cmv, csad = me_mod.fractional_refine(oy, refp, mv_int, s,
-                                                     MC_MARGIN, bit_depth)
-                idx, mvs, _ = fc.search_models(
-                    reproj, active_models, oy, ry, cmv, csad, s,
-                    bit_depth, lam_bits, epipoles, wrap_around)
-                stack = jnp.stack([mvs[m] for m in active_models])
-                mv_sel = jnp.take_along_axis(
-                    stack, idx[None, :, :, None].astype(jnp.int32),
-                    axis=0)[0]
-                pos = fc._merged_positions(reproj, active_models, s,
-                                           epipoles, idx, stack)
-                pred_y, pred_u, pred_v = fc.predict_from_positions(
-                    pos, ry, ru, rv, bit_depth, wrap_around)
-                ly, rec_y = _residual_pass(oy, pred_y, s, qp, bit_depth)
-                lu, rec_u = _residual_pass(ou, pred_u, s // 2, qp,
-                                           bit_depth)
-                lv, rec_v = _residual_pass(ov, pred_v, s // 2, qp,
-                                           bit_depth)
-
-                def bsum(x, size):
-                    hh, ww = x.shape
-                    return x.reshape(hh // size, size, ww // size, size
-                                     ).sum(axis=(1, 3))
-                ssd = (bsum((oy - rec_y) ** 2, s)
-                       + bsum((ou - rec_u) ** 2, s // 2)
-                       + bsum((ov - rec_v) ** 2, s // 2)
-                       ).astype(jnp.float32)
-                bits = (_coeff_bits_est(ly) + _coeff_bits_est(lu)
-                        + _coeff_bits_est(lv) + 6.0
-                        + idx.astype(jnp.float32) + 1.0)   # model unary
-                bits = bits + _mv_bits_est(mv_sel,
-                                           jnp.zeros_like(mv_sel))
-                per_midx.append(idx)
-                per_mv.append(mv_sel)
-                per_lev.append((ly, lu, lv))
-                per_cost.append(ssd + jnp.float32(lam) * bits)
-
-            splits, leaf = _resolve_tree(per_cost, lam, depth)
-            masked_levels, has_resid_unit, leaf_id_unit = _mask_and_locate(
-                per_lev, leaf, sizes, u)
-            midx_unit = _field_to_unit(per_midx, leaf, sizes, u)
-            mv_unit = _field_to_unit(per_mv, leaf, sizes, u)
+        def fn(midx_u, mv_u, leaf, oy, ou, ov, ry, ru, rv):
+            onehot = (midx_u[None]
+                      == jnp.arange(n, dtype=jnp.int32)[:, None, None])
+            stack = jnp.where(onehot[..., None], mv_u[None],
+                              jnp.zeros_like(mv_u)[None])
+            positions = fc.merged_positions(reproj, active_models, midx_u,
+                                            stack, u, epipoles)
+            pred_y, pred_u, pred_v = fc.predict_from_positions(
+                positions, ry, ru, rv, bit_depth, wrap_around)
+            levels = []
+            for d, s in enumerate(sizes):
+                ly, _ = _residual_pass(oy, pred_y, s, qp, bit_depth)
+                lu, _ = _residual_pass(ou, pred_u, s // 2, qp, bit_depth)
+                lv, _ = _residual_pass(ov, pred_v, s // 2, qp, bit_depth)
+                lm = leaf[d][:, :, None, None]
+                levels.append((ly * lm, lu * lm, lv * lm))
             recon = reconstruct_qt_mm(
-                reproj, active_models, midx_unit, mv_unit, masked_levels,
-                ry, ru, rv, qp, top, depth, bit_depth, epipoles,
-                wrap_around)
-            return dict(splits=splits, midx=per_midx, mvs=per_mv,
-                        levels=masked_levels, leaf=leaf,
-                        midx_unit=midx_unit, mv_unit=mv_unit, recon=recon,
-                        has_resid_unit=has_resid_unit,
-                        leaf_id_unit=leaf_id_unit)
+                reproj, active_models, midx_u, mv_u, levels, ry, ru, rv,
+                qp, top, depth, bit_depth, epipoles, wrap_around,
+                _positions=positions,
+                _preds=(pred_y, pred_u, pred_v))
+            # unit-granularity deblock inputs
+            nuy, nux = midx_u.shape
+            has_resid_unit = jnp.zeros((nuy, nux), dtype=bool)
+            leaf_id_unit = jnp.zeros((nuy, nux), dtype=jnp.int32)
+            for d, s in enumerate(sizes):
+                f = s // u
+                hr = jnp.zeros(leaf[d].shape, dtype=bool)
+                for lev in levels[d]:
+                    hr = hr | jnp.any(lev != 0, axis=(2, 3))
+                lm_u = _up2(leaf[d], f)
+                has_resid_unit = has_resid_unit | (lm_u & _up2(hr, f))
+                by = jnp.arange(leaf[d].shape[0], dtype=jnp.int32
+                                )[:, None] * f
+                bx = jnp.arange(leaf[d].shape[1], dtype=jnp.int32
+                                )[None, :] * f
+                leaf_id_unit = jnp.where(lm_u, _up2(by * nux + bx, f),
+                                         leaf_id_unit)
+            return levels, recon, has_resid_unit, leaf_id_unit
 
         _QT_MM_CACHE[key] = fn
-    return _QT_MM_CACHE[key](orig_y, orig_u, orig_v, ref_y, ref_u, ref_v)
+    return _QT_MM_CACHE[key](midx_unit, mv_unit, leaf_masks, orig_y,
+                             orig_u, orig_v, ref_y, ref_u, ref_v)

@@ -986,10 +986,12 @@ def decode_b_slice_mtt(data: bytes, h: int, w: int, top: int, depth: int,
 
 def decode_p_slice_qt_mm(data: bytes, h: int, w: int, top: int,
                          depth: int, n_active: int, stats=None):
-    """Exact inverse of encoder.inter_coder.encode_p_slice_qt_mm.
-    Returns (midx_unit, mv_unit, levels [per size (ly,lu,lv)],
-    has_resid_unit, leaf_id_unit)."""
-    from ..encoder.inter_coder import (inherited_midx_unit,
+    """Exact inverse of encoder.inter_coder.encode_p_slice_qt_mm (the
+    merge-aware leaf syntax: skip(=merge+no-residual) / merge /
+    motion_model+mvd, then cbf+coeffs; candidates on the causal unit
+    grid via merge_candidates_qt_mm).  Returns (midx_unit, mv_unit,
+    levels [per size (ly,lu,lv)], has_resid_unit, leaf_id_unit)."""
+    from ..encoder.inter_coder import (merge_candidates_qt_mm,
                                        mvp_unit_grid_mm)
     dec = _make(data, stats)
     u = top >> depth
@@ -1008,33 +1010,49 @@ def decode_p_slice_qt_mm(data: bytes, h: int, w: int, top: int,
     has_resid = np.zeros((nuy, nux), dtype=bool)
     leaf_id = np.zeros((nuy, nux), dtype=np.int32)
 
+    def parse_resid(d, by, bx, s):
+        hr = False
+        for ci, lev in enumerate(levels[d]):
+            _lbl(dec, "cbf")
+            if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
+                _lbl(dec, "residual_" + "yuv"[ci])
+                sz = s if ci == 0 else s // 2
+                lev[by, bx] = coeffs_decode(dec, sz, sz,
+                                            chroma=(ci != 0))
+                hr = True
+        return hr
+
     def parse_leaf(d, by, bx):
         s = sizes[d]
         k = s // u
         uy, ux = by * k, bx * k
+        hr = False
         _lbl(dec, "skip_flag")
         if dec.decode_bin(ctx_id("SkipFlag")):
-            midx = inherited_midx_unit(models_u, avail, uy, ux)
-            mv = mvp_unit_grid_mm(coded, models_u, avail, uy, ux, k, midx)
+            cands = merge_candidates_qt_mm(models_u, coded, avail, uy, ux,
+                                           k)
+            _lbl(dec, "merge_idx")
+            midx, mv = cands[decode_merge_idx(dec)]
+            mv = np.asarray(mv, dtype=np.int64)
         else:
-            _lbl(dec, "motion_model")
-            midx = decode_motion_model(dec, n_active)
-            pred = mvp_unit_grid_mm(coded, models_u, avail, uy, ux, k,
-                                    midx)
-            _lbl(dec, "mvd")
-            mvd = np.array([decode_mvd_comp(dec), decode_mvd_comp(dec)],
-                           dtype=np.int64)
-            mv = pred + mvd
-            hr = False
-            for ci, lev in enumerate(levels[d]):
-                _lbl(dec, "cbf")
-                if dec.decode_bin(ctx_id("QtCbf", (0, 4, 5)[ci])):
-                    _lbl(dec, "residual_" + "yuv"[ci])
-                    sz = s if ci == 0 else s // 2
-                    lev[by, bx] = coeffs_decode(dec, sz, sz,
-                                                chroma=(ci != 0))
-                    hr = True
-            has_resid[uy:uy + k, ux:ux + k] = hr
+            _lbl(dec, "merge_flag")
+            if dec.decode_bin(ctx_id("MergeFlag")):
+                cands = merge_candidates_qt_mm(models_u, coded, avail, uy,
+                                               ux, k)
+                _lbl(dec, "merge_idx")
+                midx, mv = cands[decode_merge_idx(dec)]
+                mv = np.asarray(mv, dtype=np.int64)
+            else:
+                _lbl(dec, "motion_model")
+                midx = decode_motion_model(dec, n_active)
+                pred = mvp_unit_grid_mm(coded, models_u, avail, uy, ux, k,
+                                        midx)
+                _lbl(dec, "mvd")
+                mvd = np.array([decode_mvd_comp(dec),
+                                decode_mvd_comp(dec)], dtype=np.int64)
+                mv = pred + mvd
+            hr = parse_resid(d, by, bx, s)
+        has_resid[uy:uy + k, ux:ux + k] = hr
         coded[uy:uy + k, ux:ux + k] = mv
         models_u[uy:uy + k, ux:ux + k] = midx
         avail[uy:uy + k, ux:ux + k] = True

@@ -234,6 +234,7 @@ class EncLib:
         # previous frame's per-model MV stack (device): temporal seed for
         # the model search diamonds (encoder-side state, non-normative)
         self._mm_seed = None
+        self._mm_seed_qt = None
         self.epipole_list = epipole_mod.EpipoleList(cfg.mm.global_epipole)
         # decoder-mirror list: only epipoles already signaled in PHs — the
         # predictor must be derivable on the decoder side (reference:
@@ -327,6 +328,7 @@ class EncLib:
         t0 = time.time()
         s = cfg.intra_block_size
         self._mm_seed = None        # closed GOP: no temporal seed across IDR
+        self._mm_seed_qt = None
         dev = xfer.upload_planes(planes, cfg.bit_depth)
         if cfg.intra_split:
             return self._encode_intra_frame_part(poc, planes, dev, qp, t0)
@@ -482,39 +484,66 @@ class EncLib:
             ep_for_mvp = (epipoles or {}).get(
                 MotionModelID.GEODESIC_CAMPOSE)
             if cfg.qt_depth > 0:
-                # MM x partitioning: per-node model choice inside the
-                # quadtree lattice (mm/qt_codec.py; reference: the
-                # per-model mode loop inside the QTMT recursion,
-                # EncCu.cpp:775-798)
+                # MM x partitioning, merge-aware: the unit level runs the
+                # flat-path search program (identical decisions), parents
+                # are evaluated from their children, the tree resolves on
+                # host, and leaves get the flat merge/skip syntax — so a
+                # fully-split tree costs the flat grid plus split bins
+                # (reference: EncCu.cpp:499 xCompressCU + the per-model
+                # mode loop EncCu.cpp:775-798)
                 from ..common import deblock as deblock_mod
                 from ..common import qtree
                 from ..common.mm import qt_codec
-                from .inter_coder import encode_p_slice_qt_mm
-                out = qt_codec.encode_p_frame_qt_mm(
-                    self.reproj, active, dev[0], dev[1], dev[2],
-                    rdev[0], rdev[1], rdev[2], qp, s, cfg.qt_depth,
-                    cfg.bit_depth, cfg.search_range, epipoles,
-                    cfg.wrap_around)
+                from .inter_coder import (encode_p_slice_qt_mm,
+                                          resolve_tree_qt_mm,
+                                          select_qt_mm)
                 nd = cfg.qt_depth
-                arrs = (list(out["splits"]) + list(out["midx"])
-                        + list(out["mvs"]))
-                for trio in out["levels"]:
-                    arrs += list(trio)
-                pulled = xfer.pull_levels(*arrs)
-                splits_h = pulled[:nd]
-                midx_h = pulled[nd:2 * nd + 1]
-                mvs_h = [m.astype(np.int64)
-                         for m in pulled[2 * nd + 1:3 * nd + 2]]
-                off = 3 * nd + 2
-                lev_h = [tuple(pulled[off + 3 * i:off + 3 * i + 3])
+                with profiling.stage("mm_search") as ps:
+                    per_dev, stack = qt_codec.search_qt_mm(
+                        self.reproj, active, dev[0], rdev[0], qp, s, nd,
+                        cfg.bit_depth, cfg.search_range, epipoles,
+                        cfg.wrap_around, seed=self._mm_seed_qt)
+                    ps.set_sync(per_dev[-1])
+                self._mm_seed_qt = stack
+                rd_dev = [qt_codec.qt_rd_stats(
+                    self.reproj, active, t[0], t[1], dev[0], dev[1],
+                    dev[2], rdev[0], rdev[1], rdev[2], qp, s >> i,
+                    cfg.bit_depth, epipoles, cfg.wrap_around)
+                    for i, t in enumerate(per_dev)]
+                with profiling.stage("mm_select+pull"):
+                    flat = [a for tup in per_dev for a in tup]
+                    flat += [a for tup in rd_dev for a in tup]
+                    pulled = xfer.pull_i32(*flat)
+                    per_h = [tuple(pulled[6 * i:6 * i + 6])
+                             for i in range(len(per_dev))]
+                    off = 6 * len(per_dev)
+                    rd_h = [tuple(pulled[off + 2 * i:off + 2 * i + 2])
+                            for i in range(len(rd_dev))]
+                    lam = quant.lambda_from_qp(qp, intra=False)
+                    splits, leaf = resolve_tree_qt_mm(
+                        per_h, rd_h, len(active), lam, nd)
+                    midx_u, mv_u, decisions = select_qt_mm(
+                        per_h, splits, leaf, active, lam ** 0.5, s, nd)
+                with profiling.stage("mm_finish") as ps:
+                    levels, recon, has_resid_u, leaf_id_u = \
+                        qt_codec.enc_finish_qt_mm(
+                            self.reproj, active, jnp.asarray(midx_u),
+                            jnp.asarray(mv_u.astype(np.int32)),
+                            [jnp.asarray(l) for l in leaf],
+                            dev[0], dev[1], dev[2],
+                            rdev[0], rdev[1], rdev[2], qp, s, nd,
+                            cfg.bit_depth, epipoles, cfg.wrap_around)
+                    ps.set_sync(recon["y"])
+                arrs = [l for trio in levels for l in trio]
+                lev_h = xfer.pull_levels(*arrs)
+                lev_h = [tuple(lev_h[3 * i:3 * i + 3])
                          for i in range(nd + 1)]
-                payload = encode_p_slice_qt_mm(splits_h, midx_h, mvs_h,
-                                               lev_h, s, nd, len(active))
-                recon = out["recon"]
+                payload = encode_p_slice_qt_mm(splits, decisions, lev_h,
+                                               s, nd, len(active))
                 if cfg.deblocking:
                     bs_v, bs_h = qtree.qt_boundary_strengths(
-                        out["mv_unit"], out["has_resid_unit"],
-                        out["leaf_id_unit"])
+                        jnp.asarray(mv_u.astype(np.int32)), has_resid_u,
+                        leaf_id_u)
                     ry, ru, rv = deblock_mod.deblock_frame(
                         recon["y"], recon["u"], recon["v"], bs_v, bs_h,
                         s >> nd, qp, cfg.bit_depth)

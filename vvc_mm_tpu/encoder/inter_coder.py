@@ -1555,46 +1555,210 @@ def inherited_midx_unit(models_u: np.ndarray, avail: np.ndarray, uy: int,
     return 0
 
 
-def encode_p_slice_qt_mm(splits, midxs, mvs, levels, top: int, depth: int,
-                         n_active: int) -> bytes:
-    """Quadtree P-slice with per-leaf MOTION MODEL syntax (MM x
-    partitioning; reference: the per-model mode loop inside the QTMT
-    recursion, EncCu.cpp:775-798 + CABACWriter motion_model).  Leaf:
-    skip / motion_model / mvd (same-model unit-grid MVP) / cbf+coeffs."""
-    enc = make_encoder()
+def merge_candidates_qt_mm(midx_u: np.ndarray, mv_u: np.ndarray,
+                           avail: np.ndarray, uy: int, ux: int, k: int,
+                           n: int = MERGE_MAX
+                           ) -> list[tuple[int, tuple[int, int]]]:
+    """MM merge candidates (model_idx, mv) on the causal UNIT grid for a
+    quadtree leaf spanning k x k units — shared bit-exactly by
+    select_qt_mm, encode_p_slice_qt_mm's decisions and the decoder
+    (reference: UnitTools.cpp:872-885 model inheritance through merge;
+    spatial A1/B1/B0/B2 per leaf)."""
+    nuy, nux = avail.shape
+    cands = []
+    for (y, x) in ((uy + k - 1, ux - 1), (uy - 1, ux + k - 1),
+                   (uy - 1, ux + k), (uy - 1, ux - 1)):
+        if 0 <= y < nuy and 0 <= x < nux and avail[y, x]:
+            cands.append((int(midx_u[y, x]),
+                          (int(mv_u[y, x, 0]), int(mv_u[y, x, 1]))))
+    out = []
+    for c in cands:
+        if c not in out:
+            out.append(c)
+        if len(out) == n:
+            break
+    if len(out) >= 2 and len(out) < n and out[0][0] == out[1][0]:
+        pw = (out[0][0], ((out[0][1][0] + out[1][1][0] + 1) >> 1,
+                          (out[0][1][1] + out[1][1][1] + 1) >> 1))
+        if pw not in out:
+            out.append(pw)
+    zero = (0, (0, 0))
+    if len(out) < n and zero not in out:
+        out.append(zero)
+    while len(out) < n:
+        out.append(zero)
+    return out
+
+
+def resolve_tree_qt_mm(per, rd, n_active: int, lam: float, depth: int):
+    """Host bottom-up split resolve over the per-size cost lattice
+    (batched analog of EncCu::xCheckModeSplit, EncCu.cpp:1118).
+
+    per: list over sizes [top .. unit] of host tuples
+    (idx, mv, sad, cidx, cmv, csad); rd: per-size (ssd, coeff_bits) from
+    qt_codec.qt_rd_stats.  Cost = SSD + lambda*(coeff bits + motion
+    bits), with motion bits the cheaper of the AMVP estimate and a
+    merge-optimistic estimate (counted only when a measured candidate's
+    SAD does not exceed the selection's — merging to a worse candidate
+    would change the SSD this lattice can't see).
+    Returns (splits, leaf) boolean mask lists."""
+    costs = []
+    for (idx, mv, sad, cidx, cmv, csad), (ssd, cbits) in zip(per, rd):
+        idx = np.asarray(idx)
+        mv = np.asarray(mv, dtype=np.int64)
+        sad = np.asarray(sad, dtype=np.float64)
+        csad = np.asarray(csad, dtype=np.float64)
+        ssd = np.asarray(ssd, dtype=np.float64)
+        cbits = np.asarray(cbits, dtype=np.float64)
+        left = np.concatenate([mv[:, :1], mv[:, :-1]], axis=1)
+        d = np.abs(mv - left).sum(-1).astype(np.float64)
+        mvd_bits = 2.0 * np.log2(d + 1.0) + 2.0
+        model_bins = np.minimum(idx + 1, n_active - 1)
+        amvp_bits = 2.0 + model_bins + mvd_bits
+        ks = np.arange(csad.shape[0], dtype=np.float64)[:, None, None]
+        mrg_bits = np.where(csad <= sad[None],
+                            3.0 + np.minimum(ks, 5.0), np.inf).min(axis=0)
+        costs.append(ssd + lam * (cbits
+                                  + np.minimum(amvp_bits, mrg_bits)))
+    best = costs[depth]
+    splits = [None] * depth
+    for d in range(depth - 1, -1, -1):
+        extra = lam if d + 1 < depth else 0.0
+        b = best + extra
+        agg = (b[0::2, 0::2] + b[0::2, 1::2] + b[1::2, 0::2]
+               + b[1::2, 1::2])
+        splits[d] = agg < costs[d]
+        best = np.where(splits[d], agg, costs[d])
+    leaf = []
+    alive = np.ones(costs[0].shape, dtype=bool)
+    for d in range(depth):
+        sp = splits[d] & alive
+        splits[d] = sp
+        leaf.append(alive & ~sp)
+        alive = np.repeat(np.repeat(sp, 2, 0), 2, 1)
+    leaf.append(alive)
+    return splits, leaf
+
+
+def select_qt_mm(per, splits, leaf, active_models: list[int],
+                 lam_sqrt: float, top: int, depth: int):
+    """Encoder merge decision for the resolved MM quadtree, walking the
+    tree in EMISSION order (z-order inside top-level raster) so candidate
+    lists are exactly the ones the decoder derives from the causal unit
+    grid.  per: host tuples as in resolve_tree_qt_mm.
+
+    Returns (midx_unit, mv_unit, decisions) — decisions is a z-order list
+    of (mflag, merge_idx, midx, mv, mvd) per leaf."""
+    n_active = len(active_models)
     u = top >> depth
-    nty, ntx = splits[0].shape if depth else mvs[0].shape[:2]
-    nuy, nux = mvs[-1].shape[:2]
-    coded = np.zeros((nuy, nux, 2), dtype=np.int64)
-    models_u = np.zeros((nuy, nux), dtype=np.int32)
+    sizes = [top >> d for d in range(depth + 1)]
+    nuy, nux = leaf[-1].shape
+    nty, ntx = leaf[0].shape
+    midx_u = np.zeros((nuy, nux), dtype=np.int32)
+    mv_u = np.zeros((nuy, nux, 2), dtype=np.int64)
     avail = np.zeros((nuy, nux), dtype=bool)
+    host = []
+    for (idx, mv, sad, cidx, cmv, csad) in per:
+        host.append((np.asarray(idx).tolist(),
+                     np.asarray(mv, dtype=np.int64),
+                     np.asarray(sad).tolist(),
+                     np.asarray(cidx).tolist(),
+                     np.asarray(cmv).tolist(),
+                     np.asarray(csad).tolist()))
+    decisions = []
+
+    def do_leaf(d, by, bx):
+        k = sizes[d] // u
+        uy, ux = by * k, bx * k
+        idx_l, mv_a, sad_l, ci_l, cm_l, cs_l = host[d]
+        me_midx = int(idx_l[by][bx])
+        me_mv = (int(mv_a[by, bx, 0]), int(mv_a[by, bx, 1]))
+        me_sad = sad_l[by][bx]
+        cands = merge_candidates_qt_mm(midx_u, mv_u, avail, uy, ux, k)
+        best = None
+        for i, c in enumerate(cands):
+            if c == (me_midx, me_mv):
+                cs = me_sad
+            else:
+                cs = None
+                for f in range(len(ci_l)):
+                    mk = cm_l[f][by][bx]
+                    if (ci_l[f][by][bx] == c[0] and mk[0] == c[1][0]
+                            and mk[1] == c[1][1]):
+                        cs = cs_l[f][by][bx]
+                        break
+                if cs is None:
+                    continue
+            cost = cs + lam_sqrt * (i + 2)
+            if best is None or cost < best[0]:
+                best = (cost, i, c)
+        pred = mvp_unit_grid_mm(mv_u, midx_u, avail, uy, ux, k, me_midx)
+        mvd = (me_mv[0] - int(pred[0]), me_mv[1] - int(pred[1]))
+        model_bins = min(me_midx + 1, n_active - 1)
+        amvp_cost = me_sad + lam_sqrt * (
+            2 + model_bins + _mvd_bits(np.asarray(mvd, np.int64)))
+        if best is not None and best[0] <= amvp_cost:
+            _, mi, (cmidx, cmv_v) = best
+            decisions.append((True, mi, cmidx, cmv_v, None))
+            midx_f, mv_f = cmidx, cmv_v
+        else:
+            decisions.append((False, 0, me_midx, me_mv, mvd))
+            midx_f, mv_f = me_midx, me_mv
+        midx_u[uy:uy + k, ux:ux + k] = midx_f
+        mv_u[uy:uy + k, ux:ux + k] = mv_f
+        avail[uy:uy + k, ux:ux + k] = True
+
+    def do_node(d, by, bx):
+        if d < depth and bool(splits[d][by, bx]):
+            for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                do_node(d + 1, 2 * by + dy, 2 * bx + dx)
+            return
+        do_leaf(d, by, bx)
+
+    for by in range(nty):
+        for bx in range(ntx):
+            do_node(0, by, bx)
+    return midx_u, mv_u, decisions
+
+
+def encode_p_slice_qt_mm(splits, decisions, levels, top: int, depth: int,
+                         n_active: int) -> bytes:
+    """Quadtree P-slice with merge-aware per-leaf MOTION MODEL syntax
+    (MM x partitioning; reference: the per-model mode loop inside the
+    QTMT recursion, EncCu.cpp:775-798, CABACWriter motion_model +
+    merge_flag/merge_idx/cu_skip).  Leaf syntax mirrors the flat MM
+    path: skip(=merge+no-residual) / merge / motion_model+mvd, then
+    cbf+coeffs — so a fully-split tree costs the flat grid plus one
+    split bin per node.  `decisions` comes from select_qt_mm (z-order)."""
+    enc = make_encoder()
+    nty, ntx = (splits[0].shape if depth
+                else levels[0][0].shape[:2])
+    it = iter(decisions)
 
     def code_leaf(d, by, bx):
-        k = (top >> d) // u
-        uy, ux = by * k, bx * k
-        midx = int(midxs[d][by, bx])
-        mv = np.asarray(mvs[d][by, bx], dtype=np.int64)
+        mflag, mi, midx, mv, mvd = next(it)
         levs = tuple(levels[d][c][by, bx] for c in range(3))
-        no_resid = all(not np.any(l != 0) for l in levs)
-        inh = inherited_midx_unit(models_u, avail, uy, ux)
-        inh_mv = mvp_unit_grid_mm(coded, models_u, avail, uy, ux, k, inh)
-        skip = (no_resid and midx == inh and mv[0] == inh_mv[0]
-                and mv[1] == inh_mv[1])
+        cbfs = tuple(bool(np.any(l != 0)) for l in levs)
+        no_resid = not any(cbfs)
+        skip = mflag and no_resid
         enc.encode_bin(int(skip), ctx_id("SkipFlag"))
-        if not skip:
+        if skip:
+            encode_merge_idx(enc, mi)
+            return
+        enc.encode_bin(int(mflag), ctx_id("MergeFlag"))
+        if mflag:
+            encode_merge_idx(enc, mi)
+        else:
             encode_motion_model(enc, midx, n_active)
-            pred = mvp_unit_grid_mm(coded, models_u, avail, uy, ux, k,
-                                    midx)
-            encode_mvd_comp(enc, int(mv[0] - pred[0]))
-            encode_mvd_comp(enc, int(mv[1] - pred[1]))
-            for ci, lev in enumerate(levs):
-                cbf = bool(np.any(lev != 0))
-                enc.encode_bin(int(cbf), ctx_id("QtCbf", (0, 4, 5)[ci]))
-                if cbf:
-                    coeffs_encode(enc, lev, chroma=(ci != 0))
-        coded[uy:uy + k, ux:ux + k] = mv
-        models_u[uy:uy + k, ux:ux + k] = midx
-        avail[uy:uy + k, ux:ux + k] = True
+            if trace_mod.TRACE is not None:
+                trace_mod.TRACE.log("motion_model", by=by, bx=bx,
+                                    model=midx)
+            encode_mvd_comp(enc, int(mvd[0]))
+            encode_mvd_comp(enc, int(mvd[1]))
+        for cbf, lev, cid in zip(cbfs, levs, (0, 4, 5)):
+            enc.encode_bin(int(cbf), ctx_id("QtCbf", cid))
+            if cbf:
+                coeffs_encode(enc, lev, chroma=(cid != 0))
 
     def code_node(d, by, bx):
         if d < depth:
