@@ -91,3 +91,55 @@ def test_rows_per_step_alignment_gate():
     assert mc_kernel.chroma_rows_per_step(16, 64) == 16
     assert mc_kernel.chroma_rows_per_step(8, 64) is None
     assert mc_kernel.chroma_rows_per_step(8, 64, strict=False) is not None
+
+
+def test_sad_multi_kernel_matches_xla(rng):
+    """Multi-candidate fused SAD kernel vs per-candidate XLA predict +
+    reduce — bit-identical for K=4 candidate fields."""
+    ref, pos, m = _setup(rng, h=64, w=128)
+    h, w = 64, 128
+    orig = jnp.asarray(rng.integers(0, 255, (h, w), dtype=np.int32))
+    k = 4
+    deltas = np.array([(0, 0), (64, 0), (0, -64), (-16, 16)], np.int32)
+    posk = jnp.stack([pos + jnp.asarray(d) for d in deltas])
+    got = np.asarray(mc_kernel.sad_luma_positions_multi(
+        ref, orig, posk, m, 8, interpret=True))
+    for i in range(k):
+        pred = np.asarray(mm_mc._mc_luma_positions_xla(ref, posk[i], m, 8))
+        want = np.abs(pred - np.asarray(orig)).reshape(
+            h // 4, 4, w // 4, 4).sum((1, 3))
+        assert np.array_equal(want, got[i]), i
+
+
+def test_sad_bilinear_kernel_matches_xla_mirror(rng):
+    """Pallas bilinear decision-SAD kernel vs its XLA mirror —
+    bit-identical (encoder decisions must not depend on the backend)."""
+    ref, pos, m = _setup(rng, h=64, w=128)
+    h, w = 64, 128
+    orig = jnp.asarray(rng.integers(0, 255, (h, w), dtype=np.int32))
+    posk = jnp.stack([pos, pos + 32, pos - 48])
+    want = np.asarray(mm_mc.sad_bilinear_positions_xla(ref, orig, posk, m))
+    got = np.asarray(mc_kernel.sad_bilinear_positions_multi(
+        ref, orig, posk, m, interpret=True))
+    assert np.array_equal(want, got)
+
+
+def test_sad_block_kernel_matches_xla_mirror(rng):
+    """Block-translational decision-SAD kernel vs its XLA mirror —
+    bit-identical (encoder decisions must not depend on the backend)."""
+    for s in (8, 16, 32):
+        h, w, m = 64, 256, 40
+        ref = jnp.asarray(rng.integers(0, 255, (h + 2*m, w + 2*m),
+                                       dtype=np.int32))
+        nby, nbx = h // s, w // s
+        bands = jnp.asarray(rng.integers(0, 255, (nby*4, nbx*s),
+                                         dtype=np.int32))
+        pos = np.stack([rng.integers(-m*16, (w+m-s-8)*16, (3, nby, nbx)),
+                        rng.integers(-m*16, (h+m-8)*16, (3, nby, nbx))],
+                       -1).astype(np.int32)
+        pos = jnp.asarray(pos)
+        want = np.asarray(mm_mc.sad_block_positions_xla(
+            ref, bands, pos, m, s, 8))
+        got = np.asarray(mc_kernel.sad_block_positions_multi(
+            ref, bands, pos, m, s, 8, interpret=True))
+        assert np.array_equal(want, got), s

@@ -123,11 +123,119 @@ def _geom_key(reproj: MVReprojection):
             reproj.ged_flavor)
 
 
+def _sad_fields_bilin(ref_padded, orig_sub, pos_k, block_size: int,
+                      row_step: int, col_step: int = 1,
+                      exact: bool = False, bit_depth: int = 8
+                      ) -> jnp.ndarray:
+    """Per-BLOCK decision SADs for K candidate position fields through
+    the 2-tap bilinear kernel (non-normative, ranks candidates only —
+    the reference's decision stages use the same bilinear shortcut,
+    InterpolationFilter.h:59-68).  pos_k (K, nsy_sub, nsx_sub, 2) over
+    the row/col-subsampled subblock grid; returns (K, nby, nbx) scaled
+    back to full-SAD range.
+
+    exact=True uses the fused 8-tap SAD kernel instead — for RD-critical
+    field SADs (merge candidates vs selection) where bilinear's blur
+    bias would favor integer-position candidates over fractional ones."""
+    if exact:
+        sads = mm_mc.sad_positions_multi(ref_padded, orig_sub, pos_k,
+                                         MC_MARGIN, bit_depth)
+    else:
+        sads = mm_mc.sad_bilinear_positions(ref_padded, orig_sub, pos_k,
+                                            MC_MARGIN)
+    k, ny, nx = sads.shape
+    rows_pb = block_size // 4 // row_step
+    cols_pb = block_size // 4 // col_step
+    return (sads.reshape(k, ny // rows_pb, rows_pb, nx // cols_pb,
+                         cols_pb).sum(axis=(2, 4))
+            * (row_step * col_step))
+
+
+# Search-eval mode: "block" ranks diamond candidates by the
+# block-translational decision SAD (one patch per block — fast, slightly
+# approximate geometry, good when blocks subtend small angles, i.e. real
+# frame sizes); "subblock" keeps the exact per-subblock reprojection in
+# the diamonds (used below a minimum frame height where a block spans a
+# large latitude range and the translational approximation misranks).
+BLOCK_EVAL_MIN_HEIGHT = 512
+
+
 def _make_eval_multi_uncached(reproj: MVReprojection, model_id: int,
                               block_size: int, bit_depth: int, epipole=None):
+    s = block_size
+    if reproj.height < BLOCK_EVAL_MIN_HEIGHT:
+        return _make_eval_subblock(reproj, model_id, s, bit_depth, epipole)
+
+    @jax.jit
+    def eval_cands(orig, ref_padded, mv_cands):
+        # block-translational decision SAD (see
+        # MVReprojection.reproject_block_centers): each block's first
+        # 4-pixel row band, sampled at the block-center's reprojected
+        # displacement with the exact 8-tap filter — one patch per
+        # (candidate, BLOCK) instead of per 4x4 subblock, which removes
+        # the per-subblock superpatch-load/roll/scalar-stream overhead
+        # that dominates the search kernel
+        h, w = orig.shape
+        bands = orig.reshape(h // s, s, w)[:, 0:4].reshape(-1, w)
+        pos_k = jnp.stack([
+            reproj.reproject_block_centers(model_id, mv_cands[k], s,
+                                           epipole)
+            for k in range(mv_cands.shape[0])])
+        sads = mm_mc.sad_block_positions(ref_padded, bands, pos_k,
+                                         MC_MARGIN, s, bit_depth)
+        return sads * (s // 4)            # scale to full-block SAD range
+
+    return eval_cands
+
+
+def _merged_center_positions(reproj: MVReprojection,
+                             active_models: list[int], s: int,
+                             epipoles: dict | None, idx_f, stack_f
+                             ) -> jnp.ndarray:
+    """Block-translational analog of _merged_positions: per-block center
+    reprojection of each model, selected by idx_f -> (nby, nbx, 2)."""
+    pos_all = jnp.stack([
+        reproj.reproject_block_centers(m, stack_f[i], s,
+                                       (epipoles or {}).get(m))
+        for i, m in enumerate(active_models)])
+    return jnp.take_along_axis(
+        pos_all, idx_f[None, :, :, None].astype(jnp.int32), axis=0)[0]
+
+
+def _block_bands(plane: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Each block row's first 4-pixel band, stacked: (nby*4, W)."""
+    h, w = plane.shape
+    return plane.reshape(h // s, s, w)[:, 0:4].reshape(-1, w)
+
+
+def _sad_fields_block(reproj: MVReprojection, active_models: list[int],
+                      ref_padded, orig_bands, s: int,
+                      epipoles: dict | None, fields, bit_depth: int
+                      ) -> jnp.ndarray:
+    """Block-translational field SADs: ONE fused kernel launch for all
+    (idx_f, stack_f) fields; scaled to full-block SAD range."""
+    pos_k = jnp.stack([
+        _merged_center_positions(reproj, active_models, s, epipoles, i, st)
+        for i, st in fields])
+    return mm_mc.sad_block_positions(ref_padded, orig_bands, pos_k,
+                                     MC_MARGIN, s, bit_depth) * (s // 4)
+
+
+def _band_sad_blocks(bands: jnp.ndarray, orig_bands: jnp.ndarray,
+                     s: int) -> jnp.ndarray:
+    """Per-block SAD from predicted/original band planes (nby*4, nbx*s),
+    scaled to full-block range."""
+    d = jnp.abs(bands - orig_bands)
+    hb, w = d.shape
+    return d.reshape(hb // 4, 4, w // s, s).sum(axis=(1, 3)) * (s // 4)
+
+
+def _make_eval_subblock(reproj: MVReprojection, model_id: int,
+                        block_size: int, bit_depth: int, epipole=None):
+    """Exact per-subblock diamond eval (fused multi-candidate 8-tap SAD
+    kernel on the row/col-subsampled subblock grid)."""
     if model_id in (M.MPA_FRONT_BACK, M.MPA_LEFT_RIGHT, M.MPA_TOP_BOTTOM):
         reproj.mpa_cache(model_id)
-
     row_step = SAD_ROW_STEP if block_size // 4 >= SAD_ROW_STEP else 1
     col_step = SAD_COL_STEP if block_size // 4 >= 2 * SAD_COL_STEP else 1
 
@@ -135,24 +243,22 @@ def _make_eval_multi_uncached(reproj: MVReprojection, model_id: int,
     def eval_cands(orig, ref_padded, mv_cands):
         orig_sub = _subsample_rows(orig, row_step, col_step)
 
-        def one(mvs):
+        def one_pos(mvs):
             if model_id == M.CLASSIC:
                 pos = mm_mc.classic_positions(reproj.offset, reproj.width,
-                                              reproj.height, mvs, block_size,
-                                              row_step)
+                                              reproj.height, mvs,
+                                              block_size, row_step)
             else:
                 pos = reproj.reproject_frame(model_id, mvs, block_size,
                                              epipole, row_step)
             if col_step > 1:
                 pos = pos[:, ::col_step]
-            pred = mm_mc.mc_luma_positions(ref_padded, pos, MC_MARGIN,
-                                           bit_depth)
-            return _block_sad_sub(jnp.abs(orig_sub - pred), block_size,
-                                  row_step, col_step)
-        # static unroll, not vmap: the Pallas MC kernel's SMEM block specs
-        # do not admit a vmapped batch dimension
-        return jnp.stack([one(mv_cands[k])
-                          for k in range(mv_cands.shape[0])])
+            return pos
+        pos_k = jnp.stack([one_pos(mv_cands[k])
+                           for k in range(mv_cands.shape[0])])
+        return _sad_fields_bilin(ref_padded, orig_sub, pos_k, block_size,
+                                 row_step, col_step, exact=True,
+                                 bit_depth=bit_depth)
 
     return eval_cands
 
@@ -209,7 +315,12 @@ def search_models(reproj: MVReprojection, active_models: list[int],
              mvs_per_model dict, sad_per_model dict)."""
     refp = pad_ref(ref_y, MC_MARGIN, wrap_around)
     mvs = {M.CLASSIC: classic_mv}
-    sads = {M.CLASSIC: classic_sad}
+    # re-evaluate the classic candidate through the same bilinear
+    # decision-SAD path the model diamonds use, so the per-block model
+    # argmin compares one interpolation domain (classic_sad comes from
+    # the exact-filter fractional refine)
+    ev_cl = make_eval_multi(reproj, M.CLASSIC, block_size, bit_depth)
+    sads = {M.CLASSIC: ev_cl(orig_y, refp, classic_mv[None])[0]}
     for i, model_id in enumerate(active_models):
         if model_id == M.CLASSIC:
             continue
@@ -501,37 +612,45 @@ def search_p_mm_merge(reproj: MVReprojection, active_models: list[int],
                 sd if seeded else None)
             stack = jnp.stack([mvs[m] for m in active_models])
 
-            row_step = SAD_ROW_STEP if s // 4 >= SAD_ROW_STEP else 1
-            oy_sub = _subsample_rows(oy, row_step)
-
-            def field_sad(idx_f, stack_f):
-                # decision-only SADs ride the same row-subsampling as the
-                # model search (non-normative; scaled back to full range)
-                pos = _merged_positions(reproj, active_models, s, epipoles,
-                                        idx_f, stack_f, row_step)
-                pred = mm_mc.mc_luma_positions(refp, pos, MC_MARGIN,
-                                               bit_depth)
-                return _block_sad_sub(jnp.abs(oy_sub - pred), s, row_step)
-
-            sad_sel = field_sad(idx, stack)
             mv_sel = jnp.take_along_axis(
                 stack, idx[None, :, :, None].astype(jnp.int32), axis=0)[0]
-            cand_idx, cand_mv, cand_sads = [], [], []
+            fields = [(idx, stack)]
+            cand_idx, cand_mv = [], []
             for (dy, dx) in ((0, -1), (-1, 0), (-1, 1)):
                 idx_s = shift2(idx, dy, dx)
                 stack_s = jnp.stack([shift2(stack[i], dy, dx)
                                      for i in range(stack.shape[0])])
                 cand_idx.append(idx_s)
                 cand_mv.append(shift2(mv_sel, dy, dx))
-                cand_sads.append(field_sad(idx_s, stack_s))
+                fields.append((idx_s, stack_s))
             # zero-CLASSIC candidate (active_models[0] is CLASSIC)
             zi = jnp.zeros_like(idx)
             zs = jnp.zeros_like(stack)
             cand_idx.append(zi)
             cand_mv.append(jnp.zeros_like(mv_sel))
-            cand_sads.append(field_sad(zi, zs))
+            fields.append((zi, zs))
+            if reproj.height >= BLOCK_EVAL_MIN_HEIGHT:
+                # block-translational field SADs: one fused launch, no
+                # per-field full-grid reprojections (same decision
+                # domain as the diamond evals)
+                all_sads = _sad_fields_block(
+                    reproj, active_models, refp, _block_bands(oy, s), s,
+                    epipoles, fields, bit_depth)
+            else:
+                row_step = SAD_ROW_STEP if s // 4 >= SAD_ROW_STEP else 1
+                oy_sub = _subsample_rows(oy, row_step)
+                pos_fields = [
+                    _merged_positions(reproj, active_models, s, epipoles,
+                                      i, st, row_step)
+                    for i, st in fields]
+                all_sads = _sad_fields_bilin(refp, oy_sub,
+                                             jnp.stack(pos_fields), s,
+                                             row_step, exact=True,
+                                             bit_depth=bit_depth)
+            sad_sel = all_sads[0]
+            cand_sads = all_sads[1:]
             return (idx, stack, sad_sel, jnp.stack(cand_idx),
-                    jnp.stack(cand_mv), jnp.stack(cand_sads))
+                    jnp.stack(cand_mv), cand_sads)
 
         _FUSED_CACHE[key] = fn
     if seed is None:
@@ -542,23 +661,25 @@ def search_p_mm_merge(reproj: MVReprojection, active_models: list[int],
 
 
 def search_qt_parent_mm(reproj: MVReprojection, active_models: list[int],
-                        orig_y, ref_y, idx_child, mv_child, qp: int,
-                        block_size: int, bit_depth: int,
+                        orig_y, ref_y, idx_child, mv_child, idx_own,
+                        mv_own, qp: int, block_size: int, bit_depth: int,
                         epipoles: dict | None = None,
                         wrap_around: bool = False):
     """Parent-level MM evaluation for the quadtree lattice — ONE jit
-    program, no fresh motion search (reference: the QTMT recursion reuses
-    child information through EncModeCtrl caching, EncCu.cpp:499).
+    program (reference: the QTMT recursion reuses child information
+    through EncModeCtrl caching, EncCu.cpp:499).
 
     Candidates for each parent block are the four child-quadrant
-    selections plus zero-CLASSIC; the best becomes this level's selection
-    and three neighbor shifts of it are evaluated for merge (the same
-    decision-only subsampled SAD protocol as search_p_mm_merge).
+    selections, zero-CLASSIC AND this size's own flat-search selection
+    (idx_own/mv_own from search_p_mm — without it, a noisy child level
+    degrades every ancestor and the tree can lose to the flat grid); the
+    best becomes this level's selection and three neighbor shifts of it
+    are evaluated for merge.
 
     idx_child/mv_child: (2*nby, 2*nbx[, 2]) child-level selected grids.
-    Returns (idx, mv_sel, sad_sel, cand_idx (8,nby,nbx),
-    cand_mv (8,nby,nbx,2), cand_sads (8,nby,nbx)) — candidate fields are
-    [3 neighbor shifts, zero, 4 child quadrants]."""
+    Returns (idx, mv_sel, sad_sel, cand_idx (9,nby,nbx),
+    cand_mv (9,nby,nbx,2), cand_sads (9,nby,nbx)) — candidate fields are
+    [3 neighbor shifts, zero, 4 child quadrants, own-search]."""
     key = ("qtparent", _geom_key(reproj), tuple(active_models), qp,
            block_size, bit_depth, wrap_around, _eps_key(epipoles))
     if key not in _FUSED_CACHE:
@@ -573,28 +694,38 @@ def search_qt_parent_mm(reproj: MVReprojection, active_models: list[int],
             return jax.lax.dynamic_slice(p, start, f.shape)
 
         @jax.jit
-        def fn(oy, ry, idx_c, mv_c):
+        def fn(oy, ry, idx_c, mv_c, idx_o, mv_o):
             refp = pad_ref(ry, MC_MARGIN, wrap_around)
+            use_block = reproj.height >= BLOCK_EVAL_MIN_HEIGHT
             row_step = SAD_ROW_STEP if s // 4 >= SAD_ROW_STEP else 1
             oy_sub = _subsample_rows(oy, row_step)
+            bands = _block_bands(oy, s)
 
-            def field_sad(idx_f, mv_f):
+            def to_stack(idx_f, mv_f):
                 onehot = (idx_f[None]
                           == jnp.arange(n, dtype=jnp.int32)[:, None, None])
-                stack_f = jnp.where(onehot[..., None], mv_f[None],
-                                    jnp.zeros_like(mv_f)[None])
-                pos = _merged_positions(reproj, active_models, s, epipoles,
-                                        idx_f, stack_f, row_step)
-                pred = mm_mc.mc_luma_positions(refp, pos, MC_MARGIN,
-                                               bit_depth)
-                return _block_sad_sub(jnp.abs(oy_sub - pred), s, row_step)
+                return jnp.where(onehot[..., None], mv_f[None],
+                                 jnp.zeros_like(mv_f)[None])
+
+            def field_sads(pairs):
+                fields = [(i, to_stack(i, m)) for i, m in pairs]
+                if use_block:
+                    return _sad_fields_block(reproj, active_models, refp,
+                                             bands, s, epipoles, fields,
+                                             bit_depth)
+                pos = [_merged_positions(reproj, active_models, s,
+                                         epipoles, i, st, row_step)
+                       for i, st in fields]
+                return _sad_fields_bilin(refp, oy_sub, jnp.stack(pos), s,
+                                         row_step, exact=True,
+                                         bit_depth=bit_depth)
 
             quads = [(idx_c[dy::2, dx::2], mv_c[dy::2, dx::2])
                      for dy in (0, 1) for dx in (0, 1)]
             zi = jnp.zeros_like(quads[0][0])
             zm = jnp.zeros_like(quads[0][1])
-            own = quads + [(zi, zm)]
-            own_sads = jnp.stack([field_sad(i, m) for i, m in own])
+            own = quads + [(zi, zm), (idx_o, mv_o)]
+            own_sads = field_sads(own)
             k = jnp.argmin(own_sads, axis=0)
             idx = jnp.take_along_axis(
                 jnp.stack([i for i, _ in own]),
@@ -603,13 +734,15 @@ def search_qt_parent_mm(reproj: MVReprojection, active_models: list[int],
                 jnp.stack([m for _, m in own]),
                 k[None, ..., None].astype(jnp.int32), axis=0)[0]
             sad_sel = jnp.min(own_sads, axis=0)
-            cand_idx, cand_mv, cand_sads = [], [], []
+            cand_idx, cand_mv, shifted = [], [], []
             for (dy, dx) in ((0, -1), (-1, 0), (-1, 1)):
                 i_s = shift2(idx, dy, dx)
                 m_s = shift2(mv_sel, dy, dx)
                 cand_idx.append(i_s)
                 cand_mv.append(m_s)
-                cand_sads.append(field_sad(i_s, m_s))
+                shifted.append((i_s, m_s))
+            shift_sads = field_sads(shifted)
+            cand_sads = [shift_sads[i] for i in range(3)]
             for (i_q, m_q), sd in zip(own, own_sads):
                 cand_idx.append(i_q)
                 cand_mv.append(m_q)
@@ -618,7 +751,8 @@ def search_qt_parent_mm(reproj: MVReprojection, active_models: list[int],
                     jnp.stack(cand_mv), jnp.stack(cand_sads))
 
         _FUSED_CACHE[key] = fn
-    return _FUSED_CACHE[key](orig_y, ref_y, idx_child, mv_child)
+    return _FUSED_CACHE[key](orig_y, ref_y, idx_child, mv_child, idx_own,
+                             mv_own)
 
 
 def search_b_mm(reproj: MVReprojection, active_models: list[int],
@@ -664,16 +798,35 @@ def search_b_mm(reproj: MVReprojection, active_models: list[int],
                 per_list.append((idx, stack, best))
             idx0, stack0, sad0 = per_list[0]
             idx1, stack1, sad1 = per_list[1]
-            # bi decision on row-subsampled MC (decision-only; the
-            # normative prediction runs full-res in the finish program)
+            r0p = pad_ref(r0y, MC_MARGIN, wrap_around)
+            r1p = pad_ref(r1y, MC_MARGIN, wrap_around)
+            if reproj.height >= BLOCK_EVAL_MIN_HEIGHT:
+                # bi decision on block-translational bands (decision-only;
+                # the normative prediction runs full-res per subblock in
+                # the finish program)
+                ob = _block_bands(oy, s)
+                c0 = _merged_center_positions(reproj, active_models, s,
+                                              epipoles0, idx0, stack0)
+                c1 = _merged_center_positions(reproj, active_models, s,
+                                              epipoles1, idx1, stack1)
+                b0 = mm_mc.mc_block_positions(r0p, c0[None], MC_MARGIN, s,
+                                              bit_depth)[0]
+                b1 = mm_mc.mc_block_positions(r1p, c1[None], MC_MARGIN, s,
+                                              bit_depth)[0]
+                sad_bi = _band_sad_blocks((b0 + b1 + 1) >> 1, ob,
+                                          s) + mv_bits
+                u0 = _band_sad_blocks(b0, ob, s)
+                u1 = _band_sad_blocks(b1, ob, s)
+                dirs = jnp.argmin(jnp.stack([u0, u1, sad_bi]), axis=0
+                                  ).astype(jnp.int32)
+                return idx0, idx1, stack0, stack1, dirs
+            # bi decision on row-subsampled MC
             row_step = SAD_ROW_STEP if s // 4 >= SAD_ROW_STEP else 1
             oy_sub = _subsample_rows(oy, row_step)
             pos0 = _merged_positions(reproj, active_models, s, epipoles0,
                                      idx0, stack0, row_step)
             pos1 = _merged_positions(reproj, active_models, s, epipoles1,
                                      idx1, stack1, row_step)
-            r0p = pad_ref(r0y, MC_MARGIN, wrap_around)
-            r1p = pad_ref(r1y, MC_MARGIN, wrap_around)
             p0 = mm_mc.mc_luma_positions(r0p, pos0, MC_MARGIN, bit_depth)
             p1 = mm_mc.mc_luma_positions(r1p, pos1, MC_MARGIN, bit_depth)
             bi = (p0 + p1 + 1) >> 1
@@ -747,6 +900,64 @@ def search_b_mm_merge(reproj: MVReprojection, active_models: list[int],
             idx1, stack1, sad1 = per_list[1]
             r0p = pad_ref(r0y, MC_MARGIN, wrap_around)
             r1p = pad_ref(r1y, MC_MARGIN, wrap_around)
+
+            mv_sel0 = jnp.take_along_axis(
+                stack0, idx0[None, :, :, None].astype(jnp.int32), 0)[0]
+            mv_sel1 = jnp.take_along_axis(
+                stack1, idx1[None, :, :, None].astype(jnp.int32), 0)[0]
+            if reproj.height >= BLOCK_EVAL_MIN_HEIGHT:
+                # block-translational bands: per list ONE multi-candidate
+                # band-MC launch for (selection + 3 neighbor shifts)
+                ob = _block_bands(oy, s)
+
+                def list_bands(eps, idx_f, stack_f):
+                    fields = [(idx_f, stack_f)]
+                    for (dy, dx) in ((0, -1), (-1, 0), (-1, 1)):
+                        fields.append(
+                            (shift2(idx_f, dy, dx),
+                             jnp.stack([shift2(stack_f[i], dy, dx)
+                                        for i in range(stack_f.shape[0])
+                                        ])))
+                    pos = jnp.stack([
+                        _merged_center_positions(reproj, active_models,
+                                                 s, eps, i, st)
+                        for i, st in fields])
+                    return pos
+
+                b0 = mm_mc.mc_block_positions(
+                    r0p, list_bands(epipoles0, idx0, stack0), MC_MARGIN,
+                    s, bit_depth)
+                b1 = mm_mc.mc_block_positions(
+                    r1p, list_bands(epipoles1, idx1, stack1), MC_MARGIN,
+                    s, bit_depth)
+                sad_bi = _band_sad_blocks((b0[0] + b1[0] + 1) >> 1, ob,
+                                          s) + mv_bits
+                dirs = jnp.argmin(jnp.stack(
+                    [_band_sad_blocks(b0[0], ob, s),
+                     _band_sad_blocks(b1[0], ob, s), sad_bi]),
+                    axis=0).astype(jnp.int32)
+
+                def sel_band(p0x, p1x, d):
+                    dd = jnp.repeat(jnp.repeat(d, 4, 0), s, 1)
+                    avg = (p0x + p1x + 1) >> 1
+                    return jnp.where(dd == 0, p0x,
+                                     jnp.where(dd == 1, p1x, avg))
+
+                sad_sel = _band_sad_blocks(
+                    sel_band(b0[0], b1[0], dirs), ob, s)
+                ci0, ci1, cm0, cm1, cd, cs = [], [], [], [], [], []
+                for j, (dy, dx) in enumerate(((0, -1), (-1, 0), (-1, 1))):
+                    ds = shift2(dirs, dy, dx)
+                    cs.append(_band_sad_blocks(
+                        sel_band(b0[j + 1], b1[j + 1], ds), ob, s))
+                    ci0.append(shift2(idx0, dy, dx))
+                    ci1.append(shift2(idx1, dy, dx))
+                    cm0.append(shift2(mv_sel0, dy, dx))
+                    cm1.append(shift2(mv_sel1, dy, dx))
+                    cd.append(ds)
+                return (idx0, idx1, stack0, stack1, dirs, sad_sel,
+                        jnp.stack(ci0), jnp.stack(ci1), jnp.stack(cm0),
+                        jnp.stack(cm1), jnp.stack(cd), jnp.stack(cs))
 
             row_step = SAD_ROW_STEP if s // 4 >= SAD_ROW_STEP else 1
             oy_sub = _subsample_rows(oy, row_step)
@@ -823,6 +1034,65 @@ def _rec_plane(pred, lev, size, qp, bit_depth, nby, nbx):
     return _from_blocks(rec, nby, nbx)
 
 
+def enc_finish_p_mm_fused(reproj, active_models, model_idx, mvs_stack,
+                          orig, ref, qp: int, block_size: int,
+                          bit_depth: int, epipoles=None,
+                          wrap_around: bool = False,
+                          deblocking: bool = True):
+    """enc_finish_p_mm with the merged-positions computation fused into
+    the same program (one device dispatch instead of two — the tunnel
+    round-trip per dispatch is a measurable frame cost)."""
+    key = ("pfinfuse", _geom_key(reproj), tuple(active_models), qp,
+           block_size, bit_depth, wrap_around, deblocking,
+           _eps_key(epipoles), orig[0].shape)
+    if key not in _FUSED_CACHE:
+        _warm_models(reproj, active_models)
+
+        @jax.jit
+        def fn(model_idx, mvs_stack, oy, ou, ov, ry, ru, rv):
+            positions = _merged_positions(reproj, active_models,
+                                          block_size, epipoles,
+                                          model_idx, mvs_stack)
+            return _p_finish_body(model_idx, mvs_stack, positions, oy,
+                                  ou, ov, ry, ru, rv, qp, block_size,
+                                  bit_depth, wrap_around, deblocking)
+
+        _FUSED_CACHE[key] = fn
+    ly, lu, lv, ry2, ru2, rv2 = _FUSED_CACHE[key](
+        model_idx, mvs_stack, orig[0], orig[1], orig[2], ref[0], ref[1],
+        ref[2])
+    return ly, lu, lv, dict(y=ry2, u=ru2, v=rv2)
+
+
+def _p_finish_body(model_idx, mvs_stack, positions, oy, ou, ov, ry, ru,
+                   rv, qp, block_size, bit_depth, wrap_around,
+                   deblocking):
+    from .. import deblock as deblock_mod
+    s = block_size
+    h, w = oy.shape
+    nby, nbx = h // s, w // s
+    pred_y, pred_u, pred_v = predict_from_positions(
+        positions, ry, ru, rv, bit_depth, wrap_around)
+    lev_y, _ = _residual_pass(oy, pred_y, s, qp, bit_depth)
+    lev_u, _ = _residual_pass(ou, pred_u, s // 2, qp, bit_depth)
+    lev_v, _ = _residual_pass(ov, pred_v, s // 2, qp, bit_depth)
+    rec_y = _rec_plane(pred_y, lev_y, s, qp, bit_depth, nby, nbx)
+    rec_u = _rec_plane(pred_u, lev_u, s // 2, qp, bit_depth, nby, nbx)
+    rec_v = _rec_plane(pred_v, lev_v, s // 2, qp, bit_depth, nby, nbx)
+    if deblocking:
+        sel = jnp.take_along_axis(
+            mvs_stack, model_idx[None, :, :, None].astype(jnp.int32),
+            axis=0)[0]
+        has_resid = (jnp.any(lev_y != 0, axis=(2, 3))
+                     | jnp.any(lev_u != 0, axis=(2, 3))
+                     | jnp.any(lev_v != 0, axis=(2, 3)))
+        bs_v, bs_h = deblock_mod.boundary_strengths_inter(
+            sel.astype(jnp.int32), has_resid)
+        rec_y, rec_u, rec_v = deblock_mod.deblock_frame(
+            rec_y, rec_u, rec_v, bs_v, bs_h, s, qp, bit_depth)
+    return lev_y, lev_u, lev_v, rec_y, rec_u, rec_v
+
+
 def enc_finish_p_mm(model_idx, mvs_stack, positions, orig_y, orig_u, orig_v,
                     ref_y, ref_u, ref_v, qp: int, block_size: int,
                     bit_depth: int, wrap_around: bool = False,
@@ -871,6 +1141,79 @@ def enc_finish_p_mm(model_idx, mvs_stack, positions, orig_y, orig_u, orig_v,
         model_idx, mvs_stack, positions, orig_y, orig_u, orig_v,
         ref_y, ref_u, ref_v)
     return ly, lu, lv, dict(y=ry2, u=ru2, v=rv2)
+
+
+def enc_finish_b_mm_fused(reproj, active_models, idx0, idx1, stack0,
+                          stack1, rstack0, rstack1, dirs, orig, ref0,
+                          ref1, qp: int, block_size: int, bit_depth: int,
+                          epipoles0=None, epipoles1=None,
+                          wrap_around: bool = False,
+                          deblocking: bool = True):
+    """enc_finish_b_mm with both per-list merged-positions computations
+    fused into the same program (one device dispatch instead of three).
+    rstack0/rstack1 are the (possibly DMVR-refined) stacks that drive
+    the PREDICTION; stack0/stack1 stay the signaled ones (deblock MV
+    field)."""
+    key = ("bfinfuse", _geom_key(reproj), tuple(active_models), qp,
+           block_size, bit_depth, wrap_around, deblocking,
+           _eps_key(epipoles0), _eps_key(epipoles1), orig[0].shape)
+    if key not in _FUSED_CACHE:
+        _warm_models(reproj, active_models)
+
+        @jax.jit
+        def fn(idx0, idx1, stack0, stack1, rstack0, rstack1, dirs,
+               oy, ou, ov, r0y, r0u, r0v, r1y, r1u, r1v):
+            pos0 = _merged_positions(reproj, active_models, block_size,
+                                     epipoles0, idx0, rstack0)
+            pos1 = _merged_positions(reproj, active_models, block_size,
+                                     epipoles1, idx1, rstack1)
+            return _b_finish_body(idx0, idx1, stack0, stack1, dirs, pos0,
+                                  pos1, oy, ou, ov, r0y, r0u, r0v, r1y,
+                                  r1u, r1v, qp, block_size, bit_depth,
+                                  wrap_around, deblocking)
+
+        _FUSED_CACHE[key] = fn
+    ly, lu, lv, ry2, ru2, rv2 = _FUSED_CACHE[key](
+        idx0, idx1, stack0, stack1, rstack0, rstack1, dirs, orig[0],
+        orig[1], orig[2], ref0[0], ref0[1], ref0[2], ref1[0], ref1[1],
+        ref1[2])
+    return ly, lu, lv, dict(y=ry2, u=ru2, v=rv2)
+
+
+def _b_finish_body(idx0, idx1, stack0, stack1, dirs, pos0, pos1, oy, ou,
+                   ov, r0y, r0u, r0v, r1y, r1u, r1v, qp, block_size,
+                   bit_depth, wrap_around, deblocking):
+    from .. import deblock as deblock_mod
+    s = block_size
+    h, w = oy.shape
+    nby, nbx = h // s, w // s
+    p0 = predict_from_positions(pos0, r0y, r0u, r0v, bit_depth,
+                                wrap_around)
+    p1 = predict_from_positions(pos1, r1y, r1u, r1v, bit_depth,
+                                wrap_around)
+    py = _bi_combine_px(p0[0], p1[0], dirs, s, 1, bit_depth)
+    pu = _bi_combine_px(p0[1], p1[1], dirs, s, 2, bit_depth)
+    pv = _bi_combine_px(p0[2], p1[2], dirs, s, 2, bit_depth)
+    lev_y, _ = _residual_pass(oy, py, s, qp, bit_depth)
+    lev_u, _ = _residual_pass(ou, pu, s // 2, qp, bit_depth)
+    lev_v, _ = _residual_pass(ov, pv, s // 2, qp, bit_depth)
+    rec_y = _rec_plane(py, lev_y, s, qp, bit_depth, nby, nbx)
+    rec_u = _rec_plane(pu, lev_u, s // 2, qp, bit_depth, nby, nbx)
+    rec_v = _rec_plane(pv, lev_v, s // 2, qp, bit_depth, nby, nbx)
+    if deblocking:
+        sel0 = jnp.take_along_axis(
+            stack0, idx0[None, :, :, None].astype(jnp.int32), axis=0)[0]
+        sel1 = jnp.take_along_axis(
+            stack1, idx1[None, :, :, None].astype(jnp.int32), axis=0)[0]
+        sel = jnp.where(dirs[..., None] == 1, sel1, sel0)
+        has_resid = (jnp.any(lev_y != 0, axis=(2, 3))
+                     | jnp.any(lev_u != 0, axis=(2, 3))
+                     | jnp.any(lev_v != 0, axis=(2, 3)))
+        bs_v, bs_h = deblock_mod.boundary_strengths_inter(
+            sel.astype(jnp.int32), has_resid)
+        rec_y, rec_u, rec_v = deblock_mod.deblock_frame(
+            rec_y, rec_u, rec_v, bs_v, bs_h, s, qp, bit_depth)
+    return lev_y, lev_u, lev_v, rec_y, rec_u, rec_v
 
 
 def enc_finish_b_mm(idx0, idx1, stack0, stack1, dirs, pos0, pos1,

@@ -88,6 +88,155 @@ def _mc_luma_positions_xla(ref_padded: jnp.ndarray, positions: jnp.ndarray,
     return _assemble(pix.transpose(2, 0, 1), nsy, nsx, 4)
 
 
+@functools.partial(jax.jit, static_argnames=("margin",))
+def sad_bilinear_positions_xla(ref_padded: jnp.ndarray, orig: jnp.ndarray,
+                               positions: jnp.ndarray, margin: int
+                               ) -> jnp.ndarray:
+    """XLA mirror of ops.mc_kernel.sad_bilinear_positions_multi: per-4x4
+    subblock decision SADs with 2-tap bilinear interpolation for K
+    candidate fields (NON-NORMATIVE — ranks search candidates only; the
+    reference's decision stages use the same 2-tap shortcut,
+    InterpolationFilter.h:59-68 bilinear DMVR stage).  positions
+    (K, nsy, nsx, 2), orig (nsy*4, nsx*4) -> (K, nsy, nsx) int32."""
+    k, nsy, nsx, _ = positions.shape
+    pos = positions.reshape(-1, 2)
+    xi = (pos[:, 0] >> 4) + margin
+    yi = (pos[:, 1] >> 4) + margin
+    xi = jnp.clip(xi, 0, ref_padded.shape[1] - 5)
+    yi = jnp.clip(yi, 0, ref_padded.shape[0] - 5)
+    patch = interp.gather_patches_t(ref_padded, yi, xi, 5, 5)  # (5,5,B)
+    fx = (pos[:, 0] & 15).astype(jnp.int32)[None, None, :]
+    fy = (pos[:, 1] & 15).astype(jnp.int32)[None, None, :]
+    h = (patch[:, 0:4, :] * (16 - fx) + patch[:, 1:5, :] * fx + 8) >> 4
+    pix = (h[0:4] * (16 - fy) + h[1:5] * fy + 8) >> 4          # (4,4,B)
+    ob = orig.reshape(nsy, 4, nsx, 4).transpose(1, 3, 0, 2)
+    ob = jnp.tile(ob.reshape(4, 4, nsy * nsx), (1, 1, k))
+    return jnp.abs(pix - ob).sum(axis=(0, 1)).reshape(k, nsy, nsx)
+
+
+def sad_bilinear_positions(ref_padded: jnp.ndarray, orig: jnp.ndarray,
+                           positions: jnp.ndarray, margin: int
+                           ) -> jnp.ndarray:
+    """Multi-candidate bilinear decision SAD — Pallas kernel on TPU, XLA
+    mirror elsewhere (bit-identical, tests/test_mc_kernel.py)."""
+    if _use_pallas():
+        from ...ops import mc_kernel
+        if mc_kernel.sad_rows_per_step(positions.shape[1],
+                                       positions.shape[2],
+                                       positions.shape[0]) is not None:
+            return mc_kernel.sad_bilinear_positions_multi(
+                ref_padded, orig, positions, margin)
+    return sad_bilinear_positions_xla(ref_padded, orig, positions, margin)
+
+
+@functools.partial(jax.jit, static_argnames=("margin", "s", "bit_depth"))
+def sad_block_positions_xla(ref_padded: jnp.ndarray,
+                            orig_bands: jnp.ndarray,
+                            positions: jnp.ndarray, margin: int, s: int,
+                            bit_depth: int = 8) -> jnp.ndarray:
+    """XLA mirror of ops.mc_kernel.sad_block_positions_multi: per-BLOCK
+    decision SADs of each block's first 4-pixel row band sampled at the
+    block-translational position (exact 8-tap interpolation).
+    positions (K, nby, nbx, 2); orig_bands (nby*4, nbx*s)."""
+    k, nby, nbx, _ = positions.shape
+    pos = positions.reshape(-1, 2)
+    xi = (pos[:, 0] >> 4) + margin - (NTAPS_LUMA // 2 - 1)
+    yi = (pos[:, 1] >> 4) + margin - (NTAPS_LUMA // 2 - 1)
+    xi = jnp.clip(xi, 0, ref_padded.shape[1] - (s + NTAPS_LUMA - 1))
+    yi = jnp.clip(yi, 0, ref_padded.shape[0] - (4 + NTAPS_LUMA - 1))
+    patch = interp.gather_patches_t(ref_padded, yi, xi,
+                                    4 + NTAPS_LUMA - 1,
+                                    s + NTAPS_LUMA - 1)   # (11, s+7, B)
+    val = interp.interp_luma_t(patch, pos[:, 0] & 15, pos[:, 1] & 15, 4,
+                               s, bit_depth)
+    pix = interp.finalize_uni(val, bit_depth)             # (4, s, B)
+    ob = orig_bands.reshape(nby, 4, nbx, s).transpose(1, 3, 0, 2)
+    ob = jnp.tile(ob.reshape(4, s, nby * nbx), (1, 1, k))
+    return jnp.abs(pix - ob).sum(axis=(0, 1)).reshape(k, nby, nbx)
+
+
+def sad_block_positions(ref_padded: jnp.ndarray, orig_bands: jnp.ndarray,
+                        positions: jnp.ndarray, margin: int, s: int,
+                        bit_depth: int = 8) -> jnp.ndarray:
+    """Multi-candidate block-translational decision SAD — Pallas kernel
+    on TPU, XLA mirror elsewhere (bit-identical)."""
+    if _use_pallas():
+        from ...ops import mc_kernel
+        if mc_kernel.block_rows_per_step(positions.shape[1],
+                                         positions.shape[2],
+                                         positions.shape[0],
+                                         s) is not None:
+            return mc_kernel.sad_block_positions_multi(
+                ref_padded, orig_bands, positions, margin, s, bit_depth)
+    return sad_block_positions_xla(ref_padded, orig_bands, positions,
+                                   margin, s, bit_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("margin", "s", "bit_depth"))
+def mc_block_positions_xla(ref_padded: jnp.ndarray,
+                           positions: jnp.ndarray, margin: int, s: int,
+                           bit_depth: int = 8) -> jnp.ndarray:
+    """XLA mirror of ops.mc_kernel.mc_block_positions_multi: each block's
+    predicted first 4-pixel row band at the block-translational position.
+    positions (K, nby, nbx, 2) -> (K, nby*4, nbx*s) int32."""
+    k, nby, nbx, _ = positions.shape
+    pos = positions.reshape(-1, 2)
+    xi = (pos[:, 0] >> 4) + margin - (NTAPS_LUMA // 2 - 1)
+    yi = (pos[:, 1] >> 4) + margin - (NTAPS_LUMA // 2 - 1)
+    xi = jnp.clip(xi, 0, ref_padded.shape[1] - (s + NTAPS_LUMA - 1))
+    yi = jnp.clip(yi, 0, ref_padded.shape[0] - (4 + NTAPS_LUMA - 1))
+    patch = interp.gather_patches_t(ref_padded, yi, xi,
+                                    4 + NTAPS_LUMA - 1,
+                                    s + NTAPS_LUMA - 1)
+    val = interp.interp_luma_t(patch, pos[:, 0] & 15, pos[:, 1] & 15, 4,
+                               s, bit_depth)
+    pix = interp.finalize_uni(val, bit_depth)          # (4, s, B)
+    pix = pix.transpose(2, 0, 1).reshape(k, nby, nbx, 4, s)
+    return pix.transpose(0, 1, 3, 2, 4).reshape(k, nby * 4, nbx * s)
+
+
+def mc_block_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
+                       margin: int, s: int, bit_depth: int = 8
+                       ) -> jnp.ndarray:
+    """Multi-candidate block-translational band MC — Pallas kernel on
+    TPU, XLA mirror elsewhere (bit-identical)."""
+    if _use_pallas():
+        from ...ops import mc_kernel
+        if mc_kernel.block_rows_per_step(positions.shape[1],
+                                         positions.shape[2],
+                                         positions.shape[0],
+                                         s) is not None:
+            return mc_kernel.mc_block_positions_multi(
+                ref_padded, positions, margin, s, bit_depth)
+    return mc_block_positions_xla(ref_padded, positions, margin, s,
+                                  bit_depth)
+
+
+def sad_positions_multi(ref_padded: jnp.ndarray, orig: jnp.ndarray,
+                        positions: jnp.ndarray, margin: int,
+                        bit_depth: int = 8) -> jnp.ndarray:
+    """Multi-candidate EXACT (8-tap) per-subblock SAD — the fused Pallas
+    kernel on TPU, per-candidate XLA predict+reduce elsewhere.  Used for
+    RD-critical field SADs (merge candidates, selection) where the
+    bilinear shortcut's blur bias would misrank integer-position
+    candidates against fractional ones."""
+    if _use_pallas():
+        from ...ops import mc_kernel
+        if mc_kernel.sad_rows_per_step(positions.shape[1],
+                                       positions.shape[2],
+                                       positions.shape[0]) is not None:
+            return mc_kernel.sad_luma_positions_multi(
+                ref_padded, orig, positions, margin, bit_depth)
+    outs = []
+    for i in range(positions.shape[0]):
+        pred = _mc_luma_positions_xla(ref_padded, positions[i], margin,
+                                      bit_depth)
+        d = jnp.abs(orig - pred)
+        h, w = d.shape
+        outs.append(d.reshape(h // 4, 4, w // 4, 4).sum(axis=(1, 3)))
+    return jnp.stack(outs)
+
+
 def mc_chroma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
                         margin: int, bit_depth: int = 8) -> jnp.ndarray:
     """Position-based chroma MC — Pallas kernel on TPU, XLA elsewhere."""

@@ -111,9 +111,17 @@ def search_qt_mm(reproj: MVReprojection, active_models: list[int],
     per = {u: (idx, mv_sel, sad, cidx, cmv, csad)}
     idx_c, mv_c = idx, mv_sel
     for s in reversed(sizes[:-1]):
+        # this size's own flat search — without it a noisy child level
+        # would degrade every ancestor and the tree could lose to the
+        # fixed grid
+        oidx, ostack = fc.search_p_mm(reproj, active_models, orig_y,
+                                      ref_y, qp, s, bit_depth,
+                                      search_range, epipoles, wrap_around)
+        omv = jnp.take_along_axis(
+            ostack, oidx[None, :, :, None].astype(jnp.int32), axis=0)[0]
         out = fc.search_qt_parent_mm(reproj, active_models, orig_y, ref_y,
-                                     idx_c, mv_c, qp, s, bit_depth,
-                                     epipoles, wrap_around)
+                                     idx_c, mv_c, oidx, omv, qp, s,
+                                     bit_depth, epipoles, wrap_around)
         per[s] = out
         idx_c, mv_c = out[0], out[1]
     return [per[s] for s in sizes], stack

@@ -220,6 +220,39 @@ class MVReprojection:
         out_y = jnp.where(bad | zero, 0, jnp.round(my * 16.0))
         return jnp.stack([out_x, out_y], -1).astype(jnp.int32)
 
+    def reproject_block_centers(self, model_id: int, mvs: jnp.ndarray,
+                                block_size: int, epipole=None
+                                ) -> jnp.ndarray:
+        """Block-translational search approximation: model the motion of
+        each BLOCK CENTER only and return the 1/16-pel position of the
+        block's top-left sample under that uniform displacement.
+
+        Decision-only (ranks search candidates; the reference's ME also
+        ranks on simplified costs, RdCost subShift) — normative paths use
+        the full per-subblock reprojection (reproject_frame).  Within a
+        block the model-induced deformation is nearly constant across
+        neighboring candidates of a refinement step, so the ranking error
+        largely cancels.
+
+        mvs (nby, nbx, 2) int 1/16-pel -> (nby, nbx, 2) int32 positions."""
+        nby, nbx = mvs.shape[:2]
+        s = block_size
+        cx = (jnp.arange(nbx, dtype=jnp.float32) * s + (s - 1) / 2.0)
+        cy = (jnp.arange(nby, dtype=jnp.float32) * s + (s - 1) / 2.0)
+        cx = jnp.broadcast_to(cx[None, :], (nby, nbx))
+        cy = jnp.broadcast_to(cy[:, None], (nby, nbx))
+        mvf = mvs.astype(jnp.float32) / 16.0
+        ox, oy = self._model_motion_pointwise(model_id, cx, cy,
+                                              mvf[..., 0], mvf[..., 1],
+                                              cx, cy, epipole)
+        bad = jnp.isnan(ox) | jnp.isnan(oy)
+        ox = jnp.where(bad, cx, ox)
+        oy = jnp.where(bad, cy, oy)
+        half = (s - 1) / 2.0
+        fx = jnp.round((ox - half) * 16.0).astype(jnp.int32)
+        fy = jnp.round((oy - half) * 16.0).astype(jnp.int32)
+        return jnp.stack([fx, fy], axis=-1)
+
     def _model_motion_pointwise(self, model_id, px, py, mvx, mvy, cx, cy,
                                 epipole):
         p = self.proj

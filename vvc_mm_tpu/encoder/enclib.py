@@ -587,15 +587,12 @@ class EncLib:
                     cfg.bit_depth, cfg.search_range, epipoles,
                     cfg.wrap_around, seed=self._mm_seed)
                 self._mm_seed = mvs_stack
-            with profiling.stage("mm_positions") as ps:
-                positions = mm_codec.merged_positions(
-                    self.reproj, active, model_idx, mvs_stack, s, epipoles)
-                ps.set_sync(positions)
             with profiling.stage("mm_finish") as ps:
-                ly, lu, lv, recon = mm_codec.enc_finish_p_mm(
-                    model_idx, mvs_stack, positions, dev[0], dev[1], dev[2],
-                    rdev[0], rdev[1], rdev[2], qp, s, cfg.bit_depth,
-                    cfg.wrap_around, cfg.deblocking)
+                # positions fused into the finish program (one dispatch)
+                ly, lu, lv, recon = mm_codec.enc_finish_p_mm_fused(
+                    self.reproj, active, model_idx, mvs_stack, dev, rdev,
+                    qp, s, cfg.bit_depth, epipoles, cfg.wrap_around,
+                    cfg.deblocking)
                 ps.set_sync(recon["y"])
 
             def make_payload():
@@ -1051,13 +1048,13 @@ class EncLib:
                     cfg.wrap_around)
             else:
                 rstack0, rstack1 = stack0, stack1
-            pos0 = mm_codec.merged_positions(
-                self.reproj, active, midx0, rstack0, s, eps0)
-            pos1 = mm_codec.merged_positions(
-                self.reproj, active, midx1, rstack1, s, eps1)
-            ly, lu, lv, recon = mm_codec.enc_finish_b_mm(
-                midx0, midx1, stack0, stack1, dirs, pos0, pos1,
-                oy, ou, ov, tuple(r0), tuple(r1), qp, s, cfg.bit_depth,
+            # positions fused into the finish program (one dispatch
+            # instead of three — the tunnel round-trip per dispatch is a
+            # measurable per-frame cost)
+            ly, lu, lv, recon = mm_codec.enc_finish_b_mm_fused(
+                self.reproj, active, midx0, midx1, stack0, stack1,
+                rstack0, rstack1, dirs, (oy, ou, ov), tuple(r0),
+                tuple(r1), qp, s, cfg.bit_depth, eps0, eps1,
                 cfg.wrap_around, cfg.deblocking)
             ep0_mvp = (eps0 or {}).get(MotionModelID.GEODESIC_CAMPOSE)
             ep1_mvp = (eps1 or {}).get(MotionModelID.GEODESIC_CAMPOSE)

@@ -1590,6 +1590,9 @@ def merge_candidates_qt_mm(midx_u: np.ndarray, mv_u: np.ndarray,
     return out
 
 
+QT_SPLIT_BIAS_BINS = 6.0
+
+
 def resolve_tree_qt_mm(per, rd, n_active: int, lam: float, depth: int):
     """Host bottom-up split resolve over the per-size cost lattice
     (batched analog of EncCu::xCheckModeSplit, EncCu.cpp:1118).
@@ -1625,8 +1628,13 @@ def resolve_tree_qt_mm(per, rd, n_active: int, lam: float, depth: int):
     for d in range(depth - 1, -1, -1):
         extra = lam if d + 1 < depth else 0.0
         b = best + extra
+        # QT_SPLIT_BIAS: estimated per-leaf syntax the child cost model
+        # cannot see (cbf trees, context dilution, merge candidates the
+        # emission walk fails to realize) — biases the resolve toward the
+        # parent so marginal splits don't land (the reference's
+        # EncModeCtrl plays the same conservative role)
         agg = (b[0::2, 0::2] + b[0::2, 1::2] + b[1::2, 0::2]
-               + b[1::2, 1::2])
+               + b[1::2, 1::2]) + lam * QT_SPLIT_BIAS_BINS
         splits[d] = agg < costs[d]
         best = np.where(splits[d], agg, costs[d])
     leaf = []
