@@ -106,3 +106,35 @@ def test_row_sharded_mm_p_bitexact():
         emidx, estack, pos, oy, ou, ov, ry, ru, rv, 32, 16, 8, True, True)
     assert np.array_equal(np.asarray(recon["y"]), np.asarray(erecon["y"]))
     assert np.array_equal(np.asarray(midx), np.asarray(emidx))
+
+
+def test_sharded_ref_halo_bit_exact():
+    """Row-sharded reference with halo exchange (ppermute) must be
+    BIT-EXACT with the unsharded encode — the 6K/multi-host memory
+    scaling pattern (SURVEY.md §2.9 halo exchange)."""
+    import jax.numpy as jnp
+
+    from vvc_mm_tpu.common import inter_frame
+    from vvc_mm_tpu.parallel.sharding import (encode_p_frame_sharded_ref,
+                                              make_mesh)
+    from vvc_mm_tpu.utils.yuv_io import VideoFormat, synthetic_sequence
+    from vvc_mm_tpu.common.typedefs import ChromaFormat
+
+    mesh = make_mesh(8)
+    fmt = VideoFormat(64, 32 * 8, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 2, motion=(3.0, 2.0))
+    orig = [np.asarray(p) for p in frames[1]]
+    ref = [np.asarray(p) for p in frames[0]]
+    mvs, ly, lu, lv, rec = encode_p_frame_sharded_ref(
+        orig, ref, qp=32, mesh=mesh, search_range=8, wrap_around=True)
+    o = [jnp.asarray(p) for p in orig]
+    r = [jnp.asarray(p) for p in ref]
+    m2, y2, u2, v2, rec2 = inter_frame.encode_p_frame(
+        *o, *r, 32, 16, 8, 8, True)
+    np.testing.assert_array_equal(np.asarray(mvs), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(ly), np.asarray(y2))
+    np.testing.assert_array_equal(np.asarray(lu), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(lv), np.asarray(v2))
+    for c in ("y", "u", "v"):
+        np.testing.assert_array_equal(np.asarray(rec[c]),
+                                      np.asarray(rec2[c]))

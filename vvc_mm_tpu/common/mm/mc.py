@@ -47,11 +47,22 @@ def _use_pallas() -> bool:
         return False
 
 
+# The kernels keep the whole padded reference plane resident in VMEM
+# (~16 MB/core on v5e); larger planes (e.g. 6144x3072) must take the XLA
+# path until a VMEM-tiled double-buffered variant exists.
+_VMEM_PLANE_BUDGET = 12 * 2 ** 20
+
+
+def _plane_fits_vmem(ref_padded) -> bool:
+    return 4 * ref_padded.shape[0] * ref_padded.shape[1] \
+        <= _VMEM_PLANE_BUDGET
+
+
 def mc_luma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
                       margin: int, bit_depth: int = 8) -> jnp.ndarray:
     """Position-based luma MC — Pallas kernel on TPU, XLA gather elsewhere
     (bit-identical, tests/test_mc_kernel.py)."""
-    if _use_pallas():
+    if _use_pallas() and _plane_fits_vmem(ref_padded):
         from ...ops import mc_kernel
         if mc_kernel.luma_rows_per_step(positions.shape[0],
                                         positions.shape[1]) is not None:
@@ -119,7 +130,7 @@ def sad_bilinear_positions(ref_padded: jnp.ndarray, orig: jnp.ndarray,
                            ) -> jnp.ndarray:
     """Multi-candidate bilinear decision SAD — Pallas kernel on TPU, XLA
     mirror elsewhere (bit-identical, tests/test_mc_kernel.py)."""
-    if _use_pallas():
+    if _use_pallas() and _plane_fits_vmem(ref_padded):
         from ...ops import mc_kernel
         if mc_kernel.sad_rows_per_step(positions.shape[1],
                                        positions.shape[2],
@@ -160,7 +171,7 @@ def sad_block_positions(ref_padded: jnp.ndarray, orig_bands: jnp.ndarray,
                         bit_depth: int = 8) -> jnp.ndarray:
     """Multi-candidate block-translational decision SAD — Pallas kernel
     on TPU, XLA mirror elsewhere (bit-identical)."""
-    if _use_pallas():
+    if _use_pallas() and _plane_fits_vmem(ref_padded):
         from ...ops import mc_kernel
         if mc_kernel.block_rows_per_step(positions.shape[1],
                                          positions.shape[2],
@@ -200,7 +211,7 @@ def mc_block_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
                        ) -> jnp.ndarray:
     """Multi-candidate block-translational band MC — Pallas kernel on
     TPU, XLA mirror elsewhere (bit-identical)."""
-    if _use_pallas():
+    if _use_pallas() and _plane_fits_vmem(ref_padded):
         from ...ops import mc_kernel
         if mc_kernel.block_rows_per_step(positions.shape[1],
                                          positions.shape[2],
@@ -220,7 +231,7 @@ def sad_positions_multi(ref_padded: jnp.ndarray, orig: jnp.ndarray,
     RD-critical field SADs (merge candidates, selection) where the
     bilinear shortcut's blur bias would misrank integer-position
     candidates against fractional ones."""
-    if _use_pallas():
+    if _use_pallas() and _plane_fits_vmem(ref_padded):
         from ...ops import mc_kernel
         if mc_kernel.sad_rows_per_step(positions.shape[1],
                                        positions.shape[2],
@@ -240,7 +251,7 @@ def sad_positions_multi(ref_padded: jnp.ndarray, orig: jnp.ndarray,
 def mc_chroma_positions(ref_padded: jnp.ndarray, positions: jnp.ndarray,
                         margin: int, bit_depth: int = 8) -> jnp.ndarray:
     """Position-based chroma MC — Pallas kernel on TPU, XLA elsewhere."""
-    if _use_pallas():
+    if _use_pallas() and _plane_fits_vmem(ref_padded):
         from ...ops import mc_kernel
         if mc_kernel.chroma_rows_per_step(positions.shape[0],
                                           positions.shape[1]) is not None:

@@ -123,6 +123,87 @@ def encode_b_frame_sharded(orig: list[np.ndarray], ref0: list[np.ndarray],
     return mv0, mv1, dirs, (ly, lu, lv), recon
 
 
+def encode_p_frame_sharded_ref(orig: list[np.ndarray],
+                               ref: list[np.ndarray], qp: int, mesh: Mesh,
+                               block_size: int = 16, bit_depth: int = 8,
+                               search_range: int = 8,
+                               wrap_around: bool = False,
+                               halo: int | None = None):
+    """Row-sharded P encode with a ROW-SHARDED reference plane and halo
+    exchange — the 6K/multi-host memory-scaling pattern (SURVEY.md §2.9:
+    per-shard ref tiles + boundary exchange instead of replication;
+    reference data layout: Picture.cpp:94 wrap buffer).
+
+    Each shard holds only its row slab of the DPB; jax.lax.ppermute
+    exchanges `halo` reference rows with the neighboring shards (the ICI
+    collective on hardware), sized to cover the motion search
+    (search_range + fractional + filter taps).  ERP wrap-around stays a
+    LOCAL x-axis operation because the sharded axis is y.  Frame-edge
+    shards edge-replicate, matching pad_ref, so the kept rows are
+    BIT-EXACT with the unsharded encode (tests/test_sharding.py).
+
+    Returns (mvs, lev_y, lev_u, lev_v, recon dict) with global shapes.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..common import inter_frame
+
+    devs = mesh.devices.reshape(-1)
+    n = devs.size
+    m1 = Mesh(devs, ("rows",))
+    h, w = orig[0].shape
+    hs = h // n
+    if halo is None:
+        halo = block_size * (-(-(search_range + 8) // block_size))
+    assert halo % block_size == 0 and halo <= hs and hs % block_size == 0
+    hc = halo // 2
+    s = block_size
+
+    def body(oy, ou, ov, ry, ru, rv):
+        i = jax.lax.axis_index("rows")
+        fwd = [(j, j + 1) for j in range(n - 1)]
+        bwd = [(j + 1, j) for j in range(n - 1)]
+
+        def haloed(r_l, hl):
+            # top halo = bottom rows of the shard above; bottom halo =
+            # top rows of the shard below; frame edges replicate (same
+            # values pad_ref would produce in the unsharded encode)
+            dn = jax.lax.ppermute(r_l[-hl:], "rows", fwd)
+            up = jax.lax.ppermute(r_l[:hl], "rows", bwd)
+            top = jnp.where(i == 0, jnp.repeat(r_l[:1], hl, 0), dn)
+            bot = jnp.where(i == n - 1, jnp.repeat(r_l[-1:], hl, 0), up)
+            return jnp.concatenate([top, r_l, bot], axis=0)
+
+        def ext(o_l, hl):
+            # halo rows of the CURRENT picture are never kept — extend
+            # with edge rows so shapes line up
+            return jnp.concatenate([jnp.repeat(o_l[:1], hl, 0), o_l,
+                                    jnp.repeat(o_l[-1:], hl, 0)], axis=0)
+
+        out = inter_frame.encode_p_frame(
+            ext(oy, halo), ext(ou, hc), ext(ov, hc), haloed(ry, halo),
+            haloed(ru, hc), haloed(rv, hc), qp, s, bit_depth,
+            search_range, wrap_around)
+        mvs, ly, lu, lv, recon = out
+        hb = halo // s
+        return (mvs[hb:-hb], ly[hb:-hb], lu[hb:-hb], lv[hb:-hb],
+                recon["y"][halo:-halo], recon["u"][hc:-hc],
+                recon["v"][hc:-hc])
+
+    fn = shard_map(
+        body, mesh=m1,
+        in_specs=(P("rows", None),) * 6,
+        out_specs=(P("rows", None, None), P("rows", None, None, None),
+                   P("rows", None, None, None),
+                   P("rows", None, None, None), P("rows", None),
+                   P("rows", None), P("rows", None)))
+    row_shard = NamedSharding(m1, P("rows", None))
+    args = [jax.device_put(jnp.asarray(p), row_shard)
+            for p in (*orig, *ref)]
+    mvs, ly, lu, lv, ry2, ru2, rv2 = jax.jit(fn)(*args)
+    return mvs, ly, lu, lv, dict(y=ry2, u=ru2, v=rv2)
+
+
 def encode_p_frame_mm_sharded(reproj, active_models: list[int],
                               orig: list[np.ndarray],
                               ref: list[np.ndarray], qp: int, mesh: Mesh,
