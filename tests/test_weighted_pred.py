@@ -109,3 +109,27 @@ def test_weighted_bipred_b_roundtrip():
     assert len(out) == len(frames)
     for f, res in zip(out, enc.results):
         assert md5(f.planes) == md5(res.recon), f.poc
+
+
+def test_weighted_bipred_composes_with_bdof_gpm_roundtrip():
+    """Weighted bi-prediction + BDOF + GPM + CIIP enabled TOGETHER: the
+    tools gate off per slice where explicit weights are active and stay
+    on elsewhere (reference precedence: BDOF biocheck0
+    InterPrediction.cpp:566; DMVR no-WP condition :252) — round trip
+    must stay bit-exact."""
+    fmt = VideoFormat(64, 64, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 5, motion=(3.0, 1.0))
+    # fade half the frames so some B slices estimate weights and others
+    # don't — both gating arms are exercised
+    for i, f in enumerate(frames):
+        if i >= 3:
+            y = np.asarray(f[0])
+            y[:] = np.clip(y * 0.6 + 20, 0, 255).astype(y.dtype)
+    cfg = EncCfg(width=64, height=64, qp=32, gop="RA", gop_size=4,
+                 weighted_bipred=True, bdof=True, gpm=True, ciip=True)
+    enc = EncLib(cfg)
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    assert len(out) == len(frames)
+    for f, res in zip(out, enc.results):
+        assert _md5(f.planes) == _md5(res.recon), f.poc

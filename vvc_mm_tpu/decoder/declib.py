@@ -600,17 +600,27 @@ class DecLib:
                 return
             mer_blk = max(0, sps.log2_parallel_merge_level
                           - (s.bit_length() - 1))
+            # explicit weights win per slice: the refinement/blend tools
+            # gate off on slices whose header carries weight tables
+            # (reference: BDOF biocheck0 / DMVR no-WP condition,
+            # InterPrediction.cpp:566,252; encoder mirror in enclib)
+            wp_active = (sh.wp_params is not None
+                         or sh.wp_params_l1 is not None)
+            sl_gpm = sps.gpm and not wp_active
+            sl_ciip = sps.ciip and not wp_active
+            sl_bdof = sps.bdof and not wp_active
+            sl_dmvr = sps.dmvr and not wp_active
             if sps.wpp and sps.merge:
                 from .inter_parser import decode_b_slice_wpp
                 (mv0, mv1, dirs, gpm_modes, ly, lu,
                  lv) = decode_b_slice_wpp(
                     cabac_bytes, nby, nbx, s, stats=self.stats,
-                    use_gpm=sps.gpm, use_ciip=sps.ciip,
+                    use_gpm=sl_gpm, use_ciip=sl_ciip,
                     use_merge=sps.merge, mer_blocks_log2=mer_blk)
             else:
                 mv0, mv1, dirs, ly, lu, lv, gpm_modes = decode_b_slice(
                     cabac_bytes, nby, nbx, s, stats=self.stats,
-                    use_gpm=sps.gpm, use_ciip=sps.ciip,
+                    use_gpm=sl_gpm, use_ciip=sl_ciip,
                     use_merge=sps.merge, mer_blocks_log2=mer_blk)
             r0 = tuple(jnp.asarray(p) for p in ref0.planes)
             r1 = tuple(jnp.asarray(p) for p in ref1.planes)
@@ -621,8 +631,8 @@ class DecLib:
                 jnp.asarray(mv0), jnp.asarray(mv1), jnp.asarray(dirs),
                 jnp.asarray(ly), jnp.asarray(lu), jnp.asarray(lv),
                 r0, r1, sh.qp, s, sps.bit_depth, sps.wrap_around,
-                sps.bdof, sps.dmvr, gpm_modes=jnp.asarray(gpm_modes),
-                gpm=sps.gpm, ciip=sps.ciip,
+                sl_bdof, sl_dmvr, gpm_modes=jnp.asarray(gpm_modes),
+                gpm=sl_gpm, ciip=sl_ciip,
                 wp0=(None if sh.wp_params is None else jnp.asarray(
                     np.asarray(sh.wp_params, dtype=np.int32))),
                 wp1=(None if sh.wp_params_l1 is None else jnp.asarray(

@@ -134,8 +134,11 @@ class EncCfg:
                                  # slices: per-list weight tables, the
                                  # weighted bi combine (reference:
                                  # xWeightedPredictionBi; --WeightedPredB).
-                                 # Mutually exclusive with BDOF/DMVR/GPM/
-                                 # CIIP in this codec
+                                 # Composes with BDOF/DMVR/GPM/CIIP per
+                                 # SLICE with reference precedence:
+                                 # weights win where present, the tools
+                                 # stay on elsewhere (BDOF biocheck0,
+                                 # InterPrediction.cpp:566)
     weighted_pred: bool = False  # explicit weighted prediction P slices
                                  # (reference: WeightPrediction.cpp,
                                  # WeightPredAnalysis; --WeightedPredP)
@@ -1172,8 +1175,7 @@ class EncLib:
                                       SliceType.B, [ref0_poc], [ref1_poc],
                                       None, tid, dev)
         mflag = midx = None
-        use_wpb = (cfg.weighted_bipred and not cfg.gpm and not cfg.ciip
-                   and not cfg.bdof and not cfg.dmvr)
+        use_wpb = cfg.weighted_bipred
         wp0 = wp1 = None
         if use_wpb:
             wp0 = self._estimate_wp(planes, ref0)
@@ -1188,6 +1190,17 @@ class EncLib:
             np.asarray(wp0, dtype=np.int32))
         wp1_d = None if not use_wpb else jnp.asarray(
             np.asarray(wp1, dtype=np.int32))
+        # reference precedence: explicit weights win per SLICE and the
+        # refinement/blend tools gate off there (BDOF's biocheck0 /
+        # DMVR's no-WP condition, InterPrediction.cpp:566,252; GPM/CIIP
+        # never combine with explicit weights in VVC).  Slices without
+        # active weights keep the tools — composition is per slice, not
+        # a config-level exclusivity.  The decoder mirrors this from the
+        # slice header's weight tables (declib.py B path).
+        sl_bdof = cfg.bdof and not use_wpb
+        sl_dmvr = cfg.dmvr and not use_wpb
+        sl_gpm = cfg.gpm and not use_wpb
+        sl_ciip = cfg.ciip and not use_wpb
         if cfg.merge:
             # merge/skip pipeline for B: device search with whole-motion
             # candidate-field SADs -> host selection in coding order ->
@@ -1195,7 +1208,7 @@ class EncLib:
             from .inter_coder import select_merge_b
             out = inter_frame.search_b_frame_merge(
                 oy, r0[0], r1[0], qp, s, cfg.bit_depth, cfg.search_range,
-                cfg.wrap_around, cfg.gpm, cfg.ciip)
+                cfg.wrap_around, sl_gpm, sl_ciip)
             (mv0_h, mv1_h, dirs_h, gpm_h, sad_h, c0_h, c1_h, cd_h,
              cs_h) = xfer.pull_i32(*out)
             lam_sqrt = quant.lambda_from_qp(qp, intra=False) ** 0.5
@@ -1212,11 +1225,11 @@ class EncLib:
         else:
             mv0, mv1, dirs, gpm_modes = inter_frame.search_b_frame(
                 oy, r0[0], r1[0], qp, s, cfg.bit_depth, cfg.search_range,
-                cfg.wrap_around, cfg.gpm, cfg.ciip)
+                cfg.wrap_around, sl_gpm, sl_ciip)
         ly, lu, lv, _ = inter_frame.bpred_and_residual(
             oy, ou, ov, tuple(r0), tuple(r1), mv0, mv1, dirs, qp, s,
-            cfg.bit_depth, cfg.wrap_around, cfg.bdof, cfg.dmvr,
-            gpm_modes=gpm_modes, gpm=cfg.gpm, ciip=cfg.ciip,
+            cfg.bit_depth, cfg.wrap_around, sl_bdof, sl_dmvr,
+            gpm_modes=gpm_modes, gpm=sl_gpm, ciip=sl_ciip,
             wp0=wp0_d, wp1=wp1_d)
         # The recon/filter chain never reads the entropy pass's coded
         # grids: unused-list MVP replacements are never selected by
@@ -1226,8 +1239,8 @@ class EncLib:
         recon = inter_frame.reconstruct_b_frame(
             mv0, mv1, dirs, ly, lu, lv,
             tuple(r0), tuple(r1), qp, s, cfg.bit_depth, cfg.wrap_around,
-            cfg.bdof, cfg.dmvr, gpm_modes=gpm_modes, gpm=cfg.gpm,
-            ciip=cfg.ciip, wp0=wp0_d, wp1=wp1_d)
+            sl_bdof, sl_dmvr, gpm_modes=gpm_modes, gpm=sl_gpm,
+            ciip=sl_ciip, wp0=wp0_d, wp1=wp1_d)
         if cfg.deblocking:
             has_resid = (jnp.any(ly != 0, axis=(2, 3))
                          | jnp.any(lu != 0, axis=(2, 3))
@@ -1259,13 +1272,13 @@ class EncLib:
             from .inter_coder import encode_b_slice_wpp
             payload = encode_b_slice_wpp(
                 mv0_h, mv1_h, dirs_h, lyh, luh, lvh, gpm_modes=gpm_h,
-                use_gpm=cfg.gpm, use_ciip=cfg.ciip, merge_flag=mflag,
+                use_gpm=sl_gpm, use_ciip=sl_ciip, merge_flag=mflag,
                 merge_idx=midx, num_substreams=cfg.num_substreams)
         else:
             payload, _, _ = encode_b_slice(
                 mv0_h, mv1_h, dirs_h, lyh, luh,
-                lvh, gpm_modes=gpm_h, use_gpm=cfg.gpm,
-                use_ciip=cfg.ciip, merge_flag=mflag, merge_idx=midx)
+                lvh, gpm_modes=gpm_h, use_gpm=sl_gpm,
+                use_ciip=sl_ciip, merge_flag=mflag, merge_idx=midx)
         self._pending_alf_chroma = None
         self._pending_ccalf = None
         sao_params = None
