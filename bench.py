@@ -100,10 +100,12 @@ def _configs():
         # 1. AI 416x240 QP37 (cfg/encoder_intra_vtm.cfg analog)
         ("ai416x240_qp37_encode_fps", 0.5,
          EncCfg(width=416, height=240, qp=QP, gop="AI"), (416, 240), 8, 2),
-        # 2. RA 832x480, standard motion, no 360 tools
+        # 2. RA GOP16 832x480, standard motion, no 360 tools
+        #    (cfg/encoder_randomaccess_vtm_gop16.cfg analog, CTC QP
+        #    cascade on)
         ("ra832x480_qp37_encode_fps", 0.1,
-         EncCfg(width=832, height=480, qp=QP, gop="RA", gop_size=8,
-                search_range=24), (832, 480), 9, 9),
+         EncCfg(width=832, height=480, qp=QP, gop="RA", gop_size=16,
+                search_range=24), (832, 480), 17, 17),
         # 3. ERP 2048x1024 MPA-only RA (cfg-360Lib encoder_360_ERP analog)
         ("erp2048x1024_ra_qp37_mpa_encode_fps", 0.05,
          EncCfg(width=2048, height=1024, qp=QP, gop="RA", gop_size=4,
@@ -121,9 +123,10 @@ def _configs():
                 search_range=24, wrap_around=True), (6144, 3072), 3, 3),
         # 6. HEADLINE (BENCH_r* continuity): ERP RA MPA+ROT, with the
         #    quadtree ON for P slices (merge-aware MM x partitioning)
+        #    and GOP16 + the CTC QP cascade
         ("erp2048x1024_ra_qp37_mm_encode_fps", 0.05,
-         EncCfg(width=2048, height=1024, qp=QP, gop="RA", gop_size=8,
-                qt_depth=1, mm=mm_head, **erp), (2048, 1024), 9, 9),
+         EncCfg(width=2048, height=1024, qp=QP, gop="RA", gop_size=16,
+                qt_depth=1, mm=mm_head, **erp), (2048, 1024), 17, 17),
     ]
 
 

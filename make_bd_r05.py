@@ -17,7 +17,7 @@ import time
 
 import numpy as np
 
-QPS = (27, 32, 37, 42)
+QPS = (30, 36, 42)
 
 
 def run_ladder(cfg, frames):
@@ -49,7 +49,7 @@ def main() -> None:
     from vvc_mm_tpu.common.typedefs import ProjectionID
     from vvc_mm_tpu.encoder.enclib import EncCfg
 
-    w, h, n = 1024, 512, 5
+    w, h, n = 512, 512, 4
     frames = realistic_sequence(w, h, n, seed=23)
     mm = MMConfig(mpa=True, rot=True,
                   projection=ProjectionID.EQUIRECTANGULAR)
@@ -57,26 +57,22 @@ def main() -> None:
     base = dict(width=w, height=h, gop="RA", gop_size=4, search_range=24,
                 wrap_around=True)
     rows = [
-        # (label, anchor cfg kwargs, test cfg kwargs)
+        # (label, anchor cfg kwargs, test cfg kwargs); rows sharing an
+        # anchor reuse its ladder (cache below)
         ("merge/skip", dict(merge=False), dict(merge=True)),
-        ("TMVP+HMVP", dict(tmvp=False), dict(tmvp=True)),
-        ("AMVR", dict(), dict(amvr=True)),
+        ("TMVP+HMVP", dict(), dict(tmvp=True)),
         ("MM (MPA+ROT)", dict(), dict(mm=mm)),
         ("MM quadtree (P)", dict(mm=mm), dict(mm=mm, qt_depth=1)),
         ("MTS (intra)", dict(), dict(mts=True)),
         ("LFNST", dict(), dict(lfnst=True)),
         ("RDOQ-lite", dict(), dict(rdoq=True)),
         ("dep. quant", dict(), dict(dep_quant=True)),
-        ("CCLM", dict(), dict(cclm=True)),
-        ("MIP", dict(), dict(mip=True)),
-        ("deblocking", dict(deblocking=False), dict(deblocking=True)),
         ("SAO", dict(sao=False), dict(sao=True)),
         ("ALF", dict(alf=False), dict(alf=True)),
-        ("BDOF", dict(), dict(bdof=True)),
-        ("DMVR", dict(), dict(dmvr=True)),
+        ("CTC QP cascade", dict(ctc_qp_offsets=False), dict()),
         ("CTC-like preset", dict(),
-         dict(tmvp=True, amvr=True, rdoq=True, dep_quant=True, mts=True,
-              lfnst=True, cclm=True, mip=True, mm=mm, qt_depth=1)),
+         dict(tmvp=True, rdoq=True, dep_quant=True, mts=True,
+              lfnst=True, mm=mm, qt_depth=1)),
     ]
 
     lines = [
@@ -91,10 +87,18 @@ def main() -> None:
         "| tool | BD-rate (%) | BD-PSNR (dB) |",
         "|---|---|---|",
     ]
+    cache: dict = {}
+
+    def ladder_cached(kw):
+        key = repr(sorted(kw.items(), key=lambda x: x[0]))
+        if key not in cache:
+            cache[key] = run_ladder(EncCfg(**{**base, **kw}), frames)
+        return cache[key]
+
     for label, akw, tkw in rows:
         t0 = time.time()
-        ra, pa = run_ladder(EncCfg(**{**base, **akw}), frames)
-        rt, pt = run_ladder(EncCfg(**{**base, **tkw}), frames)
+        ra, pa = ladder_cached(akw)
+        rt, pt = ladder_cached(tkw)
         br = bd_rate(ra, pa, rt, pt)
         bp = bd_psnr(ra, pa, rt, pt)
         lines.append(f"| {label} | {br:+.2f} | {bp:+.3f} |")

@@ -51,8 +51,10 @@ def test_ra_roundtrip_bitexact(seq):
 
 def test_ra_beats_ldp_on_bits(seq):
     """Hierarchical B with future refs should beat LDP at same QP."""
+    # ctc_qp_offsets off: this test isolates the STRUCTURE (future refs)
+    # at one QP; the CTC QP cascade is covered by its own test below
     ra = EncLib(EncCfg(width=64, height=32, qp=32, gop="RA", gop_size=8,
-                       search_range=8))
+                       search_range=8, ctc_qp_offsets=False))
     ra.encode_sequence(seq)
     ldp = EncLib(EncCfg(width=64, height=32, qp=32, gop="LDP",
                         intra_period=0, search_range=8))
@@ -60,3 +62,52 @@ def test_ra_beats_ldp_on_bits(seq):
     ra_s, ldp_s = ra.summary(), ldp.summary()
     assert ra_s["psnr_y"] > ldp_s["psnr_y"] - 0.5
     assert ra_s["bits"] < ldp_s["bits"] * 1.1, (ra_s["bits"], ldp_s["bits"])
+
+
+def test_ctc_qp_cascade_saves_rate_bd(seq):
+    """The CTC temporal-layer QP cascade (I -3, anchors +1, B layers
+    +1/+4/+5/+6; reference: encoder_randomaccess_vtm_gop16.cfg QPoffset
+    column) must give a negative BD-rate vs flat QP (it trades leaf-B
+    PSNR for bits, so equal-QP comparisons are meaningless — the curve
+    must win)."""
+    from vvc_mm_tpu.apps.bd_rate import bd_rate
+
+    def ladder(offsets):
+        rates, psnrs = [], []
+        for qp in (28, 32, 36):
+            e = EncLib(EncCfg(width=64, height=32, qp=qp, gop="RA",
+                              gop_size=8, search_range=8,
+                              ctc_qp_offsets=offsets))
+            e.encode_sequence(seq)
+            s = e.summary()
+            rates.append(int(s["bits"]))
+            psnrs.append(float(s["psnr_y"]))
+        return rates, psnrs
+
+    ra, pa = ladder(False)
+    rt, pt = ladder(True)
+    assert bd_rate(ra, pa, rt, pt) < 0.0
+
+
+def test_gop16_roundtrip_bitexact(seq):
+    """RA GOP16 with the QP cascade: full round trip (reference:
+    cfg/encoder_randomaccess_vtm_gop16.cfg dyadic structure)."""
+    import hashlib
+
+    from vvc_mm_tpu.decoder.declib import DecLib
+
+    def md5(ps):
+        m = hashlib.md5()
+        for p in ps:
+            m.update(np.asarray(p).astype(np.uint8).tobytes())
+        return m.hexdigest()
+
+    fmt = VideoFormat(64, 32, 8, ChromaFormat.C420)
+    frames = synthetic_sequence(fmt, 17, motion=(2.0, 1.0))
+    enc = EncLib(EncCfg(width=64, height=32, qp=34, gop="RA",
+                        gop_size=16, search_range=8))
+    stream = enc.encode_sequence(frames)
+    out = DecLib().decode_bytes(stream)
+    assert len(out) == len(frames)
+    for f, res in zip(out, enc.results):
+        assert md5(f.planes) == md5(res.recon), f.poc

@@ -48,6 +48,12 @@ class EncCfg:
     intra_period: int = 32       # IDR refresh interval (LDP / RA)
     gop_size: int = 8            # RA mini-GOP (reference:
                                  # cfg/encoder_randomaccess_vtm.cfg GOP table)
+    ctc_qp_offsets: bool = True  # CTC-style per-temporal-layer QP
+                                 # offsets for RA at fixed QP: I -3,
+                                 # anchors +1, B layers +1/+4/+5/+6
+                                 # (reference:
+                                 # cfg/encoder_randomaccess_vtm_gop16.cfg
+                                 # QPoffset column, IntraQPOffset)
     search_range: int = 24
     max_num_ref: int = 2         # active references per list (plain-grid
                                  # P path; reference: per-ref ME loop
@@ -1378,9 +1384,25 @@ class EncLib:
             if rc:
                 rc.update(res.bits)
 
+        # CTC-style RA QP cascade at fixed QP (reference:
+        # cfg/encoder_randomaccess_vtm_gop16.cfg QPoffset per temporal
+        # layer + IntraQPOffset -3); rate control overrides it
+        _B_OFF = (1, 1, 4, 5, 6)
+
+        def ctc_qp(kind, tid=0):
+            if rc or not self.cfg.ctc_qp_offsets \
+                    or self.cfg.gop != "RA":
+                return rc_qp(kind, tid)
+            if kind == "I":
+                return max(1, self.cfg.qp - 3)
+            if kind == "P":
+                return self.cfg.qp + 1
+            return self.cfg.qp + _B_OFF[min(tid, len(_B_OFF) - 1)]
+
         if self.cfg.gop == "RA" and len(frames) > 1:
             dpb: dict[int, list[np.ndarray]] = {}
-            nal, res = self.encode_intra_frame(0, frames[0], qp=rc_qp("I"))
+            nal, res = self.encode_intra_frame(0, frames[0],
+                                               qp=ctc_qp("I"))
             rc_upd(res)
             nalus.append(nal)
             if self.cfg.film_grain:
@@ -1405,13 +1427,14 @@ class EncLib:
             for i, (poc, r0, r1, r2, tid) in enumerate(order2):
                 if r1 < 0:
                     nal, res = self.encode_p_frame(
-                        poc, frames[poc], dpb[r0], r0, qp=rc_qp("P"),
+                        poc, frames[poc], dpb[r0], r0, qp=ctc_qp("P"),
                         ref2=dpb.get(r2) if r2 >= 0 else None,
                         ref2_poc=r2)
                 else:
                     nal, res = self.encode_b_frame(poc, frames[poc],
                                                    dpb[r0], r0, dpb[r1], r1,
-                                                   tid, qp=rc_qp("B", tid))
+                                                   tid,
+                                                   qp=ctc_qp("B", tid))
                 rc_upd(res)
                 dpb[poc] = res.recon
                 nalus.append(nal)
